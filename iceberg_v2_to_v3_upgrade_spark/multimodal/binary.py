@@ -1,0 +1,131 @@
+"""[EXT] Multimodal binary-column plumbing (SURVEY.md north-star).
+
+Images/audio/video are opaque ``binary`` payload columns with a typed
+metadata struct alongside. The Spark-side plumbing here — schema,
+Arrow-batched mapInPandas decode, partition-preserving feature extraction —
+is real and tested; the *codec* step is a clearly marked deterministic STUB
+because no image/audio libraries exist in this container (swap
+``_decode_stub`` for a PIL/libsndfile call in production; the dataflow,
+batch shape, and schema do not change).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+#: Output schema of the decode step (one row per asset).
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+    ]
+)
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata struct to each doc.
+
+    In production the payload is the raw image/audio bytes read from object
+    storage; here it's the utf-8 encoded text (deterministic, same plumbing).
+    """
+    return docs.select(
+        "doc_id",
+        "source",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("fake/txt").alias("content_type"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_binary(assets: DataFrame) -> DataFrame:
+    """Arrow-batched decode via mapInPandas.
+
+    Each pandas batch holds ~10k rows of (doc_id, source, payload); the
+    decode is embarrassingly parallel and partition-preserving (no shuffle).
+    STUB: dimensions are a deterministic function of the byte length —
+    replace the body marked below with a real codec in production.
+    """
+
+    def _decode_stub(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_bytes": n.astype("int64"),
+                    # --- STUB decode: deterministic fake dimensions ------
+                    "width": (n % 256).astype("int32"),
+                    "height": ((n // 256) % 256 + 1).astype("int32"),
+                    "channels": (n % 3 + 1).astype("int32"),
+                    # ------------------------------------------------------
+                }
+            )
+
+    return assets.select("doc_id", "source", "payload").mapInPandas(
+        _decode_stub, DECODE_SCHEMA
+    )
+
+
+def decode_binary_real(assets: DataFrame) -> DataFrame:
+    """Real codec path — requires PIL/soundfile, absent in this container."""
+    raise NotImplementedError(
+        "image/audio codecs are not installed; use decode_binary (stub) — "
+        "the Spark plumbing is identical"
+    )
+
+
+@declare(
+    "m1_binary_decode_stats",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, source, octet_length(encode(text)) AS n_bytes
+            FROM documents)
+        SELECT source,
+               count(*) AS n_assets,
+               sum(n_bytes) AS total_bytes,
+               round(avg(n_bytes % 256), 4) AS avg_width,
+               max(CAST((n_bytes // 256) % 256 + 1 AS INTEGER)) AS max_height
+        FROM b GROUP BY source ORDER BY source
+    """,
+    tags=("ext", "multimodal", "pandas-udf"),
+)
+def m1_binary_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline: attach binary payloads -> Arrow
+    mapInPandas decode -> grouped feature stats. The oracle reproduces the
+    stub's arithmetic on octet lengths, so the whole pipeline (including the
+    Python batch boundary) is hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_binary(with_binary_payload(docs))
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.col("n_bytes") % 256), 4).alias("avg_width"),
+            F.max(((F.col("n_bytes") / 256).cast("long") % 256 + 1).cast("int")).alias(
+                "max_height"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,256 @@
+"""[EXT] Deduplication operators over the ``documents`` table (SURVEY.md §2.N1/N2).
+
+Five dedup families, in increasing fuzziness:
+- exact (group-by on the raw value),
+- content-fingerprint (md5 over normalized text — cross-engine stable),
+- exact n-gram Jaccard pairs (shared-shingle pruned, exact math → oracle),
+- MinHash + banded LSH (the 100 TB scale path; hash-based → rows-only),
+- SimHash hamming pairs (rows-only).
+
+Scale posture: the only all-pairs-shaped step anywhere is *after* pruning —
+candidates come from equi-joins on shingle/band/bucket keys, so the shuffle
+is keyed and bounded by true collision counts, never |docs|².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.functions.hashing import (
+    lsh_bands,
+    minhash_signature,
+    normalize_text,
+    simhash64,
+    word_shingles,
+)
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+
+@declare(
+    "n1_exact_dedup",
+    oracle="""
+        SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+               count(*) - count(DISTINCT text) AS n_dups
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("ext", "dedup"),
+)
+def n1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting: duplicates by full-text equality, per lang.
+
+    The remove-step is ``dropDuplicates(['text'])``; declared as the
+    equivalent deterministic aggregate so the oracle can hash-match it.
+    """
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dups"),
+        )
+        .orderBy("lang")
+    )
+
+
+@declare(
+    "n2_fingerprint_dedup",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+            FROM documents)
+        SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies
+        FROM fp GROUP BY fingerprint
+        HAVING count(*) > 1
+        ORDER BY keeper_id
+    """,
+    tags=("ext", "dedup", "fingerprint"),
+)
+def n2_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-fingerprint dedup: md5 over whitespace/case-normalized text.
+
+    md5 is identical across Spark and DuckDB, so the fingerprints themselves
+    are hash-matched — this is the document-fingerprinting operator AND its
+    cross-engine proof in one. At scale: one narrow projection + one grouped
+    count on a high-entropy key (no skew by construction).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keeper_id")
+    )
+
+
+_NGRAM_JACCARD_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+        FROM d, unnest(range(greatest(len(w) - 2, 0))) AS t(i)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b,
+           round(p.common * 1.0 / (x.n + y.n - p.common), 3) AS jaccard
+    FROM pairs p
+    JOIN sz x ON x.doc_id = p.doc_a
+    JOIN sz y ON y.doc_id = p.doc_b
+    WHERE p.common * 1.0 / (x.n + y.n - p.common) >= 0.8
+    ORDER BY doc_a, doc_b
+"""
+
+
+@declare("n2b_ngram_jaccard_pairs", oracle=_NGRAM_JACCARD_ORACLE, tags=("ext", "dedup", "jaccard"))
+def n2b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate pairs by word-3-gram Jaccard >= 0.8.
+
+    Candidate generation is an equi-join on shared shingles (keyed shuffle),
+    then exact |A∩B| / |A∪B| — no approximation, so the DuckDB oracle can
+    verify it. This is the ground-truth twin of the MinHash operator below;
+    at 100 TB you run n2c (LSH) and sample-audit against this.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sx = sizes.alias("x")
+    sy = sizes.alias("y")
+    jac = F.col("common") / (F.col("x.n") + F.col("y.n") - F.col("common"))
+    return (
+        pairs.join(F.broadcast(sx), F.col("doc_a") == F.col("x.doc_id"))
+        .join(F.broadcast(sy), F.col("doc_b") == F.col("y.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 3).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@declare("n2c_minhash_lsh_neardup", oracle=None, tags=("ext", "dedup", "minhash", "lsh"))
+def n2c_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs — the scale path.
+
+    shingle -> 64-hash MinHash signature -> 16 bands x 4 rows -> explode
+    band keys -> self-join on (band, key) -> dedup candidate pairs ->
+    verify with exact signature agreement >= 0.8 (estimated Jaccard).
+
+    Hash-based, so declared rows-only; correctness is cross-audited against
+    n2b in tests (every n2b pair must be recalled here at these parameters).
+    At scale the band join is the only shuffle and its key space is
+    |docs| * bands — linear, never quadratic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        minhash_signature(word_shingles(F.col("text"), 3), num_hashes=64).alias(
+            "sig"
+        ),
+    )
+    banded = sig.select(
+        "doc_id", "sig", F.explode(lsh_bands(F.col("sig"), 16, 4)).alias("bk")
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est_jaccard = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(64.0)
+    )
+    return (
+        candidates.withColumn("est_jaccard", F.round(est_jaccard, 3))
+        .filter(F.col("est_jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@declare("n2d_simhash_neardup", oracle=None, tags=("ext", "dedup", "simhash"))
+def n2d_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures, hamming distance <= 6.
+
+    Candidates via 4x16-bit band equality (pigeonhole: distance <= 6 pairs
+    are guaranteed to collide on some band only for distance <= 3; wider
+    recall comes from the 4 chances) then exact bit_count verify.
+    Rows-only (hash-based).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash64(docs, "doc_id", "text")
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    )

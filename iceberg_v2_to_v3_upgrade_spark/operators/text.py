@@ -1,0 +1,201 @@
+"""[EXT] Text analysis over ``documents`` (SURVEY.md §2.N4).
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting —
+all built-in string/array functions, no UDFs, so the whole pipeline stays in
+whole-stage codegen and scales linearly with one aggregate shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+# Stopword marker sets per language (tiny heuristic lexicons; the fixture
+# text is synthetic, so these exercise the operator shape, not linguistics).
+_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "y", "es"),
+    "fr": ("le", "les", "des", "et", "est"),
+}
+
+
+def _stop_count(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+@declare(
+    "n4_text_stats_by_lang",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(n_chars), 2) AS avg_chars,
+               round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("ext", "text"),
+)
+def n4_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc count, char/token distribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", F.size(F.split("text", " ")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_LANGID_ORACLE = """
+    WITH scored AS (
+        SELECT lang AS labeled_lang,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','is')))   AS s_en,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('der','die','das','und','ist'))) AS s_de,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('el','la','los','y','es')))    AS s_es,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('le','les','des','et','est'))) AS s_fr
+        FROM documents),
+    pred AS (
+        SELECT labeled_lang,
+               CASE WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+                    WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+                    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                    WHEN s_fr > 0 THEN 'fr'
+                    ELSE 'unknown' END AS predicted_lang
+        FROM scored)
+    SELECT predicted_lang, labeled_lang, count(*) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@declare("n4b_language_id", oracle=_LANGID_ORACLE, tags=("ext", "text", "langid"))
+def n4b_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts -> argmax
+    (fixed tie-break order), reported as a confusion table against the
+    labeled lang. One projection + one grouped count at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    scored = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        _stop_count(tokens, _STOPWORDS["en"]).alias("s_en"),
+        _stop_count(tokens, _STOPWORDS["de"]).alias("s_de"),
+        _stop_count(tokens, _STOPWORDS["es"]).alias("s_es"),
+        _stop_count(tokens, _STOPWORDS["fr"]).alias("s_fr"),
+    )
+    predicted = (
+        F.when(
+            (F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr"))
+            & (F.col("s_en") > 0),
+            "en",
+        )
+        .when(
+            (F.col("s_de") >= F.greatest("s_es", "s_fr")) & (F.col("s_de") > 0),
+            "de",
+        )
+        .when((F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") > 0), "es")
+        .when(F.col("s_fr") > 0, "fr")
+        .otherwise("unknown")
+    )
+    return (
+        scored.select(predicted.alias("predicted_lang"), "labeled_lang")
+        .groupBy("predicted_lang", "labeled_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("predicted_lang", "labeled_lang")
+    )
+
+
+_QUALITY_ORACLE = """
+    WITH q AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_unique,
+               n_chars
+        FROM documents),
+    s AS (
+        SELECT doc_id,
+               round(0.5 * least(n_tokens / 64.0, 1.0)
+                     + 0.5 * (n_unique * 1.0 / n_tokens), 4) AS quality
+        FROM q)
+    SELECT CASE WHEN quality >= 0.75 THEN 'high'
+                WHEN quality >= 0.5 THEN 'mid'
+                ELSE 'low' END AS quality_band,
+           count(*) AS n_docs,
+           round(avg(quality), 4) AS avg_quality
+    FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+@declare("n4c_quality_score", oracle=_QUALITY_ORACLE, tags=("ext", "text", "quality"))
+def n4c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality score: length saturation + lexical diversity,
+    bucketed into bands — the standard pre-training corpus filter shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    q = docs.select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).alias("n_unique"),
+    )
+    quality = F.round(
+        0.5 * F.least(F.col("n_tokens") / 64.0, F.lit(1.0))
+        + 0.5 * (F.col("n_unique") / F.col("n_tokens")),
+        4,
+    )
+    band = (
+        F.when(F.col("quality") >= 0.75, "high")
+        .when(F.col("quality") >= 0.5, "mid")
+        .otherwise("low")
+    )
+    return (
+        q.withColumn("quality", quality)
+        .groupBy(band.alias("quality_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("quality_band")
+    )
+
+
+@declare(
+    "n4d_token_counts",
+    oracle="""
+        SELECT source,
+               sum(len(string_split(text, ' '))) AS total_tokens,
+               sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS est_bpe_tokens,
+               count(*) AS n_docs
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("ext", "text", "tokens"),
+)
+def n4d_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per source: whitespace tokens + a chars/4 BPE
+    estimate (the budget metric for training-data pipelines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("est_bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("est_bpe").alias("est_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
