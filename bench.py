@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully (noop sink — JVM-side, no collect overhead) and
+is timed wall-clock. A warmup query runs first so JIT/codegen warmup isn't
+billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iceberg_v2_to_v3_upgrade_spark.registry import load_all_operators
+from iceberg_v2_to_v3_upgrade_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "q6_forecast_revenue",
+    "d4_distinct_count_grouped",
+    "d5_rollup",
+    "e1_window_rank",
+    "n1_exact_dedup",
+    "n2_fingerprint_dedup",
+    "n2b_ngram_jaccard_pairs",
+    "n2c_minhash_lsh_neardup",
+    "n3_topk_cosine",
+    "n4b_language_id",
+    "n6_tumbling_window",
+    "n7_sessionization",
+    "n9_json_extract",
+    "m1_binary_decode_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all_operators()
+
+    # warmup: spin executors + codegen, untimed
+    registry["d1_count_star"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from iceberg_v2_to_v3_upgrade_spark.functions.hashing import (
     lsh_bands,
-    minhash_signature,
+    minhash_signatures,
     normalize_text,
     simhash64,
     word_shingles,
@@ -163,11 +163,8 @@ def n2c_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     |docs| * bands — linear, never quadratic.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = docs.select(
-        "doc_id",
-        minhash_signature(word_shingles(F.col("text"), 3), num_hashes=64).alias(
-            "sig"
-        ),
+    sig = minhash_signatures(
+        docs, "doc_id", word_shingles(F.col("text"), 3), num_hashes=64
     )
     banded = sig.select(
         "doc_id", "sig", F.explode(lsh_bands(F.col("sig"), 16, 4)).alias("bk")

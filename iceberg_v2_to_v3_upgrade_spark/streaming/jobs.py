@@ -1,0 +1,157 @@
+"""Structured Streaming jobs — streaming twins of the batch event operators
+(SURVEY.md §2.L; the reference is batch-only, this is [EXT] north-star
+surface).
+
+Spark's unified model means each transformation below is ONE function
+applied to either a batch or a streaming DataFrame — the oracle checks the
+batch twin, tests check streaming==batch on the same input.
+
+Scale posture: watermarks bound state (late data beyond 2h is dropped);
+session/window state lives in the state store keyed by group — partitioned
+by user/event_type, so state scales horizontally with executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source stream over a directory of (µs-timestamp) event parquet —
+    the landing-zone pattern: upstream写s clean files, we tail the dir."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+# ---------------------------------------------------------------- twins
+# Each takes events (batch OR stream) and returns the transformed frame.
+
+
+def tumbling_value_agg(events: DataFrame, streaming: bool = False) -> DataFrame:
+    """1-hour tumbling window per event type (twin of n6_tumbling_window)."""
+    df = events.withWatermark("ts", "2 hours") if streaming else events
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, streaming: bool = False) -> DataFrame:
+    """30-minute-gap sessions per user (twin of n7_sessionization)."""
+    df = events.withWatermark("ts", "2 hours") if streaming else events
+    return (
+        df.groupBy(
+            F.col("user_id"), F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# -------------------------------------------- custom stateful operator
+
+USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def _update_user_totals(
+    key: tuple, batches: Iterator, state: GroupState
+) -> Iterator[Any]:
+    """Running per-user totals with explicit state — the
+    applyInPandasWithState escape hatch for semantics the built-in
+    windows can't express (Arrow-batched, state store backed)."""
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming aggregate: running (count, sum) per user."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        USER_TOTALS_SCHEMA,
+        _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+) -> None:
+    """Drain a stream with availableNow into an in-memory table (tests)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_update_to_memory_sink(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+) -> None:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,134 @@
+"""Local catalog — the reference's Glue surface (SURVEY.md §2.J) on a
+file-backed warehouse.
+
+J1 get_table_info / J2 list_tables / J3 [OK]/[WARN] report / J5 create
+database — same fields the reference reads from Glue
+(``internal/upgrade_table.py:33-56,149-170``): location, table_type,
+format-version, metadata_location.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_v2_to_v3_upgrade_spark.tables.table import LocalTable, TableError
+
+
+class LocalCatalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse.rstrip("/")
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # ------------------------------------------------------------ databases
+
+    def create_database(self, db: str) -> bool:
+        """Idempotent CREATE DATABASE (reference create_demo_table.py:41-65;
+        the S3-bucket step J6 collapses to makedirs locally)."""
+        path = os.path.join(self.warehouse, db)
+        existed = os.path.isdir(path)
+        os.makedirs(path, exist_ok=True)
+        return not existed
+
+    def drop_database(self, db: str, cascade: bool = False) -> None:
+        path = os.path.join(self.warehouse, db)
+        if not os.path.isdir(path):
+            return
+        if os.listdir(path) and not cascade:
+            raise TableError(f"database {db} not empty")
+        shutil.rmtree(path)
+
+    def list_databases(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    # --------------------------------------------------------------- tables
+
+    def table_root(self, db: str, table: str) -> str:
+        return os.path.join(self.warehouse, db, table)
+
+    def create_table(
+        self,
+        db: str,
+        table: str,
+        schema_ddl: str,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        if_not_exists: bool = False,
+    ) -> LocalTable:
+        self.create_database(db)
+        return LocalTable.create(
+            self.spark,
+            self.table_root(db, table),
+            schema_ddl,
+            partition_by=partition_by,
+            properties=properties,
+            if_not_exists=if_not_exists,
+        )
+
+    def load_table(self, db: str, table: str) -> LocalTable:
+        root = self.table_root(db, table)
+        if not os.path.exists(os.path.join(root, "metadata.json")):
+            raise TableError(f"table {db}.{table} not found")
+        return LocalTable(self.spark, root)
+
+    def drop_table(self, db: str, table: str, if_exists: bool = True) -> bool:
+        return LocalTable.drop(self.table_root(db, table), if_exists=if_exists)
+
+    def get_table_info(self, db: str, table: str) -> dict[str, Any] | None:
+        """J1 (reference upgrade_table.py:33-56): location, table_type,
+        format-version, metadata_location — None when absent, like the
+        reference's not-found guard (:108-110)."""
+        root = self.table_root(db, table)
+        meta_path = os.path.join(root, "metadata.json")
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as f:
+            meta = json.load(f)
+        props = meta.get("properties", {})
+        return {
+            "name": table,
+            "database": db,
+            "location": root,
+            "table_type": "ICEBERG_LOCAL",
+            "format_version": props.get("format-version"),
+            "metadata_location": meta_path,
+            "properties": props,
+            "current_snapshot_id": meta.get("current_snapshot_id"),
+        }
+
+    def list_tables(self, db: str) -> list[dict[str, Any]]:
+        """J2 (reference upgrade_table.py:149-170): every table with its
+        format-version."""
+        path = os.path.join(self.warehouse, db)
+        if not os.path.isdir(path):
+            return []
+        out = []
+        for name in sorted(os.listdir(path)):
+            info = self.get_table_info(db, name)
+            if info is not None:
+                out.append(info)
+        return out
+
+    def list_report(self, db: str) -> DataFrame:
+        """J3 `--list` report: [OK] V3 / [WARN] V2 per table
+        (reference upgrade_table.py:187-194)."""
+        rows = [
+            (
+                t["name"],
+                str(t["format_version"]),
+                "[OK]" if t["format_version"] == "3" else "[WARN] V2 - needs upgrade",
+            )
+            for t in self.list_tables(db)
+        ]
+        return self.spark.createDataFrame(
+            rows, "table string, format_version string, status string"
+        )

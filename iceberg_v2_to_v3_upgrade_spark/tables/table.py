@@ -1,0 +1,471 @@
+"""Mutable, versioned, partitioned table — the reference's data model
+(SURVEY.md §1) natively on Spark + parquet.
+
+Semantics mirrored from the reference's Iceberg surface:
+- schema-fixed DDL with identity partitioning and table properties
+  (create: internal/create_demo_table.py:102-114),
+- merge-on-read DELETE/UPDATE writing *delete files* that mask rows at
+  read time instead of rewriting data files (:130,133),
+- snapshot-versioned commits with time travel and expiry (README.md:34-38),
+- format-version 2->3 upgrade gated exactly like
+  internal/upgrade_table.py:100-146, exposing `next-row-id` at V3
+  (README.md:43-45 — row lineage is why the upgrade exists).
+
+Physical layout (one directory per table):
+
+    <table_root>/metadata.json        # schema, properties, snapshot log
+    <table_root>/data/snap-<id>/      # parquet, partitioned by identity cols
+    <table_root>/deletes/snap-<id>/   # parquet delete files (_row_id)
+
+Every scan is `union(data dirs) LEFT ANTI JOIN union(delete dirs) ON
+_row_id` with the delete side broadcast — the exact shape of Iceberg's MoR
+read path. Delete files are tiny relative to data (O(deleted rows)), so at
+100 TB the anti-join never shuffles the fact side.
+
+Row identity: `_row_id` is assigned at write from
+`monotonically_increasing_id()` plus a per-commit base offset — unique and
+monotone across commits but intentionally sparse, exactly like Iceberg's
+(file, position) identity; `next-row-id` tracks the high-water mark.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+_ROW_ID = "_row_id"
+
+
+class TableError(Exception):
+    pass
+
+
+@dataclass
+class Snapshot:
+    id: int
+    timestamp: str  # ISO-8601 UTC
+    operation: str  # append | delete | update | replace | create
+    data_dirs: list[str] = field(default_factory=list)
+    delete_dirs: list[str] = field(default_factory=list)
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "id": self.id,
+            "timestamp": self.timestamp,
+            "operation": self.operation,
+            "data_dirs": self.data_dirs,
+            "delete_dirs": self.delete_dirs,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Snapshot":
+        return Snapshot(
+            id=d["id"],
+            timestamp=d["timestamp"],
+            operation=d["operation"],
+            data_dirs=list(d["data_dirs"]),
+            delete_dirs=list(d["delete_dirs"]),
+        )
+
+
+def _utcnow() -> str:
+    return datetime.datetime.now(datetime.timezone.utc).isoformat()
+
+
+class LocalTable:
+    """One mutable table rooted at ``root`` (see module docstring)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._meta = self._read_meta()
+
+    # ---------------------------------------------------------------- DDL
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema_ddl: str,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        if_not_exists: bool = False,
+    ) -> "LocalTable":
+        """CREATE TABLE ... PARTITIONED BY ... TBLPROPERTIES (...).
+
+        Reference: internal/create_demo_table.py:102-114. Defaults match the
+        demo table: format-version 2, merge-on-read delete/update modes.
+        """
+        meta_path = os.path.join(root, "metadata.json")
+        if os.path.exists(meta_path):
+            if if_not_exists:
+                return cls(spark, root)
+            raise TableError(f"table already exists at {root}")
+        os.makedirs(root, exist_ok=True)
+        props = {
+            "format-version": "2",
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+        }
+        props.update(properties or {})
+        meta = {
+            "schema_ddl": schema_ddl,
+            "partition_by": partition_by or [],
+            "properties": props,
+            "next_row_id": 0,
+            "snapshots": [
+                Snapshot(id=1, timestamp=_utcnow(), operation="create").to_json()
+            ],
+            "current_snapshot_id": 1,
+        }
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=2)
+        return cls(spark, root)
+
+    @staticmethod
+    def drop(root: str, if_exists: bool = True) -> bool:
+        """DROP TABLE IF EXISTS (reference internal/create_demo_table.py:99)."""
+        if not os.path.exists(os.path.join(root, "metadata.json")):
+            if if_exists:
+                return False
+            raise TableError(f"no table at {root}")
+        shutil.rmtree(root)
+        return True
+
+    # ----------------------------------------------------------- metadata
+
+    def _read_meta(self) -> dict[str, Any]:
+        with open(os.path.join(self.root, "metadata.json")) as f:
+            return json.load(f)
+
+    def _write_meta(self) -> None:
+        tmp = os.path.join(self.root, "metadata.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self._meta, f, indent=2)
+        os.replace(tmp, os.path.join(self.root, "metadata.json"))
+
+    @property
+    def properties(self) -> dict[str, str]:
+        return dict(self._meta["properties"])
+
+    @property
+    def format_version(self) -> int:
+        return int(self._meta["properties"].get("format-version", "1"))
+
+    @property
+    def partition_by(self) -> list[str]:
+        return list(self._meta["partition_by"])
+
+    @property
+    def schema_ddl(self) -> str:
+        return self._meta["schema_ddl"]
+
+    def snapshots(self) -> list[Snapshot]:
+        return [Snapshot.from_json(s) for s in self._meta["snapshots"]]
+
+    def current_snapshot(self) -> Snapshot:
+        cur = self._meta["current_snapshot_id"]
+        for s in self._meta["snapshots"]:
+            if s["id"] == cur:
+                return Snapshot.from_json(s)
+        raise TableError(f"current snapshot {cur} missing")
+
+    def history(self) -> DataFrame:
+        """Snapshot log as a DataFrame (Iceberg `table.history` analog)."""
+        rows = [
+            (s.id, s.timestamp, s.operation, len(s.data_dirs), len(s.delete_dirs))
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id int, committed_at string, operation string, "
+            "n_data_dirs int, n_delete_dirs int",
+        )
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """ALTER TABLE ... SET TBLPROPERTIES (reference upgrade_table.py:128).
+
+        Guards the format-version state machine: only 2->3 is a legal
+        transition (the reference never downgrades; V3->V2 would strand
+        row-lineage metadata, so we refuse it).
+        """
+        if "format-version" in props:
+            new = int(props["format-version"])
+            cur = self.format_version
+            if new < cur:
+                raise TableError(
+                    f"cannot downgrade format-version {cur} -> {new}"
+                )
+            if new not in (2, 3):
+                raise TableError(f"unsupported format-version {new}")
+            if new == 3:
+                # V3 metadata must carry next-row-id (README.md:43-45);
+                # missing it is the reference's documented failure mode.
+                props = {**props, "next-row-id": str(self._meta["next_row_id"])}
+        self._meta["properties"].update(props)
+        self._write_meta()
+
+    # -------------------------------------------------------------- write
+
+    def _commit(self, operation: str, data_dirs, delete_dirs) -> Snapshot:
+        snap = Snapshot(
+            id=max(s["id"] for s in self._meta["snapshots"]) + 1,
+            timestamp=_utcnow(),
+            operation=operation,
+            data_dirs=data_dirs,
+            delete_dirs=delete_dirs,
+        )
+        self._meta["snapshots"].append(snap.to_json())
+        self._meta["current_snapshot_id"] = snap.id
+        self._write_meta()
+        return snap
+
+    def _next_dir(self, kind: str, snap_id: int) -> str:
+        return os.path.join(self.root, kind, f"snap-{snap_id:05d}")
+
+    def _assign_row_ids(self, df: DataFrame) -> DataFrame:
+        base = int(self._meta["next_row_id"])
+        return df.withColumn(
+            _ROW_ID, F.monotonically_increasing_id() + F.lit(base)
+        )
+
+    def _bump_row_id_watermark(self, written: DataFrame) -> None:
+        hi = written.agg(F.max(_ROW_ID)).collect()[0][0]
+        if hi is not None:
+            self._meta["next_row_id"] = int(hi) + 1
+            if self.format_version >= 3:
+                self._meta["properties"]["next-row-id"] = str(int(hi) + 1)
+
+    def _write_data_dir(self, df: DataFrame, path: str) -> None:
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(path)
+
+    def insert(self, df: DataFrame) -> Snapshot:
+        """INSERT INTO ... (reference internal/create_demo_table.py:117-127).
+
+        Appends a new data dir; never touches existing files (snapshot
+        isolation). Written partitioned by the identity partition columns.
+        """
+        cur = self.current_snapshot()
+        with_ids = self._assign_row_ids(df)
+        snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
+        path = self._next_dir("data", snap_id)
+        self._write_data_dir(with_ids, path)
+        self._bump_row_id_watermark(self.spark.read.parquet(path))
+        return self._commit(
+            "append", cur.data_dirs + [path], list(cur.delete_dirs)
+        )
+
+    def insert_values(self, rows: list[tuple]) -> Snapshot:
+        """INSERT INTO ... VALUES literal batch (create_demo_table.py:117-127)."""
+        return self.insert(self.spark.createDataFrame(rows, self.schema_ddl))
+
+    def delete_where(self, predicate: str | Column) -> Snapshot:
+        """DELETE FROM ... WHERE <pred> (reference create_demo_table.py:130).
+
+        merge-on-read (default): append a positional delete file holding the
+        matched `_row_id`s — O(deleted rows) write amplification.
+        copy-on-write: rewrite data dirs without the matched rows.
+        """
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        cur = self.current_snapshot()
+        matched = self._scan_raw(cur).filter(cond).select(_ROW_ID)
+        snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
+        if self._meta["properties"].get("write.delete.mode") == "merge-on-read":
+            path = self._next_dir("deletes", snap_id)
+            matched.write.mode("overwrite").parquet(path)
+            return self._commit(
+                "delete", list(cur.data_dirs), cur.delete_dirs + [path]
+            )
+        # copy-on-write: one full rewrite, zero delete files
+        remaining = self._scan_raw(cur).join(
+            F.broadcast(matched), _ROW_ID, "left_anti"
+        )
+        path = self._next_dir("data", snap_id)
+        self._write_data_dir(remaining, path)
+        return self._commit("delete", [path], [])
+
+    def update_set(
+        self, assignments: dict[str, str | Column], predicate: str | Column
+    ) -> Snapshot:
+        """UPDATE ... SET col = expr WHERE <pred> (create_demo_table.py:133).
+
+        MoR semantics exactly as Iceberg executes it: matched rows get a
+        positional delete entry AND are re-appended rewritten (with fresh
+        row ids — lineage records the rewrite).
+        """
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        cur = self.current_snapshot()
+        raw = self._scan_raw(cur)
+        matched = raw.filter(cond)
+        rewritten = matched.drop(_ROW_ID)
+        declared = {
+            f.name: f.dataType
+            for f in self.spark.createDataFrame([], self.schema_ddl).schema
+        }
+        for col, expr in assignments.items():
+            value = F.expr(expr) if isinstance(expr, str) else expr
+            # SET expressions must not drift the declared column type
+            # (decimal arithmetic widens: amount*1.1 on DECIMAL(10,2) is
+            # DECIMAL(13,3); Iceberg casts back to the table schema)
+            if col in declared:
+                value = value.cast(declared[col])
+            rewritten = rewritten.withColumn(col, value)
+        snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
+        if self._meta["properties"].get("write.update.mode") == "merge-on-read":
+            del_path = self._next_dir("deletes", snap_id)
+            matched.select(_ROW_ID).write.mode("overwrite").parquet(del_path)
+            data_path = self._next_dir("data", snap_id)
+            with_ids = self._assign_row_ids(rewritten)
+            self._write_data_dir(with_ids, data_path)
+            self._bump_row_id_watermark(self.spark.read.parquet(data_path))
+            return self._commit(
+                "update",
+                cur.data_dirs + [data_path],
+                cur.delete_dirs + [del_path],
+            )
+        # copy-on-write
+        untouched = raw.filter(~cond).drop(_ROW_ID)
+        merged = untouched.unionByName(rewritten)
+        data_path = self._next_dir("data", snap_id)
+        with_ids = self._assign_row_ids(merged)
+        self._write_data_dir(with_ids, data_path)
+        self._bump_row_id_watermark(self.spark.read.parquet(data_path))
+        return self._commit("update", [data_path], [])
+
+    # --------------------------------------------------------------- read
+
+    def _read_dirs(self, dirs: list[str]) -> DataFrame | None:
+        dfs = []
+        for d in dirs:
+            # per-dir basePath so identity-partition columns round-trip
+            dfs.append(
+                self.spark.read.option("basePath", d).parquet(d)
+            )
+        if not dfs:
+            return None
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
+
+    def _scan_raw(self, snap: Snapshot | None = None) -> DataFrame:
+        """Merged scan WITH _row_id (MoR anti-join applied)."""
+        snap = snap or self.current_snapshot()
+        data = self._read_dirs(snap.data_dirs)
+        if data is None:
+            return self.spark.createDataFrame(
+                [], self.schema_ddl + f", {_ROW_ID} long"
+            )
+        deletes = self._read_dirs(snap.delete_dirs)
+        if deletes is not None:
+            # The C1 implicit MoR anti-join (README.md:7): delete files are
+            # O(deleted rows), broadcast them; data side never shuffles.
+            data = data.join(F.broadcast(deletes), _ROW_ID, "left_anti")
+        return data
+
+    def scan(self, snapshot_id: int | None = None) -> DataFrame:
+        """SELECT * — full MoR-merged read (create_demo_table.py:137).
+
+        ``snapshot_id`` gives time travel (Iceberg VERSION AS OF).
+        """
+        snap = None
+        if snapshot_id is not None:
+            for s in self.snapshots():
+                if s.id == snapshot_id:
+                    snap = s
+                    break
+            if snap is None:
+                raise TableError(f"no snapshot {snapshot_id}")
+        return self._scan_raw(snap).drop(_ROW_ID)
+
+    def count(self) -> int:
+        return self.scan().count()
+
+    def describe(self) -> DataFrame:
+        """DESCRIBE TABLE (reference verify_in_databricks.py:66-75)."""
+        fields = [
+            (f.name, f.dataType.simpleString(), "")
+            for f in self.spark.createDataFrame([], self.schema_ddl).schema
+        ]
+        for c in self.partition_by:
+            fields.append((c, "", "partition"))
+        return self.spark.createDataFrame(
+            fields, "col_name string, data_type string, comment string"
+        )
+
+    # -------------------------------------------------------- maintenance
+
+    def rewrite_data_files(
+        self,
+        rewrite_all: bool = True,
+        delete_file_threshold: int = 1,
+        target_file_partitions: int | None = None,
+    ) -> Snapshot:
+        """CALL system.rewrite_data_files(...) — full compaction.
+
+        Reference: internal/upgrade_table.py:124,129 with
+        options map('rewrite-all','true','delete-file-threshold','1') —
+        guarantees zero surviving delete files (README.md:26-29). The
+        rewrite must be semantically invisible: scan() results are
+        identical before/after (asserted in tests).
+
+        At scale the rewrite re-partitions by the identity partition columns
+        so file clustering survives compaction.
+        """
+        cur = self.current_snapshot()
+        if not rewrite_all and len(cur.delete_dirs) < delete_file_threshold:
+            return cur
+        merged = self._scan_raw(cur)  # keeps _row_id: lineage survives
+        if target_file_partitions:
+            merged = merged.repartition(target_file_partitions)
+        snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
+        path = self._next_dir("data", snap_id)
+        self._write_data_dir(merged, path)
+        return self._commit("replace", [path], [])
+
+    def expire_snapshots(
+        self, older_than: datetime.datetime, retain_last: int = 1
+    ) -> list[int]:
+        """CALL system.expire_snapshots(older_than=>, retain_last=>).
+
+        Reference: README.md:34-38. Removes expired snapshot entries and
+        physically deletes files no surviving snapshot references.
+        Returns the expired snapshot ids.
+        """
+        snaps = self.snapshots()
+        keep_tail = {s.id for s in snaps[-retain_last:]}
+        keep_tail.add(self._meta["current_snapshot_id"])
+        cutoff = (
+            older_than.astimezone(datetime.timezone.utc)
+            if older_than.tzinfo
+            else older_than.replace(tzinfo=datetime.timezone.utc)
+        )
+        expired = [
+            s
+            for s in snaps
+            if s.id not in keep_tail
+            and datetime.datetime.fromisoformat(s.timestamp) < cutoff
+        ]
+        expired_ids = {s.id for s in expired}
+        survivors = [s for s in snaps if s.id not in expired_ids]
+        referenced: set[str] = set()
+        for s in survivors:
+            referenced.update(s.data_dirs)
+            referenced.update(s.delete_dirs)
+        for s in expired:
+            for d in list(s.data_dirs) + list(s.delete_dirs):
+                if d not in referenced and os.path.exists(d):
+                    shutil.rmtree(d)
+        self._meta["snapshots"] = [s.to_json() for s in survivors]
+        self._write_meta()
+        return sorted(expired_ids)

@@ -1,0 +1,189 @@
+"""State-transition tests for the mutable-table module — mirrors the
+reference's end-to-end arc (SURVEY.md §5): build -> mutate -> verify counts
+(10 -> 7 -> 7 -> 7 -> 6) -> upgrade -> compact (semantically invisible) ->
+post-upgrade MoR delete -> cross-engine verification.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from iceberg_v2_to_v3_upgrade_spark.cli import DEMO_ROWS, DEMO_SCHEMA
+from iceberg_v2_to_v3_upgrade_spark.plans.upgrade import (
+    execute_upgrade,
+    plan_upgrade,
+)
+from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+from iceberg_v2_to_v3_upgrade_spark.tables.table import TableError
+from iceberg_v2_to_v3_upgrade_spark.tables.verify import (
+    verification_passed,
+    verify_table_in_duckdb,
+)
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LocalCatalog(spark, str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def demo_table(catalog):
+    t = catalog.create_table(
+        "demo_db", "v2_mor_demo", DEMO_SCHEMA, partition_by=["category"]
+    )
+    t.insert_values(DEMO_ROWS)
+    return t
+
+
+def _amounts(t):
+    return {
+        r.id: float(r.amount) for r in t.scan().select("id", "amount").collect()
+    }
+
+
+def test_reference_demo_arc(catalog, demo_table):
+    t = demo_table
+    assert t.count() == 10
+    assert t.format_version == 2
+    assert t.properties["write.delete.mode"] == "merge-on-read"
+
+    # MoR DELETE writes delete files, not data rewrites
+    n_data_before = len(t.current_snapshot().data_dirs)
+    t.delete_where("id IN (2, 4, 6)")
+    assert t.count() == 7
+    assert len(t.current_snapshot().data_dirs) == n_data_before
+    assert len(t.current_snapshot().delete_dirs) == 1
+
+    # MoR UPDATE = delete entries + rewritten rows appended
+    before = _amounts(t)
+    schema_before = t.scan().schema
+    t.update_set({"amount": "amount * 1.1"}, "category = 'electronics'")
+    assert t.count() == 7
+    # SET must not drift the declared schema (decimal widening)
+    assert t.scan().schema == schema_before
+    after = _amounts(t)
+    for i, amt in after.items():
+        if i in (1, 3, 9):  # electronics survivors
+            assert amt == pytest.approx(round(before[i] * 1.1, 2), abs=0.01)
+        else:
+            assert amt == before[i]
+    assert len(t.current_snapshot().delete_dirs) == 2
+
+    # upgrade: ALTER format-version + full compaction
+    res = execute_upgrade(catalog, "demo_db", "v2_mor_demo")
+    assert res.ok and res.executed
+    t = catalog.load_table("demo_db", "v2_mor_demo")
+    assert t.format_version == 3
+    assert t.properties.get("next-row-id") is not None  # README.md:43-45
+    assert t.current_snapshot().delete_dirs == []
+
+    # compaction must be semantically invisible
+    assert t.count() == 7
+    assert _amounts(t) == after
+
+    # V3 MoR deletes keep working (test_v3_mor_deletes.py arc)
+    t.delete_where("id = 1")
+    assert t.count() == 6
+
+    # cross-engine verification (second engine = DuckDB)
+    probes = verify_table_in_duckdb(t)
+    assert verification_passed(probes)
+
+
+def test_time_travel_and_expiry(catalog, demo_table):
+    t = demo_table
+    snap_after_insert = t.current_snapshot().id
+    t.delete_where("id IN (2, 4, 6)")
+    snap_after_delete = t.current_snapshot().id
+
+    assert t.scan(snapshot_id=snap_after_insert).count() == 10
+    assert t.scan(snapshot_id=snap_after_delete).count() == 7
+
+    expired = t.expire_snapshots(
+        older_than=datetime.datetime(2030, 1, 1), retain_last=1
+    )
+    assert snap_after_insert in expired
+    assert t.count() == 7  # current state untouched
+    with pytest.raises(TableError):
+        t.scan(snapshot_id=snap_after_insert)
+
+
+def test_upgrade_plan_guards(catalog, demo_table):
+    plan = plan_upgrade(catalog, "demo_db", "nope")
+    assert plan.action == "error"
+
+    plan = plan_upgrade(catalog, "demo_db", "v2_mor_demo")
+    assert plan.action == "upgrade_and_compact"
+    assert "ALTER TABLE" in plan.statements[0]
+    assert "rewrite_data_files" in plan.statements[1]
+
+    # dry run executes nothing
+    res = execute_upgrade(catalog, "demo_db", "v2_mor_demo", dry_run=True)
+    assert not res.executed
+    assert catalog.load_table("demo_db", "v2_mor_demo").format_version == 2
+
+    execute_upgrade(catalog, "demo_db", "v2_mor_demo")
+    plan = plan_upgrade(catalog, "demo_db", "v2_mor_demo")
+    assert plan.action == "compact_only"  # upgrade_table.py:121-124
+
+
+def test_format_version_downgrade_refused(catalog, demo_table):
+    demo_table.set_properties({"format-version": "3"})
+    with pytest.raises(TableError, match="downgrade"):
+        demo_table.set_properties({"format-version": "2"})
+
+
+def test_copy_on_write_modes(catalog):
+    t = catalog.create_table(
+        "demo_db",
+        "cow_table",
+        DEMO_SCHEMA,
+        partition_by=["category"],
+        properties={
+            "write.delete.mode": "copy-on-write",
+            "write.update.mode": "copy-on-write",
+        },
+    )
+    t.insert_values(DEMO_ROWS)
+    t.delete_where("id IN (2, 4, 6)")
+    assert t.count() == 7
+    assert t.current_snapshot().delete_dirs == []  # CoW: no delete files
+    t.update_set({"amount": "amount * 2"}, "id = 1")
+    assert t.count() == 7
+    assert t.current_snapshot().delete_dirs == []
+    amounts = {r.id: float(r.amount) for r in t.scan().collect()}
+    assert amounts[1] == pytest.approx(201.0)
+
+
+def test_catalog_listing_and_report(catalog, demo_table):
+    catalog.create_table("demo_db", "t2", "id INT")
+    infos = catalog.list_tables("demo_db")
+    assert [i["name"] for i in infos] == ["t2", "v2_mor_demo"]
+    assert all(i["format_version"] == "2" for i in infos)
+
+    execute_upgrade(catalog, "demo_db", "t2")
+    report = {r.table: r.status for r in catalog.list_report("demo_db").collect()}
+    assert report["t2"] == "[OK]"
+    assert "WARN" in report["v2_mor_demo"]
+
+    info = catalog.get_table_info("demo_db", "t2")
+    assert info["metadata_location"].endswith("metadata.json")
+    assert catalog.get_table_info("demo_db", "missing") is None
+
+
+def test_partition_pruning_layout(catalog, demo_table, tmp_path):
+    """Identity partitioning must produce category=<val> directories so a
+    category predicate prunes at file-listing time (§4 table row 1)."""
+    snap = demo_table.current_snapshot()
+    import os
+
+    subdirs = os.listdir(snap.data_dirs[0])
+    assert any(d.startswith("category=") for d in subdirs)
+    plan = (
+        demo_table.scan()
+        .filter("category = 'electronics'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "category" in plan
