@@ -82,8 +82,13 @@ def decode_binary(assets: DataFrame) -> DataFrame:
                 }
             )
 
-    return assets.select("doc_id", "source", "payload").mapInPandas(
-        _decode_stub, DECODE_SCHEMA
+    # spread the CPU-bound Python decode across all cores: the landing
+    # files may be few/large (single row group == single task otherwise)
+    n = assets.sparkSession.sparkContext.defaultParallelism
+    return (
+        assets.select("doc_id", "source", "payload")
+        .repartition(n)
+        .mapInPandas(_decode_stub, DECODE_SCHEMA)
     )
 
 
