@@ -48,6 +48,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
     # stays cheap and cycle-free.
     from iceberg_v2_to_v3_upgrade_spark.operators import (  # noqa: F401
         relational,
+        advanced,
         dedup,
         similarity,
         text,
