@@ -203,6 +203,61 @@ def n2c_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COSINE_NEARDUP_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+    ORDER BY vec_a, vec_b
+"""
+
+
+@declare(
+    "n2e_embedding_cosine_neardup",
+    oracle=_COSINE_NEARDUP_ORACLE,
+    tags=("ext", "dedup", "embeddings"),
+)
+def n2e_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.45), exact.
+
+    This exact all-pairs form is the oracle-checkable baseline; at corpus
+    scale the identical verify step runs behind the random-hyperplane LSH
+    bucketing of operators/similarity.n3b_lsh_ann so candidate generation
+    stays linear. Vectors are L2-pre-normalized once, so the pairwise step
+    is a plain dot product (one multiply-add chain per pair in codegen).
+    """
+    from iceberg_v2_to_v3_upgrade_spark.functions.arrays import (
+        as_double_array,
+        dot,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.45)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @declare("n2d_simhash_neardup", oracle=None, tags=("ext", "dedup", "simhash"))
 def n2d_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signatures, hamming distance <= 6.

@@ -171,6 +171,31 @@ def n4c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "n4e_top_terms",
+    oracle="""
+        SELECT t.word, count(*) AS freq
+        FROM documents, unnest(string_split(text, ' ')) AS t(word)
+        GROUP BY t.word
+        ORDER BY freq DESC, t.word
+        LIMIT 20
+    """,
+    tags=("ext", "text", "vocab"),
+)
+def n4e_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 terms by frequency (explode -> count ->
+    TakeOrdered). The grouped count is map-side partial on the token key;
+    top-k never materializes a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@declare(
     "n4d_token_counts",
     oracle="""
         SELECT source,

@@ -54,6 +54,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         text,
         embeddings,
         events,
+        lifecycle,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
