@@ -37,6 +37,10 @@ HEADLINE = [
     "n7_sessionization",
     "n9_json_extract",
     "m1_binary_decode_stats",
+    "c7_asof_join",
+    "n2e_embedding_cosine_neardup",
+    "n4e_top_terms",
+    "i3_table_lifecycle",
 ]
 
 

@@ -127,6 +127,22 @@ def cmd_demo(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    """spark-sql -e analog (reference upgrade_table.py:81-90 shipped SQL
+    text over SSH; here it routes through EngineSQL in-process)."""
+    from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+
+    spark = get_spark(app_name="sql-cli")
+    catalog = LocalCatalog(spark, args.warehouse or load_config().warehouse)
+    for res in EngineSQL(catalog).execute(args.execute):
+        if res.df is not None:
+            for row in res.df.collect():
+                print("\t".join(str(v) for v in row))
+        else:
+            print(f"-- {res.kind}: {res.message}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="iceberg-v2-to-v3-upgrade-spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -144,6 +160,13 @@ def main(argv: list[str] | None = None) -> int:
     demo = sub.add_parser("demo", help="run the reference demo arc locally")
     demo.add_argument("--warehouse")
     demo.set_defaults(fn=cmd_demo)
+
+    sqlp = sub.add_parser(
+        "sql", help="execute a SQL program (the spark-sql -e analog)"
+    )
+    sqlp.add_argument("-e", "--execute", required=True, help="SQL text")
+    sqlp.add_argument("--warehouse")
+    sqlp.set_defaults(fn=cmd_sql)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,275 @@
+"""SQL statement router — the in-process replacement for the reference's
+``ssh hadoop@master "spark-sql ... -e '<sql>'"`` gateway (K1,
+``internal/upgrade_table.py:59-97``).
+
+Accepts the exact statement shapes the reference emits
+(``internal/create_demo_table.py:97-138``, ``internal/upgrade_table.py:124-131``,
+``README.md:26-38``) and routes them:
+
+- DDL/DML/maintenance (CREATE/DROP/INSERT/DELETE/UPDATE/ALTER/CALL/DESCRIBE)
+  -> the ``tables.LocalTable`` API, and
+- everything else (SELECT ...) -> ``spark.sql`` with the catalog's tables
+  registered as views (catalog-qualified names rewritten).
+
+This is intentionally a *router*, not a SQL parser: SELECTs get Spark's
+full parser/Catalyst; only the table-mutation statement heads are matched
+here, with the same grammar subset the reference uses.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+from iceberg_v2_to_v3_upgrade_spark.tables.table import TableError
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+# `glue_catalog.db.t`, `db.t`, or bare `t` (reference always qualifies)
+_NAME = rf"(?:{_IDENT}\.)?(?P<db>{_IDENT})\.(?P<table>{_IDENT})"
+
+
+@dataclass
+class StatementResult:
+    statement: str
+    kind: str
+    df: DataFrame | None = None
+    message: str = ""
+
+
+def _parse_props(block: str) -> dict[str, str]:
+    return {
+        k: v for k, v in re.findall(r"'([^']+)'\s*=\s*'([^']*)'", block)
+    }
+
+
+def _parse_options_map(block: str) -> dict[str, str]:
+    items = re.findall(r"'([^']*)'", block)
+    return dict(zip(items[::2], items[1::2]))
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    out, depth, cur, quote = [], 0, [], False
+    for ch in s:
+        if ch == "'" :
+            quote = not quote
+        if not quote:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == sep and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+class EngineSQL:
+    """Execute reference-shaped SQL programs against a LocalCatalog."""
+
+    def __init__(self, catalog: LocalCatalog):
+        self.catalog = catalog
+        self.spark = catalog.spark
+
+    # ------------------------------------------------------------ public
+
+    def execute(self, sql_program: str) -> list[StatementResult]:
+        """Run a multi-statement SQL program (';'-separated), in order —
+        the reference ships exactly such programs in one spark-sql session
+        (create_demo_table.py:146-163)."""
+        results = []
+        for stmt in _split_top_level(sql_program, ";"):
+            if stmt.strip():
+                results.append(self.execute_one(stmt.strip()))
+        return results
+
+    def execute_one(self, sql: str) -> StatementResult:
+        flat = " ".join(sql.split())  # the reference flattens newlines too
+        for pattern, handler in self._ROUTES:
+            m = pattern.match(flat)
+            if m:
+                return handler(self, sql, m)
+        return self._select(sql)
+
+    # ---------------------------------------------------------- handlers
+
+    def _create_table(self, sql: str, m: re.Match) -> StatementResult:
+        db, table = m.group("db"), m.group("table")
+        cols = m.group("cols").strip()
+        partition = m.group("partition")
+        props = _parse_props(m.group("props") or "")
+        self.catalog.create_table(
+            db,
+            table,
+            cols,
+            partition_by=_split_top_level(partition) if partition else None,
+            properties=props,
+        )
+        return StatementResult(sql, "create_table", message=f"created {db}.{table}")
+
+    def _drop_table(self, sql: str, m: re.Match) -> StatementResult:
+        dropped = self.catalog.drop_table(
+            m.group("db"), m.group("table"), if_exists=bool(m.group("ifex"))
+        )
+        return StatementResult(
+            sql, "drop_table", message="dropped" if dropped else "no-op"
+        )
+
+    def _insert_values(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        # let Spark's parser evaluate the literal tuples (incl.
+        # current_timestamp()), then cast by position to the table schema
+        values_df = self.spark.sql(f"SELECT * FROM (VALUES {m.group('values')})")
+        target = self.spark.createDataFrame([], t.schema_ddl).schema
+        if len(values_df.columns) != len(target):
+            raise TableError(
+                f"INSERT arity {len(values_df.columns)} != schema {len(target)}"
+            )
+        aligned = values_df.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(values_df.columns, target)
+            ]
+        )
+        snap = t.insert(aligned)
+        return StatementResult(
+            sql, "insert", message=f"appended snapshot {snap.id}"
+        )
+
+    def _delete(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        snap = t.delete_where(m.group("pred"))
+        return StatementResult(sql, "delete", message=f"snapshot {snap.id}")
+
+    def _update(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        assignments = {}
+        for item in _split_top_level(m.group("sets")):
+            col, expr = item.split("=", 1)
+            assignments[col.strip()] = expr.strip()
+        snap = t.update_set(assignments, m.group("pred"))
+        return StatementResult(sql, "update", message=f"snapshot {snap.id}")
+
+    def _alter_props(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        t.set_properties(_parse_props(m.group("props")))
+        return StatementResult(sql, "alter", message="properties updated")
+
+    def _call_rewrite(self, sql: str, m: re.Match) -> StatementResult:
+        db, table = m.group("db"), m.group("table")
+        options = _parse_options_map(m.group("options") or "")
+        t = self.catalog.load_table(db, table)
+        snap = t.rewrite_data_files(
+            rewrite_all=options.get("rewrite-all", "false") == "true",
+            delete_file_threshold=int(options.get("delete-file-threshold", "1")),
+        )
+        return StatementResult(
+            sql, "rewrite_data_files", message=f"snapshot {snap.id}"
+        )
+
+    def _call_expire(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        older = datetime.datetime.fromisoformat(m.group("ts"))
+        expired = t.expire_snapshots(
+            older_than=older, retain_last=int(m.group("retain") or 1)
+        )
+        return StatementResult(
+            sql, "expire_snapshots", message=f"expired {expired}"
+        )
+
+    def _describe(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        return StatementResult(sql, "describe", df=t.describe())
+
+    def _select(self, sql: str) -> StatementResult:
+        """Register every catalog table as `<db>_<table>` view, rewrite
+        qualified names, hand to Spark SQL (full Catalyst path)."""
+        rewritten = sql
+        for db in self.catalog.list_databases():
+            for info in self.catalog.list_tables(db):
+                name = info["name"]
+                view = f"{db}_{name}"
+                self.catalog.load_table(db, name).scan().createOrReplaceTempView(
+                    view
+                )
+                rewritten = re.sub(
+                    rf"(?:{_IDENT}\.)?{db}\.{name}\b", view, rewritten
+                )
+        return StatementResult(sql, "select", df=self.spark.sql(rewritten))
+
+
+# route table (class attribute referencing unbound methods)
+EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
+    (
+        re.compile(
+            rf"CREATE TABLE (?:IF NOT EXISTS )?{_NAME}\s*\((?P<cols>.*?)\)\s*"
+            rf"USING iceberg"
+            rf"(?:\s+PARTITIONED BY \((?P<partition>[^)]*)\))?"
+            rf"(?:\s+TBLPROPERTIES \((?P<props>.*)\))?\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._create_table,
+    ),
+    (
+        re.compile(
+            rf"DROP TABLE (?P<ifex>IF EXISTS )?{_NAME}\s*$", re.IGNORECASE
+        ),
+        EngineSQL._drop_table,
+    ),
+    (
+        re.compile(
+            rf"INSERT INTO {_NAME}\s+VALUES\s+(?P<values>.+)$", re.IGNORECASE
+        ),
+        EngineSQL._insert_values,
+    ),
+    (
+        re.compile(
+            rf"DELETE FROM {_NAME}\s+WHERE\s+(?P<pred>.+)$", re.IGNORECASE
+        ),
+        EngineSQL._delete,
+    ),
+    (
+        re.compile(
+            rf"UPDATE {_NAME}\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<pred>.+)$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._update,
+    ),
+    (
+        re.compile(
+            rf"ALTER TABLE {_NAME}\s+SET TBLPROPERTIES\s*\((?P<props>.*)\)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._alter_props,
+    ),
+    (
+        re.compile(
+            rf"CALL system\.rewrite_data_files\s*\(\s*table\s*=>\s*'{_NAME}'"
+            rf"(?:\s*,\s*options\s*=>\s*map\((?P<options>.*)\))?\s*\)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._call_rewrite,
+    ),
+    (
+        re.compile(
+            rf"CALL system\.expire_snapshots\s*\(\s*table\s*=>\s*'{_NAME}'\s*,"
+            rf"\s*older_than\s*=>\s*TIMESTAMP\s*'(?P<ts>[^']+)'"
+            rf"(?:\s*,\s*retain_last\s*=>\s*(?P<retain>\d+))?\s*\)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._call_expire,
+    ),
+    (
+        re.compile(rf"DESCRIBE (?:TABLE )?{_NAME}\s*$", re.IGNORECASE),
+        EngineSQL._describe,
+    ),
+]

@@ -1,0 +1,139 @@
+"""The reference's verbatim SQL program shapes executed through EngineSQL —
+'a user of the reference could switch and run every query they run today'.
+
+Statement shapes follow /root/reference/internal/create_demo_table.py:97-138,
+internal/upgrade_table.py:124-131, internal/test_v3_mor_deletes.py:39-48 and
+README.md:26-38 (re-typed from the survey, not copied).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+DEMO_PROGRAM = """
+DROP TABLE IF EXISTS glue_catalog.demo_db.v2_mor_demo;
+
+CREATE TABLE glue_catalog.demo_db.v2_mor_demo (
+    id INT,
+    name STRING,
+    category STRING,
+    amount DECIMAL(10,2),
+    created_at TIMESTAMP
+) USING iceberg
+PARTITIONED BY (category)
+TBLPROPERTIES (
+    'format-version' = '2',
+    'write.delete.mode' = 'merge-on-read',
+    'write.update.mode' = 'merge-on-read'
+);
+
+INSERT INTO glue_catalog.demo_db.v2_mor_demo VALUES
+    (1, 'Product A', 'electronics', 100.50, current_timestamp()),
+    (2, 'Product B', 'clothing', 49.99, current_timestamp()),
+    (3, 'Product C', 'electronics', 299.99, current_timestamp()),
+    (4, 'Product D', 'furniture', 599.00, current_timestamp()),
+    (5, 'Product E', 'clothing', 79.99, current_timestamp()),
+    (6, 'Product F', 'electronics', 149.99, current_timestamp()),
+    (7, 'Product G', 'furniture', 899.00, current_timestamp()),
+    (8, 'Product H', 'clothing', 29.99, current_timestamp()),
+    (9, 'Product I', 'electronics', 199.99, current_timestamp()),
+    (10, 'Product J', 'furniture', 399.00, current_timestamp());
+
+DELETE FROM glue_catalog.demo_db.v2_mor_demo WHERE id IN (2, 4, 6);
+
+UPDATE glue_catalog.demo_db.v2_mor_demo
+SET amount = amount * 1.1
+WHERE category = 'electronics';
+
+SELECT 'Demo table created' AS status;
+
+SELECT * FROM glue_catalog.demo_db.v2_mor_demo ORDER BY id
+"""
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return EngineSQL(LocalCatalog(spark, str(tmp_path / "wh")))
+
+
+def test_reference_demo_program(engine):
+    results = engine.execute(DEMO_PROGRAM)
+    kinds = [r.kind for r in results]
+    assert kinds == [
+        "drop_table",
+        "create_table",
+        "insert",
+        "delete",
+        "update",
+        "select",
+        "select",
+    ]
+    status = results[5].df.collect()
+    assert status[0].status == "Demo table created"
+    rows = results[6].df.collect()
+    assert [r.id for r in rows] == [1, 3, 5, 7, 8, 9, 10]
+    amounts = {r.id: float(r.amount) for r in rows}
+    assert amounts[1] == pytest.approx(110.55)  # 100.50 * 1.1
+    assert amounts[5] == pytest.approx(79.99)  # non-electronics untouched
+    # MoR: mutations appended delete files, no data rewrite
+    t = engine.catalog.load_table("demo_db", "v2_mor_demo")
+    assert len(t.current_snapshot().delete_dirs) == 2
+
+
+def test_reference_upgrade_program(engine):
+    engine.execute(DEMO_PROGRAM)
+
+    # upgrade_table.py:127-131 statement sequence
+    results = engine.execute("""
+        ALTER TABLE glue_catalog.demo_db.v2_mor_demo
+        SET TBLPROPERTIES ('format-version' = '3');
+        CALL system.rewrite_data_files(
+            table => 'glue_catalog.demo_db.v2_mor_demo',
+            options => map('rewrite-all', 'true', 'delete-file-threshold', '1'))
+    """)
+    assert [r.kind for r in results] == ["alter", "rewrite_data_files"]
+
+    t = engine.catalog.load_table("demo_db", "v2_mor_demo")
+    assert t.format_version == 3
+    assert t.properties.get("next-row-id") is not None
+    assert t.current_snapshot().delete_dirs == []
+    assert t.count() == 7
+
+    # test_v3_mor_deletes.py:39-48 arc: count probes around a V3 MoR delete
+    before = engine.execute_one(
+        "SELECT 'Before delete:' AS status, COUNT(*) AS cnt "
+        "FROM glue_catalog.demo_db.v2_mor_demo"
+    ).df.collect()[0]
+    assert before.cnt == 7
+    engine.execute_one(
+        "DELETE FROM glue_catalog.demo_db.v2_mor_demo WHERE id = 1"
+    )
+    after = engine.execute_one(
+        "SELECT 'After delete:' AS status, COUNT(*) AS cnt "
+        "FROM glue_catalog.demo_db.v2_mor_demo"
+    ).df.collect()[0]
+    assert after.cnt == 6
+
+    # README.md:34-38 snapshot expiry
+    res = engine.execute_one(
+        "CALL system.expire_snapshots(table => "
+        "'glue_catalog.demo_db.v2_mor_demo', "
+        "older_than => TIMESTAMP '2030-01-01 00:00:00', retain_last => 1)"
+    )
+    assert res.kind == "expire_snapshots"
+    assert engine.catalog.load_table("demo_db", "v2_mor_demo").count() == 6
+
+
+def test_describe_and_limit_probes(engine):
+    engine.execute(DEMO_PROGRAM)
+    desc = engine.execute_one(
+        "DESCRIBE TABLE glue_catalog.demo_db.v2_mor_demo"
+    ).df.collect()
+    assert {r.col_name for r in desc} >= {"id", "name", "category", "amount"}
+    sample = engine.execute_one(
+        "SELECT * FROM glue_catalog.demo_db.v2_mor_demo LIMIT 5"
+    ).df.collect()
+    assert len(sample) == 5
