@@ -13,11 +13,17 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("spark_warehouse")
+    derby = tmp_path_factory.mktemp("derby")
     spark = get_spark(
         app_name="tests",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "10MB"},
+        extra_conf={
+            "spark.sql.autoBroadcastJoinThreshold": "10MB",
+            "spark.sql.warehouse.dir": str(wh),
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={derby}",
+        },
     )
     yield spark

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import pytest
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.sources.bucketing import (
+    bucketed_join,
+    write_bucketed_table,
+)
+from iceberg_v2_to_v3_upgrade_spark.streaming.ingest import stream_into_table
+from iceberg_v2_to_v3_upgrade_spark.streaming.jobs import read_event_stream
+from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+from tests.conftest import SF_SMALL
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    lineitem = load_table(spark, SF_SMALL, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed_table(orders, "b_orders", ["o_orderkey"], 8)
+    write_bucketed_table(lineitem, "b_lineitem", ["o_orderkey"], 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a merge join so bucketing (not broadcast) is what's tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # pre-shuffled layout: zero exchanges
+        n = joined.count()
+        assert n == load_table(spark, SF_SMALL, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_stream_ingest_into_mutable_table(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    events = load_table(spark, SF_SMALL, "events")
+    events.repartition(4).write.mode("overwrite").parquet(landing)
+
+    catalog = LocalCatalog(spark, str(tmp_path / "wh"))
+    table = catalog.create_table(
+        "stream_db",
+        "events_t",
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING",
+        partition_by=["event_type"],
+    )
+    stream = read_event_stream(spark, landing, max_files_per_trigger=2)
+    stream_into_table(stream, table, str(tmp_path / "ckpt"))
+
+    assert table.count() == events.count()
+    # multiple micro-batches -> multiple append snapshots
+    appends = [s for s in table.snapshots() if s.operation == "append"]
+    assert len(appends) >= 2
+    # the streamed table is a full citizen: MoR delete + compaction work
+    table.delete_where("event_type = 'error'")
+    expected = events.filter("event_type <> 'error'").count()
+    assert table.count() == expected
+    table.rewrite_data_files()
+    assert table.count() == expected
