@@ -143,6 +143,21 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """The --dry-run analog for read queries (reference upgrade_table.py:
+    74-78 prints the plan it would execute; this prints Catalyst's)."""
+    from iceberg_v2_to_v3_upgrade_spark.registry import load_all_operators
+
+    registry = load_all_operators()
+    if args.query not in registry:
+        print(f"unknown query {args.query!r}; known: {', '.join(sorted(registry))}")
+        return 2
+    spark = get_spark(app_name="explain")
+    df = registry[args.query].fn(spark, args.sf_dir)
+    df.explain("formatted")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="iceberg-v2-to-v3-upgrade-spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -167,6 +182,13 @@ def main(argv: list[str] | None = None) -> int:
     sqlp.add_argument("-e", "--execute", required=True, help="SQL text")
     sqlp.add_argument("--warehouse")
     sqlp.set_defaults(fn=cmd_sql)
+
+    exp = sub.add_parser(
+        "explain", help="formatted physical plan of a declared query"
+    )
+    exp.add_argument("-q", "--query", required=True, help="declared query name")
+    exp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    exp.set_defaults(fn=cmd_explain)
 
     args = parser.parse_args(argv)
     return args.fn(args)

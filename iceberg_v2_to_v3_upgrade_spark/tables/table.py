@@ -373,10 +373,15 @@ class LocalTable:
             data = data.join(F.broadcast(deletes), _ROW_ID, "left_anti")
         return data
 
-    def scan(self, snapshot_id: int | None = None) -> DataFrame:
+    def scan(
+        self, snapshot_id: int | None = None, with_row_lineage: bool = False
+    ) -> DataFrame:
         """SELECT * — full MoR-merged read (create_demo_table.py:137).
 
         ``snapshot_id`` gives time travel (Iceberg VERSION AS OF).
+        ``with_row_lineage`` exposes the stable ``_row_id`` column — the V3
+        row-lineage feature the whole upgrade exists for (README.md:43-45);
+        refused on V2 tables exactly as Iceberg gates it on format-version.
         """
         snap = None
         if snapshot_id is not None:
@@ -386,7 +391,31 @@ class LocalTable:
                     break
             if snap is None:
                 raise TableError(f"no snapshot {snapshot_id}")
+        if with_row_lineage:
+            if self.format_version < 3:
+                raise TableError(
+                    "row lineage requires format-version 3 "
+                    f"(table is V{self.format_version}); upgrade first"
+                )
+            return self._scan_raw(snap)
         return self._scan_raw(snap).drop(_ROW_ID)
+
+    def files(self) -> DataFrame:
+        """Iceberg `table.files` metadata-table analog: every live data /
+        delete file of the current snapshot with size and record count."""
+        import glob as _glob
+
+        snap = self.current_snapshot()
+        rows = []
+        for kind, dirs in (("data", snap.data_dirs), ("deletes", snap.delete_dirs)):
+            for d in dirs:
+                for path in sorted(
+                    _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+                ):
+                    rows.append((kind, path, os.path.getsize(path)))
+        return self.spark.createDataFrame(
+            rows or [], "content string, file_path string, file_size_bytes long"
+        )
 
     def count(self) -> int:
         return self.scan().count()
@@ -410,6 +439,7 @@ class LocalTable:
         rewrite_all: bool = True,
         delete_file_threshold: int = 1,
         target_file_partitions: int | None = None,
+        sort_by: list[str] | None = None,
     ) -> Snapshot:
         """CALL system.rewrite_data_files(...) — full compaction.
 
@@ -428,6 +458,10 @@ class LocalTable:
         merged = self._scan_raw(cur)  # keeps _row_id: lineage survives
         if target_file_partitions:
             merged = merged.repartition(target_file_partitions)
+        if sort_by:
+            # cluster within files so parquet min/max stats prune range
+            # predicates on these columns (Iceberg sort-order compaction)
+            merged = merged.sortWithinPartitions(*sort_by)
         snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
         path = self._next_dir("data", snap_id)
         self._write_data_dir(merged, path)

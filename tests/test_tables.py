@@ -157,6 +157,37 @@ def test_copy_on_write_modes(catalog):
     assert amounts[1] == pytest.approx(201.0)
 
 
+def test_row_lineage_gated_on_v3(catalog, demo_table):
+    t = demo_table
+    with pytest.raises(TableError, match="format-version 3"):
+        t.scan(with_row_lineage=True)
+    t.set_properties({"format-version": "3"})
+    lineage = t.scan(with_row_lineage=True)
+    assert "_row_id" in lineage.columns
+    ids = [r._row_id for r in lineage.collect()]
+    assert len(ids) == len(set(ids)) == 10
+    # lineage survives compaction (rewrite keeps _row_id)
+    before = {r.id: r._row_id for r in lineage.collect()}
+    t.delete_where("id = 2")
+    t.rewrite_data_files()
+    after = {r.id: r._row_id for r in t.scan(with_row_lineage=True).collect()}
+    assert after == {i: rid for i, rid in before.items() if i != 2}
+
+
+def test_files_metadata_and_sorted_compaction(catalog, demo_table):
+    t = demo_table
+    t.delete_where("id IN (2, 4, 6)")
+    files = t.files().collect()
+    assert {r.content for r in files} == {"data", "deletes"}
+    assert all(r.file_size_bytes > 0 for r in files)
+    t.rewrite_data_files(sort_by=["id"], target_file_partitions=1)
+    files = t.files().collect()
+    assert {r.content for r in files} == {"data"}
+    # sorted clustering: ids within the scan come back ordered per file
+    vals = [r.id for r in t.scan().orderBy("id").collect()]
+    assert vals == sorted(vals) and len(vals) == 7
+
+
 def test_catalog_listing_and_report(catalog, demo_table):
     catalog.create_table("demo_db", "t2", "id INT")
     infos = catalog.list_tables("demo_db")
