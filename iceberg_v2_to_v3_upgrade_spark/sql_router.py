@@ -190,17 +190,51 @@ class EngineSQL:
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         return StatementResult(sql, "describe", df=t.describe())
 
+    def _merge(self, sql: str, m: re.Match) -> StatementResult:
+        """MERGE INTO t USING (<query>) s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET * | DELETE
+        [WHEN NOT MATCHED THEN INSERT *]
+        (Iceberg's MERGE surface; expression-level SET via the Python API).
+        """
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        source = self.spark.sql(m.group("src"))
+        keys = [
+            km.group(1)
+            for km in re.finditer(
+                rf"t\.({_IDENT})\s*=\s*s\.\1", m.group("on"), re.IGNORECASE
+            )
+        ]
+        if not keys:
+            raise TableError(f"cannot parse merge keys from: {m.group('on')}")
+        when_matched = "delete" if m.group("matched").upper() == "DELETE" else "update"
+        when_not_matched = "insert" if m.group("notmatched") else None
+        snap = t.merge_into(
+            source, keys, when_matched=when_matched,
+            when_not_matched=when_not_matched,
+        )
+        return StatementResult(sql, "merge", message=f"snapshot {snap.id}")
+
     def _select(self, sql: str) -> StatementResult:
         """Register every catalog table as `<db>_<table>` view, rewrite
-        qualified names, hand to Spark SQL (full Catalyst path)."""
+        qualified names (incl. `VERSION AS OF <n>` time travel), hand to
+        Spark SQL (full Catalyst path)."""
         rewritten = sql
         for db in self.catalog.list_databases():
             for info in self.catalog.list_tables(db):
                 name = info["name"]
+                table = self.catalog.load_table(db, name)
+                # time travel: db.t VERSION AS OF n -> snapshot-pinned view
+                for tm in re.finditer(
+                    rf"(?:{_IDENT}\.)?{db}\.{name}\s+VERSION\s+AS\s+OF\s+(\d+)",
+                    rewritten,
+                    re.IGNORECASE,
+                ):
+                    snap_id = int(tm.group(1))
+                    view = f"{db}_{name}_v{snap_id}"
+                    table.scan(snapshot_id=snap_id).createOrReplaceTempView(view)
+                    rewritten = rewritten.replace(tm.group(0), view)
                 view = f"{db}_{name}"
-                self.catalog.load_table(db, name).scan().createOrReplaceTempView(
-                    view
-                )
+                table.scan().createOrReplaceTempView(view)
                 rewritten = re.sub(
                     rf"(?:{_IDENT}\.)?{db}\.{name}\b", view, rewritten
                 )
@@ -271,5 +305,15 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
     (
         re.compile(rf"DESCRIBE (?:TABLE )?{_NAME}\s*$", re.IGNORECASE),
         EngineSQL._describe,
+    ),
+    (
+        re.compile(
+            rf"MERGE INTO {_NAME}(?:\s+AS)?(?:\s+t)?\s+USING\s*"
+            rf"\((?P<src>.+)\)(?:\s+AS)?\s+s\s+ON\s+(?P<on>.+?)\s+"
+            rf"WHEN MATCHED THEN (?P<matched>UPDATE SET \*|DELETE)"
+            rf"(?P<notmatched>\s+WHEN NOT MATCHED THEN INSERT \*)?\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._merge,
     ),
 ]

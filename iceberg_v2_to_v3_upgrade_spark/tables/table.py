@@ -249,6 +249,22 @@ class LocalTable:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(path)
 
+    def _align_to_schema(self, df: DataFrame) -> DataFrame:
+        """Project/cast incoming rows to the declared schema (missing
+        columns null-fill — schema evolution; extras are rejected)."""
+        declared = self.spark.createDataFrame([], self.schema_ddl).schema
+        extra = set(df.columns) - set(declared.fieldNames()) - {_ROW_ID}
+        if extra:
+            raise TableError(f"columns not in table schema: {sorted(extra)}")
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in declared
+            ]
+        )
+
     def insert(self, df: DataFrame) -> Snapshot:
         """INSERT INTO ... (reference internal/create_demo_table.py:117-127).
 
@@ -256,7 +272,7 @@ class LocalTable:
         isolation). Written partitioned by the identity partition columns.
         """
         cur = self.current_snapshot()
-        with_ids = self._assign_row_ids(df)
+        with_ids = self._assign_row_ids(self._align_to_schema(df))
         snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
         path = self._next_dir("data", snap_id)
         self._write_data_dir(with_ids, path)
@@ -342,6 +358,128 @@ class LocalTable:
         self._bump_row_id_watermark(self.spark.read.parquet(data_path))
         return self._commit("update", [data_path], [])
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched: str | dict[str, str | Column] | None = "update",
+        when_not_matched: str | None = "insert",
+    ) -> Snapshot:
+        """MERGE INTO target USING source ON keys — the third leg of
+        Iceberg's row-level DML (DELETE/UPDATE/MERGE), MoR semantics:
+        matched target rows get delete entries; their replacements (and
+        not-matched source rows) are appended in one commit.
+
+        ``when_matched``: "update" (take all source columns), "delete",
+        a dict of SET expressions evaluated against the matched join
+        (source columns win on name clashes), or None (leave matched
+        rows untouched).
+        ``when_not_matched``: "insert" or None.
+
+        Scale: one equi-join keyed on ``on`` between target scan and
+        source — broadcast when the source is small (the common upsert
+        case), AQE otherwise. Everything else is appends.
+        """
+        cur = self.current_snapshot()
+        declared = self.spark.createDataFrame([], self.schema_ddl).schema
+        cols = declared.fieldNames()
+        t = self._scan_raw(cur).alias("t")
+        s = source.alias("s")
+        cond = F.lit(True)
+        for k in on:
+            cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+        matched = t.join(s, cond, "inner")
+        new_rows = []
+        if when_matched == "update":
+            # source columns win; table fills the rest (classic upsert)
+            new_rows.append(
+                matched.select(
+                    *[
+                        F.col(f"s.{c}" if c in source.columns else f"t.{c}").alias(c)
+                        for c in cols
+                    ]
+                )
+            )
+        elif isinstance(when_matched, dict):
+            # SET expressions may use t.col / s.col qualifiers
+            updated = matched
+            assigned = {}
+            for col, expr in when_matched.items():
+                value = F.expr(expr) if isinstance(expr, str) else expr
+                value = value.cast(declared[col].dataType)
+                tmp = f"__set_{col}"
+                updated = updated.withColumn(tmp, value)
+                assigned[col] = tmp
+            new_rows.append(
+                updated.select(
+                    *[
+                        F.col(assigned[c]).alias(c)
+                        if c in assigned
+                        else F.col(f"t.{c}").alias(c)
+                        for c in cols
+                    ]
+                )
+            )
+        elif when_matched not in ("delete", None):
+            raise TableError(f"bad when_matched: {when_matched!r}")
+        if when_not_matched == "insert":
+            missing = [c for c in cols if c not in source.columns]
+            if missing:
+                raise TableError(
+                    f"when_not_matched='insert' needs all table columns in "
+                    f"source; missing {missing}"
+                )
+            unmatched_src = s.join(t, cond, "left_anti")
+            new_rows.append(unmatched_src.select(*cols))
+        elif when_not_matched is not None:
+            raise TableError(f"bad when_not_matched: {when_not_matched!r}")
+
+        snap_id = max(s2["id"] for s2 in self._meta["snapshots"]) + 1
+        delete_dirs = list(cur.delete_dirs)
+        data_dirs = list(cur.data_dirs)
+        if when_matched is not None:
+            del_path = self._next_dir("deletes", snap_id)
+            matched.select(F.col(f"t.{_ROW_ID}").alias(_ROW_ID)).write.mode(
+                "overwrite"
+            ).parquet(del_path)
+            delete_dirs.append(del_path)
+        appended = None
+        for df in new_rows:
+            appended = df if appended is None else appended.unionByName(df)
+        if appended is not None:
+            data_path = self._next_dir("data", snap_id)
+            with_ids = self._assign_row_ids(appended)
+            self._write_data_dir(with_ids, data_path)
+            self._bump_row_id_watermark(self.spark.read.parquet(data_path))
+            data_dirs.append(data_path)
+        return self._commit("merge", data_dirs, delete_dirs)
+
+    # ----------------------------------------------------- schema evolution
+
+    def add_column(self, name: str, dtype: str) -> None:
+        """ALTER TABLE ADD COLUMN — existing files are not rewritten; old
+        rows read the new column as NULL (Iceberg schema evolution)."""
+        schema = self.spark.createDataFrame([], self.schema_ddl).schema
+        if name in schema.fieldNames():
+            raise TableError(f"column {name} already exists")
+        self._meta["schema_ddl"] = f"{self.schema_ddl}, {name} {dtype}"
+        self._write_meta()
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN — metadata-only; files keep the bytes,
+        scans stop projecting them (Iceberg semantics)."""
+        schema = self.spark.createDataFrame([], self.schema_ddl).schema
+        if name not in schema.fieldNames():
+            raise TableError(f"no column {name}")
+        if name in self.partition_by:
+            raise TableError(f"cannot drop partition column {name}")
+        self._meta["schema_ddl"] = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in schema
+            if f.name != name
+        )
+        self._write_meta()
+
     # --------------------------------------------------------------- read
 
     def _read_dirs(self, dirs: list[str]) -> DataFrame | None:
@@ -355,11 +493,15 @@ class LocalTable:
             return None
         out = dfs[0]
         for df in dfs[1:]:
-            out = out.unionByName(df)
+            # allowMissingColumns: files written before an ADD COLUMN
+            # simply lack it (schema evolution, null-filled below)
+            out = out.unionByName(df, allowMissingColumns=True)
         return out
 
     def _scan_raw(self, snap: Snapshot | None = None) -> DataFrame:
-        """Merged scan WITH _row_id (MoR anti-join applied)."""
+        """Merged scan WITH _row_id (MoR anti-join applied), projected to
+        the table's CURRENT declared schema (schema evolution: added
+        columns null-fill on old files, dropped columns stop projecting)."""
         snap = snap or self.current_snapshot()
         data = self._read_dirs(snap.data_dirs)
         if data is None:
@@ -371,7 +513,14 @@ class LocalTable:
             # The C1 implicit MoR anti-join (README.md:7): delete files are
             # O(deleted rows), broadcast them; data side never shuffles.
             data = data.join(F.broadcast(deletes), _ROW_ID, "left_anti")
-        return data
+        declared = self.spark.createDataFrame([], self.schema_ddl).schema
+        projection = [
+            F.col(f.name)
+            if f.name in data.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in declared
+        ]
+        return data.select(*projection, F.col(_ROW_ID))
 
     def scan(
         self, snapshot_id: int | None = None, with_row_lineage: bool = False

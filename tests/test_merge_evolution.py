@@ -1,0 +1,135 @@
+"""MERGE INTO (API + SQL), schema evolution, and time-travel SQL."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_v2_to_v3_upgrade_spark.cli import DEMO_ROWS, DEMO_SCHEMA
+from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+from iceberg_v2_to_v3_upgrade_spark.tables.table import TableError
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LocalCatalog(spark, str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def demo_table(catalog):
+    t = catalog.create_table(
+        "demo_db", "v2_mor_demo", DEMO_SCHEMA, partition_by=["category"]
+    )
+    t.insert_values(DEMO_ROWS)
+    return t
+
+
+def test_merge_upsert_api(spark, catalog, demo_table):
+    import datetime
+    from decimal import Decimal
+
+    t = demo_table
+    src = spark.createDataFrame(
+        [
+            (1, "Product A+", "electronics", Decimal("111.11"),
+             datetime.datetime(2026, 2, 1)),  # update existing
+            (99, "Product Z", "clothing", Decimal("9.99"),
+             datetime.datetime(2026, 2, 1)),  # brand new
+        ],
+        DEMO_SCHEMA,
+    )
+    snap = t.merge_into(src, ["id"], when_matched="update",
+                        when_not_matched="insert")
+    assert snap.operation == "merge"
+    rows = {r.id: r for r in t.scan().collect()}
+    assert len(rows) == 11
+    assert rows[1].name == "Product A+"
+    assert float(rows[1].amount) == pytest.approx(111.11)
+    assert rows[99].name == "Product Z"
+    assert rows[2].name == "Product B"  # untouched
+
+    # matched-delete mode
+    t.merge_into(src.select("id"), ["id"], when_matched="delete",
+                 when_not_matched=None)
+    ids = {r.id for r in t.scan().collect()}
+    assert 1 not in ids and 99 not in ids and len(ids) == 9
+
+
+def test_merge_set_expressions(spark, catalog, demo_table):
+    t = demo_table
+    src = spark.createDataFrame([(3, 2.0), (5, 3.0)], "id int, factor double")
+    t.merge_into(
+        src,
+        ["id"],
+        when_matched={"amount": "t.amount * s.factor"},
+        when_not_matched=None,
+    )
+    rows = {r.id: float(r.amount) for r in t.scan().collect()}
+    assert rows[3] == pytest.approx(599.98)  # 299.99 * 2
+    assert rows[5] == pytest.approx(239.97)  # 79.99 * 3
+    assert len(rows) == 10
+
+
+def test_merge_insert_requires_full_schema(spark, catalog, demo_table):
+    src = spark.createDataFrame([(42,)], "id int")
+    with pytest.raises(TableError, match="missing"):
+        demo_table.merge_into(src, ["id"], when_not_matched="insert")
+
+
+def test_schema_evolution(spark, catalog, demo_table):
+    t = demo_table
+    t.add_column("discount", "double")
+    # old rows read the new column as null
+    assert all(r.discount is None for r in t.scan().collect())
+    import datetime
+    from decimal import Decimal
+
+    t.insert(
+        spark.createDataFrame(
+            [(11, "Product K", "clothing", Decimal("5.00"),
+              datetime.datetime(2026, 3, 1), 0.25)],
+            DEMO_SCHEMA + ", discount DOUBLE",
+        )
+    )
+    rows = {r.id: r for r in t.scan().collect()}
+    assert rows[11].discount == 0.25 and rows[1].discount is None
+    with pytest.raises(TableError, match="already exists"):
+        t.add_column("discount", "double")
+
+    t.drop_column("discount")
+    assert "discount" not in t.scan().columns
+    with pytest.raises(TableError, match="partition"):
+        t.drop_column("category")
+    with pytest.raises(TableError, match="not in table schema"):
+        t.insert(
+            spark.createDataFrame(
+                [(12, "x", "clothing", Decimal("1.00"),
+                  datetime.datetime(2026, 3, 1), 0.5)],
+                DEMO_SCHEMA + ", discount DOUBLE",
+            )
+        )
+
+
+def test_merge_and_time_travel_sql(spark, catalog, demo_table):
+    engine = EngineSQL(catalog)
+    snap_before = demo_table.current_snapshot().id
+    res = engine.execute_one(
+        "MERGE INTO demo_db.v2_mor_demo t USING "
+        "(SELECT 1 AS id, 'Merged' AS name, 'electronics' AS category, "
+        "CAST(42.00 AS DECIMAL(10,2)) AS amount, "
+        "TIMESTAMP '2026-04-01 00:00:00' AS created_at) s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert res.kind == "merge"
+    now = engine.execute_one(
+        "SELECT name FROM demo_db.v2_mor_demo WHERE id = 1"
+    ).df.collect()
+    assert now[0].name == "Merged"
+    # time travel back to before the merge
+    was = engine.execute_one(
+        f"SELECT name FROM demo_db.v2_mor_demo VERSION AS OF {snap_before} "
+        "WHERE id = 1"
+    ).df.collect()
+    assert was[0].name == "Product A"
