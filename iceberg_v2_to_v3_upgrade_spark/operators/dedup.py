@@ -15,6 +15,7 @@ is keyed and bounded by true collision counts, never |docs|².
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from iceberg_v2_to_v3_upgrade_spark.functions.hashing import (
     lsh_bands,
@@ -112,39 +113,73 @@ _NGRAM_JACCARD_ORACLE = """
 
 @declare("n2b_ngram_jaccard_pairs", oracle=_NGRAM_JACCARD_ORACLE, tags=("ext", "dedup", "jaccard"))
 def n2b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-duplicate pairs by word-3-gram Jaccard >= 0.8.
+    """Exact near-duplicate pairs by word-3-gram Jaccard >= 0.8, via
+    prefix filtering (SSJoin/PPJoin family).
 
-    Candidate generation is an equi-join on shared shingles (keyed shuffle),
-    then exact |A∩B| / |A∪B| — no approximation, so the DuckDB oracle can
-    verify it. This is the ground-truth twin of the MinHash operator below;
-    at 100 TB you run n2c (LSH) and sample-audit against this.
+    Theorem: J(A,B) >= tau implies A and B share a token within their
+    first |X| - ceil(tau*|X|) + 1 tokens under any fixed global token
+    order. Ordering rarest-first makes those prefix buckets tiny, so the
+    candidate equi-join touches ~(1-tau) of the shingle volume with
+    near-empty buckets — exactness preserved (the oracle is the naive
+    all-shared-shingles formulation), candidates verified with one
+    array_intersect over the full shingle sets.
+
+    Adds the length filter too: |B| >= tau*|A| (else J < tau regardless).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+    tau = 0.8
+    # single-row-group landing file == one task; spread the CPU-heavy
+    # shingling (and everything downstream) across all cores
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
+    shingled = docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+    ).withColumn("n", F.size("shingles"))
+    sh = shingled.select(
+        "doc_id", "n", F.explode("shingles").alias("shingle")
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rarity = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        sh.join(df_counts, "shingle")
+        .withColumn("rank", F.row_number().over(rarity))
+        .filter(F.col("rank") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1)
+        .select("doc_id", "n", "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: tau*|A| <= |B| <= |A|/tau
+            & (F.col("b.n") >= F.lit(tau) * F.col("a.n"))
+            & (F.col("a.n") >= F.lit(tau) * F.col("b.n")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("common"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    sx = sizes.alias("x")
-    sy = sizes.alias("y")
-    jac = F.col("common") / (F.col("x.n") + F.col("y.n") - F.col("common"))
+    sx = shingled.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("set_a"),
+        F.col("n").alias("na"),
+    )
+    sy = shingled.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("set_b"),
+        F.col("n").alias("nb"),
+    )
+    common = F.size(F.array_intersect("set_a", "set_b"))
+    jac = common / (F.col("na") + F.col("nb") - common)
     return (
-        pairs.join(F.broadcast(sx), F.col("doc_a") == F.col("x.doc_id"))
-        .join(F.broadcast(sy), F.col("doc_b") == F.col("y.doc_id"))
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 3).alias("jaccard"))
+        candidates.join(sx, "doc_a")
+        .join(sy, "doc_b")
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= tau)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 3).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -162,7 +197,9 @@ def n2c_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the band join is the only shuffle and its key space is
     |docs| * bands — linear, never quadratic.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sig = minhash_signatures(
         docs, "doc_id", word_shingles(F.col("text"), 3), num_hashes=64
     )
