@@ -157,6 +157,36 @@ def test_copy_on_write_modes(catalog):
     assert amounts[1] == pytest.approx(201.0)
 
 
+def test_incremental_changes(catalog, demo_table):
+    t = demo_table
+    s0 = t.current_snapshot().id          # after the 10-row insert
+    t.delete_where("id IN (2, 4, 6)")
+    s1 = t.current_snapshot().id
+    t.update_set({"amount": "amount * 1.1"}, "category = 'electronics'")
+    s2 = t.current_snapshot().id
+    t.rewrite_data_files()                # compaction: no logical change
+    s3 = t.current_snapshot().id
+
+    ch = t.changes(s0, s1).collect()
+    assert {(r.id, r._change_type) for r in ch} == {
+        (2, "delete"), (4, "delete"), (6, "delete")
+    }
+    assert all(r._commit_snapshot_id == s1 for r in ch)
+
+    ch = t.changes(s1, s2).collect()
+    # MoR update = delete of old rows + insert of rewritten rows
+    assert {(r.id, r._change_type) for r in ch} == {
+        (1, "delete"), (3, "delete"), (9, "delete"),
+        (1, "insert"), (3, "insert"), (9, "insert"),
+    }
+
+    assert t.changes(s2, s3).count() == 0  # compaction invisible to CDC
+    # full range replays everything
+    assert t.changes(s0).count() == 9
+    with pytest.raises(TableError, match="no snapshot"):
+        t.changes(9999)
+
+
 def test_row_lineage_gated_on_v3(catalog, demo_table):
     t = demo_table
     with pytest.raises(TableError, match="format-version 3"):
