@@ -41,6 +41,10 @@ HEADLINE = [
     "n2e_embedding_cosine_neardup",
     "n4e_top_terms",
     "i3_table_lifecycle",
+    "q14_promo_revenue_ratio",
+    "q18_large_volume_customers",
+    "q19_disjunctive_pushdown",
+    "n3c_ivf_ann",
 ]
 
 

@@ -16,7 +16,7 @@ Scale notes apply to every query here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from iceberg_v2_to_v3_upgrade_spark.io import load_table
@@ -268,18 +268,42 @@ def i2_mor_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# --- cross-engine determinism for money aggregates -----------------------
+# The fixture money columns are 2-decimal values stored as doubles; an fp
+# SUM of them is order-dependent, and true sums routinely land exactly on
+# half-cent boundaries, where a 1e-9 engine difference flips round(.,2)
+# (SURVEY §7 risk 3 — observed: 3/1169 q7 groups). Fix: sum in EXACT
+# decimal (cast each 2-dp factor to DECIMAL first) in both engines, then
+# cast the rounded result back to double. Identical bit-for-bit.
+
+def _dec(col: Column) -> Column:
+    return col.cast("decimal(18,2)")
+
+
+def _money_sum(expr: Column, alias: str) -> Column:
+    return F.round(F.sum(expr), 2).cast("double").alias(alias)
+
+
 @declare(
     "q1_pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2)                                    AS sum_qty,
-               round(sum(l_extendedprice), 2)                               AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4)                                    AS avg_qty,
-               round(avg(l_extendedprice), 4)                               AS avg_price,
-               round(avg(l_discount), 4)                                    AS avg_disc,
-               count(*)                                                     AS count_order
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(round(sum(l_extendedprice::DECIMAL(18,2)), 2) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(round(sum(l_extendedprice::DECIMAL(18,2)
+                              * (1 - l_discount)::DECIMAL(18,2)), 2) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(round(sum(l_extendedprice::DECIMAL(18,2)
+                              * (1 - l_discount)::DECIMAL(18,2)
+                              * (1 + l_tax)::DECIMAL(18,2)), 2) AS DOUBLE)
+                   AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE)
+                     / count(*), 4) AS avg_price,
+               round(CAST(sum(l_discount::DECIMAL(18,2)) AS DOUBLE)
+                     / count(*), 4) AS avg_disc,
+               count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -291,21 +315,30 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 (pricing summary) adapted to fixture columns.
 
     Pure hash aggregate over 6 groups — map-side partial aggregation means
-    the shuffle carries 6 rows per task regardless of input size.
+    the shuffle carries 6 rows per task regardless of input size. Money
+    sums are exact-decimal for cross-engine determinism (see _money_sum).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price = _dec(F.col("l_extendedprice"))
+    disc_price = price * _dec(1 - F.col("l_discount"))
+    charge = disc_price * _dec(1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _money_sum(price, "sum_base_price"),
+            _money_sum(disc_price, "sum_disc_price"),
+            _money_sum(charge, "sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(price).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_dec(F.col("l_discount"))).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -316,7 +349,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
         SELECT l.l_orderkey,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(round(sum(l.l_extendedprice::DECIMAL(18,2)
+                              * (1 - l.l_discount)::DECIMAL(18,2)), 2) AS DOUBLE)
+                   AS revenue,
                o.o_orderdate
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -353,9 +388,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _money_sum(
+                _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount")),
+                "revenue",
+            )
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -367,7 +403,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_volume",
     oracle="""
         SELECT n.n_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(round(sum(l.l_extendedprice::DECIMAL(18,2)
+                              * (1 - l.l_discount)::DECIMAL(18,2)), 2) AS DOUBLE)
+                   AS revenue
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -406,9 +444,10 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _money_sum(
+                _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount")),
+                "revenue",
+            )
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
@@ -417,7 +456,9 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "q6_forecast_revenue",
     oracle="""
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        SELECT CAST(round(sum(l_extendedprice::DECIMAL(18,2)
+                              * l_discount::DECIMAL(18,2)), 2) AS DOUBLE)
+                   AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -442,8 +483,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
+            _money_sum(
+                _dec(F.col("l_extendedprice")) * _dec(F.col("l_discount")),
+                "revenue",
             )
         )
     )
