@@ -176,6 +176,13 @@ class EngineSQL:
             sql, "rewrite_data_files", message=f"snapshot {snap.id}"
         )
 
+    def _call_remove_orphans(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        removed = t.remove_orphan_files(dry_run=bool(m.group("dry")))
+        return StatementResult(
+            sql, "remove_orphan_files", message=f"removed {removed}"
+        )
+
     def _call_expire(self, sql: str, m: re.Match) -> StatementResult:
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         older = datetime.datetime.fromisoformat(m.group("ts"))
@@ -301,6 +308,14 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             re.IGNORECASE,
         ),
         EngineSQL._call_expire,
+    ),
+    (
+        re.compile(
+            rf"CALL system\.remove_orphan_files\s*\(\s*table\s*=>\s*'{_NAME}'"
+            rf"(?:\s*,\s*dry_run\s*=>\s*(?P<dry>true))?\s*\)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._call_remove_orphans,
     ),
     (
         re.compile(rf"DESCRIBE (?:TABLE )?{_NAME}\s*$", re.IGNORECASE),

@@ -143,6 +143,22 @@ def run_to_memory_sink(
     q.awaitTermination()
 
 
+def run_append_to_memory_sink(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+) -> None:
+    """Append mode: only FINALIZED windows (watermark passed) are emitted —
+    the mode where late-data dropping is observable."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_update_to_memory_sink(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
 ) -> None:

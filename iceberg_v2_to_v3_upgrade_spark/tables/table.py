@@ -687,6 +687,28 @@ class LocalTable:
         self._write_data_dir(merged, path)
         return self._commit("replace", [path], [])
 
+    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
+        """CALL system.remove_orphan_files analog: delete data/delete dirs
+        under the table root referenced by NO snapshot (crashed writes,
+        aborted commits). Returns removed (or would-remove) paths."""
+        referenced: set[str] = set()
+        for s in self.snapshots():
+            referenced.update(s.data_dirs)
+            referenced.update(s.delete_dirs)
+        orphans = []
+        for kind in ("data", "deletes"):
+            base = os.path.join(self.root, kind)
+            if not os.path.isdir(base):
+                continue
+            for d in sorted(os.listdir(base)):
+                full = os.path.join(base, d)
+                if full not in referenced:
+                    orphans.append(full)
+        if not dry_run:
+            for d in orphans:
+                shutil.rmtree(d)
+        return orphans
+
     def expire_snapshots(
         self, older_than: datetime.datetime, retain_last: int = 1
     ) -> list[int]:

@@ -67,6 +67,70 @@ def test_streaming_sessionize_equals_batch(spark, landing_dir, tmp_path):
     assert got == want
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Event later than the 2h watermark arrives after its window was
+    finalized -> excluded from the append-mode result."""
+    import datetime
+    import time
+
+    d = datetime.datetime
+    landing = str(tmp_path / "late_landing")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 10, 5), 1, "view", 1.0, "{}"),
+            (2, d(2024, 1, 1, 10, 10), 1, "view", 1.0, "{}"),
+            # advances the watermark to 11:05 > 11:00 -> finalizes 10:00
+            (3, d(2024, 1, 1, 13, 5), 1, "view", 1.0, "{}"),
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(f"{landing}/b1")
+    ckpt = str(tmp_path / "ckpt_late")
+
+    def run(_sink_name):
+        # foreachBatch (not memory sink): supports checkpoint recovery,
+        # which this two-run scenario needs
+        stream = spark.readStream.schema(schema).parquet(f"{landing}/*")
+        rows = []
+        q = (
+            tumbling_value_agg(stream, streaming=True)
+            .writeStream.foreachBatch(
+                lambda df, _bid: rows.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.window_start: r.n_events for r in rows}
+
+    # run 1: establishes watermark 13:05 - 2h = 11:05 in the checkpoint
+    first = run("late_sink_1")
+    assert first == {d(2024, 1, 1, 10, 0): 2, d(2024, 1, 1, 13, 0): 1}
+
+    time.sleep(1.1)  # distinct mod-times
+    batch2 = spark.createDataFrame(
+        [
+            (4, d(2024, 1, 1, 10, 30), 1, "view", 1.0, "{}"),  # LATE
+            (5, d(2024, 1, 1, 13, 10), 1, "view", 1.0, "{}"),
+        ],
+        schema,
+    )
+    batch2.coalesce(1).write.mode("overwrite").parquet(f"{landing}/b2")
+
+    # run 2 (same checkpoint -> watermark restored): update mode re-emits
+    # any changed window, so ACCEPTING the late event would re-emit 10:00
+    # with count 3; it must not. The fresh 13:10 event updates 13:00.
+    second = run("late_sink_2")
+    assert d(2024, 1, 1, 10, 0) not in second  # late event dropped
+    assert second == {d(2024, 1, 1, 13, 0): 2}
+
+
 def test_custom_stateful_running_totals(spark, landing_dir, tmp_path):
     stream = read_event_stream(spark, landing_dir, max_files_per_trigger=2)
     run_update_to_memory_sink(
