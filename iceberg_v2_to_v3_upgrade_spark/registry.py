@@ -56,6 +56,8 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         events,
         lifecycle,
         tpch_extra,
+        tpch_extra2,
+        advanced2,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
