@@ -45,6 +45,15 @@ HEADLINE = [
     "q18_large_volume_customers",
     "q19_disjunctive_pushdown",
     "n3c_ivf_ann",
+    "q4_order_priority_check",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q21_suppliers_kept_waiting",
+    "d7_cube_aggregate",
+    "e4_range_frame_sum",
+    "n4f_winnow_fingerprint",
 ]
 
 

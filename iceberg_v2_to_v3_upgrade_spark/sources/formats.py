@@ -3,11 +3,12 @@
 The reference binds exactly one storage format (Parquet via Iceberg's
 S3FileIO, ``internal/upgrade_table.py:67-69``) and one result sink (the
 Databricks REST ``data_array``, ``internal/verify_in_databricks.py:37-54``).
-This module generalizes both: parquet/csv/json readers+writers with
+This module generalizes both: parquet/orc/csv/json readers+writers with
 identical semantics, and the JSON result sink.
 
-Scale notes: parquet is the only format used on data paths (columnar,
-splittable, predicate-pushdown); csv/json are ingest/export edges. Writers
+Scale notes: parquet and orc are the data-path formats (columnar,
+splittable, predicate-pushdown, self-describing schema); csv/json are
+ingest/export edges. Writers
 accept ``partition_by`` so identity-partition layout (and thus partition
 pruning) survives export.
 """
@@ -19,7 +20,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-_FORMATS = ("parquet", "csv", "json")
+_FORMATS = ("parquet", "orc", "csv", "json")
 
 
 def write_table(

@@ -221,11 +221,51 @@ class EngineSQL:
         )
         return StatementResult(sql, "merge", message=f"snapshot {snap.id}")
 
+    def _metadata_df(self, db: str, name: str, meta: str) -> DataFrame:
+        """Iceberg metadata tables: `db.t.snapshots|history|files`."""
+        t = self.catalog.load_table(db, name)
+        if meta == "files":
+            return t.files()
+        if meta == "history":
+            return t.history()
+        snaps = t.snapshots()
+        rows = [
+            (
+                s.id,
+                snaps[i - 1].id if i else None,
+                s.timestamp,
+                s.operation,
+            )
+            for i, s in enumerate(snaps)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id int, parent_id int, committed_at string, "
+            "operation string",
+        )
+
     def _select(self, sql: str) -> StatementResult:
         """Register every catalog table as `<db>_<table>` view, rewrite
-        qualified names (incl. `VERSION AS OF <n>` time travel), hand to
-        Spark SQL (full Catalyst path)."""
+        qualified names (incl. `VERSION AS OF <n>` time travel and the
+        `db.t.snapshots|history|files` metadata tables), hand to Spark SQL
+        (full Catalyst path)."""
         rewritten = sql
+        # metadata tables first — the plain-name rewrite below would
+        # otherwise consume the `db.t` prefix of `db.t.files`
+        for tm in re.finditer(
+            rf"(?:{_IDENT}\.)?(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})"
+            rf"\.(?P<meta>snapshots|history|files)\b",
+            rewritten,
+            re.IGNORECASE,
+        ):
+            db, tbl, meta = tm.group("db"), tm.group("tbl"), tm.group("meta")
+            if not self.catalog.table_exists(db, tbl):
+                continue
+            view = f"{db}_{tbl}_{meta.lower()}"
+            self._metadata_df(db, tbl, meta.lower()).createOrReplaceTempView(
+                view
+            )
+            rewritten = rewritten.replace(tm.group(0), view)
         for db in self.catalog.list_databases():
             for info in self.catalog.list_tables(db):
                 name = info["name"]

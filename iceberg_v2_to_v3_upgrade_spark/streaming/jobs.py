@@ -43,7 +43,7 @@ def read_event_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int = 8
 ) -> DataFrame:
     """File-source stream over a directory of (µs-timestamp) event parquet —
-    the landing-zone pattern: upstream写s clean files, we tail the dir."""
+    the landing-zone pattern: upstream writes clean files, we tail the dir."""
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -90,6 +90,50 @@ def sessionize(events: DataFrame, streaming: bool = False) -> DataFrame:
             "n_events",
             "session_value",
         )
+    )
+
+
+def click_purchase_attribution(
+    clicks: DataFrame, purchases: DataFrame, streaming: bool = False
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's click within the preceding hour.
+
+    Both sides carry watermarks and the join condition bounds purchase_ts
+    to [click_ts, click_ts + 1h] — that time bound is what lets the state
+    store evict rows (an unbounded-condition stream-stream join would
+    retain both sides forever). State is keyed by user_id, so it scales
+    horizontally. The same function body serves the batch twin.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if streaming:
+        c = c.withWatermark("click_ts", "2 hours")
+        p = p.withWatermark("purchase_ts", "2 hours")
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        )
+    )
+    return c.join(p, on=cond, how="inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
     )
 
 

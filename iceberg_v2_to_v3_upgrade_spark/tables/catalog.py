@@ -80,6 +80,11 @@ class LocalCatalog:
             raise TableError(f"table {db}.{table} not found")
         return LocalTable(self.spark, root)
 
+    def table_exists(self, db: str, table: str) -> bool:
+        return os.path.exists(
+            os.path.join(self.table_root(db, table), "metadata.json")
+        )
+
     def drop_table(self, db: str, table: str, if_exists: bool = True) -> bool:
         return LocalTable.drop(self.table_root(db, table), if_exists=if_exists)
 

@@ -17,12 +17,15 @@ def nation(spark):
     return load_table(spark, SF_SMALL, "nation")
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
 def test_round_trip(spark, nation, tmp_path, fmt):
     path = str(tmp_path / f"out_{fmt}")
     write_table(nation, path, fmt)
     back = read_table(
-        spark, path, fmt, schema=nation.schema if fmt != "parquet" else None
+        spark,
+        path,
+        fmt,
+        schema=nation.schema if fmt in ("csv", "json") else None,
     )
     assert back.schema == nation.schema
     assert sorted(map(tuple, back.collect())) == sorted(

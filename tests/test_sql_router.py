@@ -137,3 +137,30 @@ def test_describe_and_limit_probes(engine):
         "SELECT * FROM glue_catalog.demo_db.v2_mor_demo LIMIT 5"
     ).df.collect()
     assert len(sample) == 5
+
+
+def test_metadata_tables(engine):
+    """Iceberg `db.t.snapshots|history|files` metadata tables via SELECT."""
+    engine.execute(DEMO_PROGRAM)
+    snaps = engine.execute_one(
+        "SELECT snapshot_id, parent_id, operation "
+        "FROM glue_catalog.demo_db.v2_mor_demo.snapshots ORDER BY snapshot_id"
+    ).df.collect()
+    # create -> insert -> delete -> update
+    assert [r.operation for r in snaps] == [
+        "create", "append", "delete", "update",
+    ]
+    assert snaps[0].parent_id is None
+    assert snaps[1].parent_id == snaps[0].snapshot_id
+
+    hist = engine.execute_one(
+        "SELECT count(*) AS n FROM demo_db.v2_mor_demo.history"
+    ).df.collect()[0]
+    assert hist.n == 4
+
+    files = engine.execute_one(
+        "SELECT content, count(*) AS n "
+        "FROM glue_catalog.demo_db.v2_mor_demo.files GROUP BY content"
+    ).df.collect()
+    kinds = {r.content: r.n for r in files}
+    assert kinds.get("data", 0) > 0 and kinds.get("deletes", 0) > 0

@@ -7,7 +7,9 @@ import pytest
 
 from iceberg_v2_to_v3_upgrade_spark.io import load_table
 from iceberg_v2_to_v3_upgrade_spark.streaming.jobs import (
+    click_purchase_attribution,
     read_event_stream,
+    run_append_to_memory_sink,
     run_to_memory_sink,
     run_update_to_memory_sink,
     sessionize,
@@ -64,6 +66,37 @@ def test_streaming_sessionize_equals_batch(spark, landing_dir, tmp_path):
         "user_id",
         "session_start",
     )
+    assert got == want
+
+
+def test_stream_stream_join_equals_batch(spark, landing_dir, tmp_path):
+    """Stream-stream interval join (click -> purchase within 1h per user)
+    emits exactly the batch join's rows once the watermark passes."""
+
+    def split(df):
+        return (
+            df.filter(df.event_type == "click"),
+            df.filter(df.event_type == "purchase"),
+        )
+
+    stream = read_event_stream(spark, landing_dir, max_files_per_trigger=2)
+    joined = click_purchase_attribution(*split(stream), streaming=True)
+    # append mode: inner stream-stream join results emit when watermark
+    # confirms no more matches can arrive
+    run_append_to_memory_sink(
+        joined, "attribution_sink", str(tmp_path / "ckpt_ss")
+    )
+    got = _sorted_rows(
+        spark.table("attribution_sink"), "click_id", "purchase_id"
+    )
+    want = _sorted_rows(
+        click_purchase_attribution(
+            *split(load_table(spark, SF_SMALL, "events"))
+        ),
+        "click_id",
+        "purchase_id",
+    )
+    assert len(want) > 0
     assert got == want
 
 
