@@ -100,6 +100,81 @@ def decode_binary_real(assets: DataFrame) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame, frame_size: int = 64, every: int = 4
+) -> DataFrame:
+    """Frame-sampling plumbing for video/audio-like payloads: slice the
+    binary into fixed-size frames and keep every ``every``-th one — a
+    1->N row-exploding mapInPandas (the batch shape real frame samplers
+    need: one input row fans out to a variable number of output rows).
+    STUB: a real sampler would decode container timestamps; the slicing,
+    schema, and fan-out are the production dataflow.
+    """
+
+    def _sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, sizes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                total = len(payload)
+                n_frames = (total + frame_size - 1) // frame_size
+                for i in range(0, n_frames, every):
+                    frame = payload[i * frame_size : (i + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(frame))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    n = assets.sparkSession.sparkContext.defaultParallelism
+    return (
+        assets.select("doc_id", "payload")
+        .repartition(n)
+        .mapInPandas(_sample, FRAME_SCHEMA)
+    )
+
+
+@declare(
+    "m2_frame_sample",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, octet_length(encode(text)) AS total
+            FROM documents),
+        f AS (
+            SELECT doc_id, i AS frame_idx,
+                   least(64, total - 64 * i) AS frame_bytes
+            FROM b, unnest(generate_series(0, (total + 63) // 64 - 1, 4))
+                    AS t(i))
+        SELECT doc_id, frame_idx, frame_bytes
+        FROM f ORDER BY doc_id, frame_idx
+    """,
+    tags=("ext", "multimodal", "pandas-udf"),
+)
+def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling end-to-end: binary payload -> every-4th 64-byte
+    frame with its true sliced length. The oracle reproduces the slicing
+    arithmetic on octet lengths, so the row fan-out AND the actual byte
+    slicing are hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(with_binary_payload(docs))
+    return frames.orderBy("doc_id", "frame_idx")
+
+
 @declare(
     "m1_binary_decode_stats",
     oracle="""

@@ -8,6 +8,7 @@ whole-stage codegen and scales linearly with one aggregate shuffle.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from iceberg_v2_to_v3_upgrade_spark.io import load_table
 from iceberg_v2_to_v3_upgrade_spark.registry import declare
@@ -221,6 +222,108 @@ def n4d_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
             F.sum("est_bpe").alias("est_bpe_tokens"),
             F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_CURATION_ORACLE = """
+    WITH q AS (
+        SELECT doc_id, source,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS fingerprint,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_unique,
+               n_chars
+        FROM documents),
+    scored AS (
+        SELECT *,
+               0.5 * least(n_tokens / 64.0, 1.0)
+               + 0.5 * (n_unique * 1.0 / n_tokens) AS quality
+        FROM q),
+    pass AS (SELECT * FROM scored WHERE quality >= 0.5 AND n_chars >= 100),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keeper
+            FROM pass) WHERE doc_id = keeper)
+    SELECT s.source,
+           count(DISTINCT s.doc_id) AS n_raw,
+           count(DISTINCT p.doc_id) AS n_quality,
+           count(DISTINCT k.doc_id) AS n_kept,
+           round(count(DISTINCT k.doc_id) * 100.0
+                 / count(DISTINCT s.doc_id), 2) AS retention_pct,
+           coalesce(sum(CASE WHEN k.doc_id IS NOT NULL
+                             THEN k.n_tokens END), 0) AS kept_tokens
+    FROM scored s
+    LEFT JOIN pass p ON p.doc_id = s.doc_id
+    LEFT JOIN kept k ON k.doc_id = s.doc_id
+    GROUP BY s.source ORDER BY s.source
+"""
+
+
+@declare(
+    "n10_corpus_curation",
+    oracle=_CURATION_ORACLE,
+    tags=("ext", "text", "pipeline"),
+)
+def n10_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation funnel as ONE relational query:
+    raw -> quality gate (length + lexical-diversity score) -> exact dedup
+    (normalized-md5 fingerprint, keep lowest doc_id) -> per-source
+    retention accounting.
+
+    Composition of n4c's scorer and n2's fingerprint dedup; one window
+    over fingerprint picks keepers, and the funnel stages are counted
+    without re-scanning (conditional aggregation over one annotated
+    frame — at 100 TB this is a single scan + one window shuffle, not
+    three passes)."""
+    from iceberg_v2_to_v3_upgrade_spark.functions.hashing import (
+        normalize_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    annotated = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).alias("n_unique"),
+    ).withColumn(
+        "quality",
+        0.5 * F.least(F.col("n_tokens") / 64.0, F.lit(1.0))
+        + 0.5 * (F.col("n_unique") / F.col("n_tokens")),
+    )
+    passed = (F.col("quality") >= 0.5) & (F.col("n_chars") >= 100)
+    w = Window.partitionBy("fingerprint")
+    staged = (
+        annotated.withColumn("passed", passed)
+        .withColumn(
+            "keeper",
+            F.min(F.when(F.col("passed"), F.col("doc_id"))).over(w),
+        )
+        .withColumn(
+            "kept", F.col("passed") & (F.col("doc_id") == F.col("keeper"))
+        )
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.when(F.col("passed"), 1).otherwise(0)).alias(
+                "n_quality"
+            ),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.round(
+                F.sum(F.when(F.col("kept"), 1).otherwise(0))
+                * 100.0
+                / F.count(F.lit(1)),
+                2,
+            ).alias("retention_pct"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0)
+            ).alias("kept_tokens"),
         )
         .orderBy("source")
     )
