@@ -276,7 +276,9 @@ class LocalTable:
         snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
         path = self._next_dir("data", snap_id)
         self._write_data_dir(with_ids, path)
-        self._bump_row_id_watermark(self.spark.read.parquet(path))
+        self._bump_row_id_watermark(
+            self._read_dirs([path], self._data_read_schema())
+        )
         return self._commit(
             "append", cur.data_dirs + [path], list(cur.delete_dirs)
         )
@@ -343,7 +345,9 @@ class LocalTable:
             data_path = self._next_dir("data", snap_id)
             with_ids = self._assign_row_ids(rewritten)
             self._write_data_dir(with_ids, data_path)
-            self._bump_row_id_watermark(self.spark.read.parquet(data_path))
+            self._bump_row_id_watermark(
+            self._read_dirs([data_path], self._data_read_schema())
+        )
             return self._commit(
                 "update",
                 cur.data_dirs + [data_path],
@@ -355,7 +359,9 @@ class LocalTable:
         data_path = self._next_dir("data", snap_id)
         with_ids = self._assign_row_ids(merged)
         self._write_data_dir(with_ids, data_path)
-        self._bump_row_id_watermark(self.spark.read.parquet(data_path))
+        self._bump_row_id_watermark(
+            self._read_dirs([data_path], self._data_read_schema())
+        )
         return self._commit("update", [data_path], [])
 
     def merge_into(
@@ -450,7 +456,9 @@ class LocalTable:
             data_path = self._next_dir("data", snap_id)
             with_ids = self._assign_row_ids(appended)
             self._write_data_dir(with_ids, data_path)
-            self._bump_row_id_watermark(self.spark.read.parquet(data_path))
+            self._bump_row_id_watermark(
+            self._read_dirs([data_path], self._data_read_schema())
+        )
             data_dirs.append(data_path)
         return self._commit("merge", data_dirs, delete_dirs)
 
@@ -482,20 +490,29 @@ class LocalTable:
 
     # --------------------------------------------------------------- read
 
-    def _read_dirs(self, dirs: list[str]) -> DataFrame | None:
+    def _data_read_schema(self) -> str:
+        return self.schema_ddl + f", {_ROW_ID} long"
+
+    def _read_dirs(self, dirs: list[str], ddl: str) -> DataFrame | None:
+        """Read snapshot dirs with an EXPLICIT schema: a zero-row
+        partitioned write leaves a dir with no parquet files at all, and
+        schema inference would fail on it (found by the hypothesis DML
+        model test). With the schema given, empty dirs read as empty
+        frames, and files written before an ADD COLUMN null-fill the
+        missing column (schema evolution)."""
         dfs = []
         for d in dirs:
             # per-dir basePath so identity-partition columns round-trip
             dfs.append(
-                self.spark.read.option("basePath", d).parquet(d)
+                self.spark.read.schema(ddl)
+                .option("basePath", d)
+                .parquet(d)
             )
         if not dfs:
             return None
         out = dfs[0]
         for df in dfs[1:]:
-            # allowMissingColumns: files written before an ADD COLUMN
-            # simply lack it (schema evolution, null-filled below)
-            out = out.unionByName(df, allowMissingColumns=True)
+            out = out.unionByName(df)
         return out
 
     def _scan_raw(self, snap: Snapshot | None = None) -> DataFrame:
@@ -503,12 +520,12 @@ class LocalTable:
         the table's CURRENT declared schema (schema evolution: added
         columns null-fill on old files, dropped columns stop projecting)."""
         snap = snap or self.current_snapshot()
-        data = self._read_dirs(snap.data_dirs)
+        data = self._read_dirs(snap.data_dirs, self._data_read_schema())
         if data is None:
             return self.spark.createDataFrame(
                 [], self.schema_ddl + f", {_ROW_ID} long"
             )
-        deletes = self._read_dirs(snap.delete_dirs)
+        deletes = self._read_dirs(snap.delete_dirs, f"{_ROW_ID} long")
         if deletes is not None:
             # The C1 implicit MoR anti-join (README.md:7): delete files are
             # O(deleted rows), broadcast them; data side never shuffles.
@@ -614,15 +631,19 @@ class LocalTable:
                         d for d in s.delete_dirs if d not in prev.delete_dirs
                     ]
                     if new_data:
-                        ins = self._read_dirs(new_data).withColumn(
-                            "_change_type", F.lit("insert")
-                        )
+                        ins = self._read_dirs(
+                            new_data, self._data_read_schema()
+                        ).withColumn("_change_type", F.lit("insert"))
                         step = ins
                     if new_dels:
                         dels = (
                             self._scan_raw(prev)
                             .join(
-                                F.broadcast(self._read_dirs(new_dels)),
+                                F.broadcast(
+                                    self._read_dirs(
+                                        new_dels, f"{_ROW_ID} long"
+                                    )
+                                ),
                                 _ROW_ID,
                             )
                             .withColumn("_change_type", F.lit("delete"))

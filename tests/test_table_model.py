@@ -1,0 +1,131 @@
+"""Property-based model test for the mutable-table module (§2.I).
+
+Hypothesis drives random DML programs (insert / MoR delete / MoR update /
+compaction / snapshot expiry / V2->V3 upgrade) against a ``LocalTable``
+and an in-memory list-of-rows model applying the same relational
+semantics. After every operation the table scan must equal the model —
+including straight through compaction (invisible by contract) and the
+format upgrade. This generalizes the reference's single scripted demo arc
+(create -> insert -> delete -> update -> upgrade -> compact -> verify,
+internal/create_demo_table.py + internal/upgrade_table.py) to arbitrary
+interleavings.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+CATEGORIES = ("electronics", "clothing", "furniture")
+
+_ids = st.integers(min_value=1, max_value=30)
+_insert = st.tuples(
+    st.just("insert"),
+    st.lists(
+        st.tuples(
+            _ids,
+            st.sampled_from(CATEGORIES),
+            st.integers(min_value=0, max_value=99900),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+_delete = st.tuples(
+    st.just("delete"), st.lists(_ids, min_size=1, max_size=4, unique=True)
+)
+_update = st.tuples(st.just("update"), st.sampled_from(CATEGORIES))
+_compact = st.tuples(st.just("compact"), st.none())
+_expire = st.tuples(st.just("expire"), st.none())
+_upgrade = st.tuples(st.just("upgrade"), st.none())
+
+_program = st.lists(
+    st.one_of(_insert, _delete, _update, _compact, _expire, _upgrade),
+    min_size=3,
+    max_size=7,
+)
+
+
+def _apply_model(model: list[dict], op: str, arg) -> None:
+    if op == "insert":
+        for id_, cat, cents in arg:
+            model.append(
+                {"id": id_, "category": cat, "amount": cents / 100.0}
+            )
+    elif op == "delete":
+        model[:] = [r for r in model if r["id"] not in arg]
+    elif op == "update":
+        for r in model:
+            if r["category"] == arg:
+                r["amount"] = round(r["amount"] + 1.5, 2)
+    # compact / expire / upgrade: semantically invisible
+
+
+def _table_rows(t) -> list[tuple]:
+    return sorted(
+        (r.id, r.category, round(r.amount, 2))
+        for r in t.scan().select("id", "category", "amount").collect()
+    )
+
+
+def _model_rows(model: list[dict]) -> list[tuple]:
+    return sorted(
+        (r["id"], r["category"], round(r["amount"], 2)) for r in model
+    )
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(program=_program)
+def test_random_dml_program_matches_model(spark, tmp_path_factory, program):
+    wh = tmp_path_factory.mktemp("model_wh")
+    catalog = LocalCatalog(spark, str(wh))
+    t = catalog.create_table(
+        "model_db",
+        "t",
+        "id INT, category STRING, amount DOUBLE",
+        partition_by=["category"],
+        properties={
+            "format-version": "2",
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+        },
+    )
+    model: list[dict] = []
+    for op, arg in program:
+        if op == "insert":
+            t.insert_values(
+                [(id_, cat, cents / 100.0) for id_, cat, cents in arg]
+            )
+        elif op == "delete":
+            t.delete_where(
+                f"id IN ({', '.join(str(i) for i in arg)})"
+            )
+        elif op == "update":
+            t.update_set(
+                {"amount": "round(amount + 1.5, 2)"},
+                f"category = '{arg}'",
+            )
+        elif op == "compact":
+            t.rewrite_data_files(rewrite_all=True)
+        elif op == "expire":
+            t.expire_snapshots(
+                older_than=datetime.datetime(2030, 1, 1), retain_last=1
+            )
+        elif op == "upgrade":
+            t.set_properties({"format-version": "3"})
+        _apply_model(model, op, arg)
+        assert _table_rows(t) == _model_rows(model), (
+            f"divergence after {op} in program {program}"
+        )
+    if t.format_version == 3:
+        assert "next-row-id" in t._meta["properties"]
