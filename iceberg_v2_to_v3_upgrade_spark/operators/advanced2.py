@@ -229,3 +229,145 @@ def n4f_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@declare(
+    "h10_null_handling",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   nullif(o_orderstatus, 'O') AS maybe_status,
+                   CASE WHEN o_totalprice > 50000 THEN o_totalprice END
+                       AS big_price
+            FROM orders)
+        SELECT coalesce(maybe_status, 'OPEN') AS status_norm,
+               count(*) AS n,
+               count(maybe_status) AS n_nonnull,
+               count(*) - count(big_price) AS n_small,
+               sum(CASE WHEN maybe_status IS NOT DISTINCT FROM NULL
+                        THEN 1 ELSE 0 END) AS n_nullsafe_null
+        FROM t GROUP BY status_norm ORDER BY status_norm
+    """,
+    tags=("scalar", "null"),
+)
+def h10_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics battery: nullif / coalesce / conditional-NULL
+    projection / count-ignores-NULL / null-safe equality (<=>)."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("maybe_status"),
+        F.when(F.col("o_totalprice") > 50000, F.col("o_totalprice")).alias(
+            "big_price"
+        ),
+    )
+    return (
+        t.groupBy(
+            F.coalesce("maybe_status", F.lit("OPEN")).alias("status_norm")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("maybe_status").alias("n_nonnull"),
+            (F.count(F.lit(1)) - F.count("big_price")).alias("n_small"),
+            F.sum(
+                F.when(
+                    F.col("maybe_status").eqNullSafe(F.lit(None)), 1
+                ).otherwise(0)
+            ).alias("n_nullsafe_null"),
+        )
+        .orderBy("status_norm")
+    )
+
+
+@declare(
+    "h11_datetime_arithmetic",
+    oracle="""
+        SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+               count(*) AS n_orders,
+               min(day(o_orderdate)) AS first_dom,
+               max(datediff('day', TIMESTAMP '1995-01-01 00:00:00',
+                            o_orderdate)) AS max_days_since_epoch,
+               min(CAST(date_trunc('month', o_orderdate) AS DATE))
+                   AS month_start,
+               max(CAST(o_orderdate + INTERVAL 30 DAY AS DATE)) AS due_30d
+        FROM orders GROUP BY y, q ORDER BY y, q
+    """,
+    tags=("scalar", "datetime"),
+)
+def h11_datetime_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime library battery: field extraction (year/quarter/day),
+    datediff, date_trunc, interval arithmetic — grouped so the result is
+    compact. Spark's datediff(end, start) argument order is the reverse
+    of DuckDB's datediff('day', start, end); both forms compute
+    end - start here."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.dayofmonth("o_orderdate")).alias("first_dom"),
+            F.max(
+                F.datediff(
+                    F.col("o_orderdate"),
+                    F.lit("1995-01-01").cast("timestamp"),
+                )
+            ).alias("max_days_since_epoch"),
+            F.min(F.date_trunc("month", "o_orderdate").cast("date")).alias(
+                "month_start"
+            ),
+            F.max(
+                (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).cast(
+                    "date"
+                )
+            ).alias("due_30d"),
+        )
+        .orderBy("y", "q")
+    )
+
+
+@declare(
+    "h12_nested_types",
+    oracle="""
+        WITH t AS (
+            SELECT r_regionkey,
+                   struct_pack(k := r_regionkey, nm := r_name) AS s,
+                   MAP {'name': r_name} AS m,
+                   [r_regionkey, r_regionkey * 10] AS arr
+            FROM region)
+        SELECT s.k AS key_from_struct,
+               upper(s.nm) AS name_from_struct,
+               m['name'][1] AS name_from_map,
+               arr[1] AS first_elem,
+               arr[2] AS second_elem,
+               len(arr) AS arr_len
+        FROM t ORDER BY key_from_struct
+    """,
+    tags=("scalar", "nested"),
+)
+def h12_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type construction and access: struct field access, map
+    lookup, 1-based array indexing, array length — the complex-type
+    surface a training-data schema (metadata structs, tag maps, embedding
+    arrays) leans on."""
+    r = load_table(spark, sf_dir, "region")
+    t = r.select(
+        "r_regionkey",
+        F.struct(
+            F.col("r_regionkey").alias("k"), F.col("r_name").alias("nm")
+        ).alias("s"),
+        F.create_map(F.lit("name"), F.col("r_name")).alias("m"),
+        F.array(
+            F.col("r_regionkey"), F.col("r_regionkey") * 10
+        ).alias("arr"),
+    )
+    return t.select(
+        F.col("s.k").alias("key_from_struct"),
+        F.upper(F.col("s.nm")).alias("name_from_struct"),
+        F.element_at("m", "name").alias("name_from_map"),
+        F.element_at("arr", 1).alias("first_elem"),
+        F.element_at("arr", 2).alias("second_elem"),
+        F.size("arr").alias("arr_len"),
+    ).orderBy("key_from_struct")
