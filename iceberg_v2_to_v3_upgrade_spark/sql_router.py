@@ -197,6 +197,28 @@ class EngineSQL:
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         return StatementResult(sql, "describe", df=t.describe())
 
+    def _create_tag(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        snap = m.group("snap")
+        t.create_tag(m.group("tag"), int(snap) if snap else None)
+        return StatementResult(
+            sql, "create_tag", message=f"tag {m.group('tag')}"
+        )
+
+    def _drop_tag(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        t.drop_tag(m.group("tag"))
+        return StatementResult(
+            sql, "drop_tag", message=f"dropped {m.group('tag')}"
+        )
+
+    def _call_rollback(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        snap = t.rollback_to_snapshot(int(m.group("snap")))
+        return StatementResult(
+            sql, "rollback_to_snapshot", message=f"snapshot {snap.id}"
+        )
+
     def _merge(self, sql: str, m: re.Match) -> StatementResult:
         """MERGE INTO t USING (<query>) s ON t.k = s.k
         WHEN MATCHED THEN UPDATE SET * | DELETE
@@ -270,15 +292,21 @@ class EngineSQL:
             for info in self.catalog.list_tables(db):
                 name = info["name"]
                 table = self.catalog.load_table(db, name)
-                # time travel: db.t VERSION AS OF n -> snapshot-pinned view
+                # time travel: db.t VERSION AS OF <n | 'tag'> ->
+                # snapshot-pinned view
                 for tm in re.finditer(
-                    rf"(?:{_IDENT}\.)?{db}\.{name}\s+VERSION\s+AS\s+OF\s+(\d+)",
+                    rf"(?:{_IDENT}\.)?{db}\.{name}\s+VERSION\s+AS\s+OF\s+"
+                    rf"(?:(?P<snap>\d+)|'(?P<tag>[^']+)')",
                     rewritten,
                     re.IGNORECASE,
                 ):
-                    snap_id = int(tm.group(1))
-                    view = f"{db}_{name}_v{snap_id}"
-                    table.scan(snapshot_id=snap_id).createOrReplaceTempView(view)
+                    pin = (
+                        int(tm.group("snap"))
+                        if tm.group("snap")
+                        else tm.group("tag")
+                    )
+                    view = f"{db}_{name}_v{pin}"
+                    table.scan(snapshot_id=pin).createOrReplaceTempView(view)
                     rewritten = rewritten.replace(tm.group(0), view)
                 view = f"{db}_{name}"
                 table.scan().createOrReplaceTempView(view)
@@ -360,6 +388,29 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
     (
         re.compile(rf"DESCRIBE (?:TABLE )?{_NAME}\s*$", re.IGNORECASE),
         EngineSQL._describe,
+    ),
+    (
+        re.compile(
+            rf"ALTER TABLE {_NAME}\s+CREATE TAG\s+(?P<tag>{_IDENT})"
+            rf"(?:\s+AS OF VERSION\s+(?P<snap>\d+))?\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._create_tag,
+    ),
+    (
+        re.compile(
+            rf"ALTER TABLE {_NAME}\s+DROP TAG\s+(?P<tag>{_IDENT})\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._drop_tag,
+    ),
+    (
+        re.compile(
+            rf"CALL system\.rollback_to_snapshot\s*\(\s*table\s*=>\s*"
+            rf"'{_NAME}'\s*,\s*snapshot_id\s*=>\s*(?P<snap>\d+)\s*\)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._call_rollback,
     ),
     (
         re.compile(

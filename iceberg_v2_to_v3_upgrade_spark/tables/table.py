@@ -550,6 +550,11 @@ class LocalTable:
         refused on V2 tables exactly as Iceberg gates it on format-version.
         """
         snap = None
+        if isinstance(snapshot_id, str):  # tag name -> pinned snapshot
+            refs = self._meta.get("refs", {})
+            if snapshot_id not in refs:
+                raise TableError(f"no tag {snapshot_id!r}")
+            snapshot_id = refs[snapshot_id]
         if snapshot_id is not None:
             for s in self.snapshots():
                 if s.id == snapshot_id:
@@ -565,6 +570,46 @@ class LocalTable:
                 )
             return self._scan_raw(snap)
         return self._scan_raw(snap).drop(_ROW_ID)
+
+    # ------------------------------------------------------ refs / rollback
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Iceberg `ALTER TABLE ... CREATE TAG` analog: a named immutable
+        ref pinning a snapshot (release audits, reproducible reads).
+        Tagged snapshots survive expire_snapshots."""
+        snapshot_id = snapshot_id or self._meta["current_snapshot_id"]
+        if not any(s.id == snapshot_id for s in self.snapshots()):
+            raise TableError(f"no snapshot {snapshot_id}")
+        refs = self._meta.setdefault("refs", {})
+        if name in refs:
+            raise TableError(f"tag {name!r} already exists")
+        refs[name] = snapshot_id
+        self._write_meta()
+
+    def drop_tag(self, name: str) -> None:
+        refs = self._meta.get("refs", {})
+        if name not in refs:
+            raise TableError(f"no tag {name!r}")
+        del refs[name]
+        self._write_meta()
+
+    def tags(self) -> dict[str, int]:
+        return dict(self._meta.get("refs", {}))
+
+    def rollback_to_snapshot(self, snapshot_id: int) -> Snapshot:
+        """CALL system.rollback_to_snapshot analog: commit a NEW snapshot
+        whose state is the old snapshot's (history is preserved — a
+        rollback is itself an auditable commit, exactly like Iceberg)."""
+        target = None
+        for s in self.snapshots():
+            if s.id == snapshot_id:
+                target = s
+                break
+        if target is None:
+            raise TableError(f"no snapshot {snapshot_id}")
+        return self._commit(
+            "rollback", list(target.data_dirs), list(target.delete_dirs)
+        )
 
     def files(self) -> DataFrame:
         """Iceberg `table.files` metadata-table analog: every live data /
@@ -742,6 +787,9 @@ class LocalTable:
         snaps = self.snapshots()
         keep_tail = {s.id for s in snaps[-retain_last:]}
         keep_tail.add(self._meta["current_snapshot_id"])
+        # tagged snapshots are pinned refs — never expired (Iceberg ref
+        # retention semantics)
+        keep_tail.update(self._meta.get("refs", {}).values())
         cutoff = (
             older_than.astimezone(datetime.timezone.utc)
             if older_than.tzinfo

@@ -164,3 +164,55 @@ def test_metadata_tables(engine):
     ).df.collect()
     kinds = {r.content: r.n for r in files}
     assert kinds.get("data", 0) > 0 and kinds.get("deletes", 0) > 0
+
+
+def test_tags_rollback_and_tag_time_travel(engine):
+    """Iceberg refs: CREATE TAG pins a snapshot (survives expiry), SELECT
+    VERSION AS OF 'tag' reads it, rollback_to_snapshot restores state as
+    a new auditable commit."""
+    engine.execute(DEMO_PROGRAM)
+    t = engine.catalog.load_table("demo_db", "v2_mor_demo")
+    assert t.count() == 7  # after delete+update
+
+    res = engine.execute_one(
+        "ALTER TABLE glue_catalog.demo_db.v2_mor_demo CREATE TAG v1_release"
+    )
+    assert res.kind == "create_tag"
+    # reload: table handles snapshot their metadata at load time
+    t = engine.catalog.load_table("demo_db", "v2_mor_demo")
+    tagged_snap = t.tags()["v1_release"]
+
+    # mutate past the tag
+    engine.execute_one(
+        "DELETE FROM glue_catalog.demo_db.v2_mor_demo WHERE id = 1"
+    )
+    assert engine.catalog.load_table("demo_db", "v2_mor_demo").count() == 6
+
+    # tag read: still 7 rows
+    tagged = engine.execute_one(
+        "SELECT count(*) AS n FROM glue_catalog.demo_db.v2_mor_demo "
+        "VERSION AS OF 'v1_release'"
+    ).df.collect()[0]
+    assert tagged.n == 7
+
+    # expiry must not break the tagged snapshot
+    engine.execute_one(
+        "CALL system.expire_snapshots(table => "
+        "'glue_catalog.demo_db.v2_mor_demo', "
+        "older_than => TIMESTAMP '2030-01-01 00:00:00', retain_last => 1)"
+    )
+    t2 = engine.catalog.load_table("demo_db", "v2_mor_demo")
+    assert t2.scan(snapshot_id="v1_release").count() == 7
+
+    # rollback to the tagged snapshot: new commit, old state
+    res = engine.execute_one(
+        "CALL system.rollback_to_snapshot(table => "
+        f"'glue_catalog.demo_db.v2_mor_demo', snapshot_id => {tagged_snap})"
+    )
+    assert res.kind == "rollback_to_snapshot"
+    t3 = engine.catalog.load_table("demo_db", "v2_mor_demo")
+    assert t3.count() == 7
+    assert t3.current_snapshot().operation == "rollback"
+    # history preserved: rollback appended, nothing rewritten
+    ops = [s.operation for s in t3.snapshots()]
+    assert ops[-1] == "rollback" and "delete" in ops
