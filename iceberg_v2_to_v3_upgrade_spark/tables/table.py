@@ -33,6 +33,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import re
 import shutil
 from dataclasses import dataclass, field
 from typing import Any
@@ -40,6 +41,14 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 _ROW_ID = "_row_id"
+
+# Iceberg-style partition transforms: days(ts), months(ts),
+# bucket(N, col), truncate(N, col)
+_TRANSFORM_RE = re.compile(
+    r"^(?P<fn>days|months|bucket|truncate)\(\s*(?:(?P<n>\d+)\s*,\s*)?"
+    r"(?P<col>\w+)\s*\)$",
+    re.IGNORECASE,
+)
 
 
 class TableError(Exception):
@@ -243,10 +252,73 @@ class LocalTable:
             if self.format_version >= 3:
                 self._meta["properties"]["next-row-id"] = str(int(hi) + 1)
 
+    def _partition_spec(self) -> list[tuple[str, Column | None]]:
+        """Parse the partition spec into (dir_column, derivation) pairs.
+
+        Identity entries ("col") keep derivation None — the column itself
+        lands in the directory name. Transform entries implement Iceberg's
+        hidden partitioning: ``days(ts)`` / ``months(ts)`` /
+        ``bucket(N, col)`` / ``truncate(N, col)`` derive a directory-only
+        column (dropped on scan) so data clusters by the transform while
+        queries keep using the source column. bucket() hashes with
+        xxhash64 (Iceberg specifies murmur3 — same contract, different
+        hash; documented engine-specific)."""
+        out: list[tuple[str, Column | None]] = []
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in self.spark.createDataFrame([], self.schema_ddl).schema
+        }
+        for spec in self.partition_by:
+            m = _TRANSFORM_RE.match(spec.strip())
+            if not m:
+                out.append((spec, None))
+                continue
+            fn = m.group("fn").lower()
+            col = m.group("col")
+            n = int(m.group("n")) if m.group("n") else None
+            if fn == "days":
+                out.append(
+                    (f"{col}_day", F.date_format(F.col(col), "yyyy-MM-dd"))
+                )
+            elif fn == "months":
+                out.append(
+                    (f"{col}_month", F.date_format(F.col(col), "yyyy-MM"))
+                )
+            elif fn == "bucket":
+                out.append(
+                    (
+                        f"{col}_bucket",
+                        F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast(
+                            "int"
+                        ),
+                    )
+                )
+            else:  # truncate
+                if types.get(col, "string").startswith(
+                    ("int", "bigint", "smallint", "tinyint")
+                ):
+                    expr = F.col(col) - F.pmod(F.col(col), F.lit(n))
+                else:
+                    expr = F.substring(F.col(col), 1, n)
+                out.append((f"{col}_trunc", expr))
+        return out
+
+    def _derived_partition_ddl(self) -> str:
+        """Read-schema suffix for transform-derived directory columns
+        (string-typed: they come from directory names)."""
+        derived = [
+            name for name, expr in self._partition_spec() if expr is not None
+        ]
+        return "".join(f", {name} string" for name in derived)
+
     def _write_data_dir(self, df: DataFrame, path: str) -> None:
+        spec = self._partition_spec()
+        for name, expr in spec:
+            if expr is not None:
+                df = df.withColumn(name, expr)
         writer = df.write.mode("overwrite")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
+        if spec:
+            writer = writer.partitionBy(*[name for name, _ in spec])
         writer.parquet(path)
 
     def _align_to_schema(self, df: DataFrame) -> DataFrame:
@@ -491,7 +563,11 @@ class LocalTable:
     # --------------------------------------------------------------- read
 
     def _data_read_schema(self) -> str:
-        return self.schema_ddl + f", {_ROW_ID} long"
+        return (
+            self.schema_ddl
+            + f", {_ROW_ID} long"
+            + self._derived_partition_ddl()
+        )
 
     def _read_dirs(self, dirs: list[str], ddl: str) -> DataFrame | None:
         """Read snapshot dirs with an EXPLICIT schema: a zero-row
@@ -515,16 +591,27 @@ class LocalTable:
             out = out.unionByName(df)
         return out
 
-    def _scan_raw(self, snap: Snapshot | None = None) -> DataFrame:
+    def _scan_raw(
+        self,
+        snap: Snapshot | None = None,
+        partition_filter: str | None = None,
+    ) -> DataFrame:
         """Merged scan WITH _row_id (MoR anti-join applied), projected to
         the table's CURRENT declared schema (schema evolution: added
-        columns null-fill on old files, dropped columns stop projecting)."""
+        columns null-fill on old files, dropped columns stop projecting).
+
+        ``partition_filter`` may reference transform-derived directory
+        columns (e.g. ``ts_day >= '2024-01-01'``) — applied before the
+        anti-join, it reaches the file index as partition pruning, so
+        non-matching directories are never listed or read."""
         snap = snap or self.current_snapshot()
         data = self._read_dirs(snap.data_dirs, self._data_read_schema())
         if data is None:
             return self.spark.createDataFrame(
                 [], self.schema_ddl + f", {_ROW_ID} long"
             )
+        if partition_filter:
+            data = data.filter(partition_filter)
         deletes = self._read_dirs(snap.delete_dirs, f"{_ROW_ID} long")
         if deletes is not None:
             # The C1 implicit MoR anti-join (README.md:7): delete files are
@@ -540,14 +627,20 @@ class LocalTable:
         return data.select(*projection, F.col(_ROW_ID))
 
     def scan(
-        self, snapshot_id: int | None = None, with_row_lineage: bool = False
+        self,
+        snapshot_id: int | str | None = None,
+        with_row_lineage: bool = False,
+        partition_filter: str | None = None,
     ) -> DataFrame:
         """SELECT * — full MoR-merged read (create_demo_table.py:137).
 
-        ``snapshot_id`` gives time travel (Iceberg VERSION AS OF).
+        ``snapshot_id`` gives time travel (Iceberg VERSION AS OF) — an int
+        snapshot id or a tag name.
         ``with_row_lineage`` exposes the stable ``_row_id`` column — the V3
         row-lineage feature the whole upgrade exists for (README.md:43-45);
         refused on V2 tables exactly as Iceberg gates it on format-version.
+        ``partition_filter`` prunes transform-partitioned directories
+        (hidden partitioning) before any file is read.
         """
         snap = None
         if isinstance(snapshot_id, str):  # tag name -> pinned snapshot
@@ -568,8 +661,8 @@ class LocalTable:
                     "row lineage requires format-version 3 "
                     f"(table is V{self.format_version}); upgrade first"
                 )
-            return self._scan_raw(snap)
-        return self._scan_raw(snap).drop(_ROW_ID)
+            return self._scan_raw(snap, partition_filter)
+        return self._scan_raw(snap, partition_filter).drop(_ROW_ID)
 
     # ------------------------------------------------------ refs / rollback
 

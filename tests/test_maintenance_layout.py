@@ -57,3 +57,57 @@ def test_remove_orphan_files(spark, tmp_path):
     )
     assert res.kind == "remove_orphan_files"
     assert "[]" in res.message  # nothing left to remove
+
+
+def test_partition_transforms_hidden_partitioning(spark, tmp_path):
+    """Iceberg-style hidden partitioning: days()/bucket() derive
+    directory-only columns; scans return the declared schema unchanged,
+    and a partition_filter prunes directories at the file-index level."""
+    import datetime
+
+    catalog = LocalCatalog(spark, str(tmp_path / "wh_t"))
+    t = catalog.create_table(
+        "db",
+        "events_t",
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE",
+        partition_by=["days(ts)", "bucket(4, user_id)"],
+    )
+    d = datetime.datetime
+    rows = [
+        (i, d(2024, 1, 1 + i % 3, 8 + i % 12), i % 7, float(i))
+        for i in range(40)
+    ]
+    t.insert_values(rows)
+
+    # layout: ts_day=YYYY-MM-DD / user_id_bucket=N directories
+    data_dir = t.current_snapshot().data_dirs[0]
+    days = sorted(p for p in os.listdir(data_dir) if p.startswith("ts_day="))
+    assert days == ["ts_day=2024-01-01", "ts_day=2024-01-02",
+                    "ts_day=2024-01-03"]
+    buckets = os.listdir(os.path.join(data_dir, days[0]))
+    assert all(b.startswith("user_id_bucket=") for b in buckets)
+
+    # scan: declared schema only (hidden columns stay hidden), all rows
+    got = t.scan()
+    assert got.columns == ["event_id", "ts", "user_id", "value"]
+    assert got.count() == 40
+
+    # partition_filter reaches the scan node as a PartitionFilter —
+    # directory-level pruning, not a post-read filter
+    import io
+    from contextlib import redirect_stdout
+
+    day1 = t.scan(partition_filter="ts_day = '2024-01-01'")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        day1.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "ts_day" in pf and "2024-01-01" in pf
+    assert day1.count() == sum(1 for r in rows if r[1].day == 1)
+
+    # DML still works through the transform spec (rewrite re-derives dirs)
+    t.delete_where("event_id < 10")
+    assert t.count() == 30
+    t.rewrite_data_files(rewrite_all=True)
+    assert t.count() == 30
