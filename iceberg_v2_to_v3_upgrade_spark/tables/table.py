@@ -223,7 +223,26 @@ class LocalTable:
 
     # -------------------------------------------------------------- write
 
-    def _commit(self, operation: str, data_dirs, delete_dirs) -> Snapshot:
+    def _base_snapshot(self, branch: str | None = None) -> Snapshot:
+        """The snapshot a write builds on: the branch head when writing to
+        a branch (WAP staging), else the table's current snapshot."""
+        if branch is None:
+            return self.current_snapshot()
+        branches = self._meta.get("branches", {})
+        if branch not in branches:
+            raise TableError(f"no branch {branch!r}")
+        for s in self.snapshots():
+            if s.id == branches[branch]:
+                return s
+        raise TableError(f"branch {branch!r} head missing")
+
+    def _commit(
+        self,
+        operation: str,
+        data_dirs,
+        delete_dirs,
+        branch: str | None = None,
+    ) -> Snapshot:
         snap = Snapshot(
             id=max(s["id"] for s in self._meta["snapshots"]) + 1,
             timestamp=_utcnow(),
@@ -232,7 +251,10 @@ class LocalTable:
             delete_dirs=delete_dirs,
         )
         self._meta["snapshots"].append(snap.to_json())
-        self._meta["current_snapshot_id"] = snap.id
+        if branch is None:
+            self._meta["current_snapshot_id"] = snap.id
+        else:
+            self._meta["branches"][branch] = snap.id
         self._write_meta()
         return snap
 
@@ -337,13 +359,15 @@ class LocalTable:
             ]
         )
 
-    def insert(self, df: DataFrame) -> Snapshot:
+    def insert(self, df: DataFrame, branch: str | None = None) -> Snapshot:
         """INSERT INTO ... (reference internal/create_demo_table.py:117-127).
 
         Appends a new data dir; never touches existing files (snapshot
         isolation). Written partitioned by the identity partition columns.
+        ``branch`` stages the commit on a branch ref (WAP) instead of
+        advancing the table's current snapshot.
         """
-        cur = self.current_snapshot()
+        cur = self._base_snapshot(branch)
         with_ids = self._assign_row_ids(self._align_to_schema(df))
         snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
         path = self._next_dir("data", snap_id)
@@ -352,14 +376,19 @@ class LocalTable:
             self._read_dirs([path], self._data_read_schema())
         )
         return self._commit(
-            "append", cur.data_dirs + [path], list(cur.delete_dirs)
+            "append",
+            cur.data_dirs + [path],
+            list(cur.delete_dirs),
+            branch=branch,
         )
 
     def insert_values(self, rows: list[tuple]) -> Snapshot:
         """INSERT INTO ... VALUES literal batch (create_demo_table.py:117-127)."""
         return self.insert(self.spark.createDataFrame(rows, self.schema_ddl))
 
-    def delete_where(self, predicate: str | Column) -> Snapshot:
+    def delete_where(
+        self, predicate: str | Column, branch: str | None = None
+    ) -> Snapshot:
         """DELETE FROM ... WHERE <pred> (reference create_demo_table.py:130).
 
         merge-on-read (default): append a positional delete file holding the
@@ -367,14 +396,17 @@ class LocalTable:
         copy-on-write: rewrite data dirs without the matched rows.
         """
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-        cur = self.current_snapshot()
+        cur = self._base_snapshot(branch)
         matched = self._scan_raw(cur).filter(cond).select(_ROW_ID)
         snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
         if self._meta["properties"].get("write.delete.mode") == "merge-on-read":
             path = self._next_dir("deletes", snap_id)
             matched.write.mode("overwrite").parquet(path)
             return self._commit(
-                "delete", list(cur.data_dirs), cur.delete_dirs + [path]
+                "delete",
+                list(cur.data_dirs),
+                cur.delete_dirs + [path],
+                branch=branch,
             )
         # copy-on-write: one full rewrite, zero delete files
         remaining = self._scan_raw(cur).join(
@@ -382,10 +414,13 @@ class LocalTable:
         )
         path = self._next_dir("data", snap_id)
         self._write_data_dir(remaining, path)
-        return self._commit("delete", [path], [])
+        return self._commit("delete", [path], [], branch=branch)
 
     def update_set(
-        self, assignments: dict[str, str | Column], predicate: str | Column
+        self,
+        assignments: dict[str, str | Column],
+        predicate: str | Column,
+        branch: str | None = None,
     ) -> Snapshot:
         """UPDATE ... SET col = expr WHERE <pred> (create_demo_table.py:133).
 
@@ -394,7 +429,7 @@ class LocalTable:
         row ids — lineage records the rewrite).
         """
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-        cur = self.current_snapshot()
+        cur = self._base_snapshot(branch)
         raw = self._scan_raw(cur)
         matched = raw.filter(cond)
         rewritten = matched.drop(_ROW_ID)
@@ -418,12 +453,13 @@ class LocalTable:
             with_ids = self._assign_row_ids(rewritten)
             self._write_data_dir(with_ids, data_path)
             self._bump_row_id_watermark(
-            self._read_dirs([data_path], self._data_read_schema())
-        )
+                self._read_dirs([data_path], self._data_read_schema())
+            )
             return self._commit(
                 "update",
                 cur.data_dirs + [data_path],
                 cur.delete_dirs + [del_path],
+                branch=branch,
             )
         # copy-on-write
         untouched = raw.filter(~cond).drop(_ROW_ID)
@@ -434,7 +470,7 @@ class LocalTable:
         self._bump_row_id_watermark(
             self._read_dirs([data_path], self._data_read_schema())
         )
-        return self._commit("update", [data_path], [])
+        return self._commit("update", [data_path], [], branch=branch)
 
     def merge_into(
         self,
@@ -643,10 +679,13 @@ class LocalTable:
         (hidden partitioning) before any file is read.
         """
         snap = None
-        if isinstance(snapshot_id, str):  # tag name -> pinned snapshot
-            refs = self._meta.get("refs", {})
+        if isinstance(snapshot_id, str):  # tag/branch name -> snapshot
+            refs = {
+                **self._meta.get("refs", {}),
+                **self._meta.get("branches", {}),
+            }
             if snapshot_id not in refs:
-                raise TableError(f"no tag {snapshot_id!r}")
+                raise TableError(f"no ref {snapshot_id!r}")
             snapshot_id = refs[snapshot_id]
         if snapshot_id is not None:
             for s in self.snapshots():
@@ -688,6 +727,42 @@ class LocalTable:
 
     def tags(self) -> dict[str, int]:
         return dict(self._meta.get("refs", {}))
+
+    def create_branch(
+        self, name: str, snapshot_id: int | None = None
+    ) -> None:
+        """Iceberg branch ref: a WRITABLE named head. The write-audit-
+        publish pattern: stage commits on the branch (DML ``branch=``
+        kwarg), audit them via ``scan(snapshot_id=<branch>)``, then
+        ``fast_forward`` to publish."""
+        snapshot_id = snapshot_id or self._meta["current_snapshot_id"]
+        if not any(s.id == snapshot_id for s in self.snapshots()):
+            raise TableError(f"no snapshot {snapshot_id}")
+        branches = self._meta.setdefault("branches", {})
+        if name in branches or name in self._meta.get("refs", {}):
+            raise TableError(f"ref {name!r} already exists")
+        branches[name] = snapshot_id
+        self._write_meta()
+
+    def drop_branch(self, name: str) -> None:
+        branches = self._meta.get("branches", {})
+        if name not in branches:
+            raise TableError(f"no branch {name!r}")
+        del branches[name]
+        self._write_meta()
+
+    def branches(self) -> dict[str, int]:
+        return dict(self._meta.get("branches", {}))
+
+    def fast_forward(self, branch: str) -> None:
+        """Publish a branch: point the table's current snapshot at the
+        branch head (Iceberg `fast_forward(main, branch)`) — the publish
+        step of write-audit-publish. Metadata-only, nothing rewritten."""
+        branches = self._meta.get("branches", {})
+        if branch not in branches:
+            raise TableError(f"no branch {branch!r}")
+        self._meta["current_snapshot_id"] = branches[branch]
+        self._write_meta()
 
     def rollback_to_snapshot(self, snapshot_id: int) -> Snapshot:
         """CALL system.rollback_to_snapshot analog: commit a NEW snapshot
@@ -880,9 +955,10 @@ class LocalTable:
         snaps = self.snapshots()
         keep_tail = {s.id for s in snaps[-retain_last:]}
         keep_tail.add(self._meta["current_snapshot_id"])
-        # tagged snapshots are pinned refs — never expired (Iceberg ref
-        # retention semantics)
+        # tagged snapshots and branch heads are pinned refs — never
+        # expired (Iceberg ref retention semantics)
         keep_tail.update(self._meta.get("refs", {}).values())
+        keep_tail.update(self._meta.get("branches", {}).values())
         cutoff = (
             older_than.astimezone(datetime.timezone.utc)
             if older_than.tzinfo

@@ -248,3 +248,49 @@ def test_partition_pruning_layout(catalog, demo_table, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "category" in plan
+
+
+def test_branch_write_audit_publish(spark, tmp_path):
+    """WAP: stage DML on a branch, main unaffected; audit the branch read;
+    fast_forward publishes; branch heads survive expiry."""
+    import datetime
+
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    catalog = LocalCatalog(spark, str(tmp_path / "wap_wh"))
+    t = catalog.create_table(
+        "db", "wap", "id INT, category STRING, amount DOUBLE",
+        partition_by=["category"],
+    )
+    t.insert_values([(i, "a" if i % 2 else "b", float(i)) for i in range(10)])
+    assert t.count() == 10
+
+    t.create_branch("audit")
+    t.insert(
+        spark.createDataFrame(
+            [(100, "a", 100.0), (101, "b", 101.0)],
+            "id INT, category STRING, amount DOUBLE",
+        ),
+        branch="audit",
+    )
+    t.delete_where("id = 0", branch="audit")
+
+    # main unchanged until publish; branch shows staged state
+    assert t.count() == 10
+    assert t.scan(snapshot_id="audit").count() == 11  # +2 inserted, -1
+    main_ids = {r.id for r in t.scan().select("id").collect()}
+    assert 0 in main_ids and 100 not in main_ids
+
+    # branch head survives snapshot expiry
+    t.expire_snapshots(
+        older_than=datetime.datetime(2030, 1, 1), retain_last=1
+    )
+    assert t.scan(snapshot_id="audit").count() == 11
+
+    # publish
+    t.fast_forward("audit")
+    published = {r.id for r in t.scan().select("id").collect()}
+    assert 100 in published and 101 in published and 0 not in published
+    assert t.count() == 11
+    t.drop_branch("audit")
+    assert t.branches() == {}
