@@ -54,6 +54,8 @@ HEADLINE = [
     "d7_cube_aggregate",
     "e4_range_frame_sum",
     "n4f_winnow_fingerprint",
+    "n10_corpus_curation",
+    "m2_frame_sample",
 ]
 
 

@@ -56,3 +56,32 @@ def salted_agg(
             for out, (_, fn) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for when AQE's skew splitting can't help (e.g.
+    the dim side is too big to broadcast but small enough to replicate
+    ``salt``-fold, and one fact key dominates).
+
+    Fact rows get a random salt in [0, salt); the dim side is exploded
+    ``salt``-fold so every (key, salt) bucket finds its match. The hot
+    key's rows spread across ``salt`` reducers instead of one. Supports
+    inner and left joins (dim replicated, never filtered).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+    )
+    replicated_dim = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))),
+    )
+    out = salted_fact.join(replicated_dim, [key, "_salt"], how)
+    return out.drop("_salt")

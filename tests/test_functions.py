@@ -40,3 +40,26 @@ def test_salted_agg_rejects_non_mergeable(spark):
     li = load_table(spark, SF_SMALL, "lineitem")
     with pytest.raises(ValueError, match="non-mergeable"):
         salted_agg(li, ["l_returnflag"], {"bad": ("l_quantity", "avg")})
+
+
+def test_salted_join_matches_plain_join(spark):
+    from iceberg_v2_to_v3_upgrade_spark.functions.skew import salted_join
+    from iceberg_v2_to_v3_upgrade_spark.io import load_table
+    from tests.conftest import SF_SMALL
+
+    l = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    ).withColumnRenamed("l_suppkey", "s_suppkey")
+    s = load_table(spark, SF_SMALL, "supplier")
+
+    plain = l.join(s, "s_suppkey").groupBy("s_name").count()
+    salted = salted_join(l, s, "s_suppkey", salt=8).groupBy("s_name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    # left join keeps unmatched fact rows
+    l_extra = l.union(
+        spark.createDataFrame([(999999, -1, 1.0)], l.schema)
+    )
+    left = salted_join(l_extra, s, "s_suppkey", salt=8, how="left")
+    assert left.filter("s_suppkey = -1").count() == 1
