@@ -888,12 +888,47 @@ class LocalTable:
 
     # -------------------------------------------------------- maintenance
 
+    def _zorder_value(self, cols: list[str], bits: int = 16) -> Column:
+        """Z-order (Morton) key over 2+ numeric/timestamp columns: each
+        column min-max-normalized to a ``bits``-bit integer, then bit-
+        interleaved. Pure JVM expressions (window min/max + shifts/ors) —
+        no UDF. Rows close in Z-value are close in EVERY dimension, so
+        sorting by it clusters files for multi-column min/max pruning
+        (the OPTIMIZE ZORDER pattern)."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy()
+        buckets = []
+        for c in cols:
+            v = F.col(c).cast("double")
+            lo, hi = F.min(v).over(w), F.max(v).over(w)
+            frac = F.when(hi == lo, F.lit(0.0)).otherwise(
+                (v - lo) / (hi - lo)
+            )
+            buckets.append(
+                F.least(
+                    F.floor(frac * ((1 << bits) - 1)).cast("long"),
+                    F.lit((1 << bits) - 1),
+                )
+            )
+        z = F.lit(0).cast("long")
+        for b in range(bits):
+            for i, bucket in enumerate(buckets):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                        b * len(buckets) + i,
+                    )
+                )
+        return z
+
     def rewrite_data_files(
         self,
         rewrite_all: bool = True,
         delete_file_threshold: int = 1,
         target_file_partitions: int | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> Snapshot:
         """CALL system.rewrite_data_files(...) — full compaction.
 
@@ -904,13 +939,29 @@ class LocalTable:
         identical before/after (asserted in tests).
 
         At scale the rewrite re-partitions by the identity partition columns
-        so file clustering survives compaction.
+        so file clustering survives compaction. ``sort_by`` gives linear
+        sort-order compaction; ``zorder_by`` gives multi-dimensional
+        Z-order clustering (range-partition + sort on the Morton key, so
+        parquet min/max stats stay narrow on ALL the listed columns).
         """
         cur = self.current_snapshot()
         if not rewrite_all and len(cur.delete_dirs) < delete_file_threshold:
             return cur
         merged = self._scan_raw(cur)  # keeps _row_id: lineage survives
-        if target_file_partitions:
+        if zorder_by:
+            merged = merged.withColumn(
+                "_zvalue", self._zorder_value(zorder_by)
+            )
+            n = (
+                target_file_partitions
+                or self.spark.sparkContext.defaultParallelism
+            )
+            merged = (
+                merged.repartitionByRange(n, "_zvalue")
+                .sortWithinPartitions("_zvalue")
+                .drop("_zvalue")
+            )
+        elif target_file_partitions:
             merged = merged.repartition(target_file_partitions)
         if sort_by:
             # cluster within files so parquet min/max stats prune range

@@ -111,3 +111,43 @@ def test_partition_transforms_hidden_partitioning(spark, tmp_path):
     assert t.count() == 30
     t.rewrite_data_files(rewrite_all=True)
     assert t.count() == 30
+
+
+def test_zorder_compaction_clusters_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER analog: after zorder_by compaction, each file
+    covers a narrow range of BOTH columns (multi-dim min/max pruning),
+    and the rewrite is semantically invisible."""
+    import glob
+
+    catalog = LocalCatalog(spark, str(tmp_path / "z_wh"))
+    t = catalog.create_table("db", "zt", "x INT, y INT, v DOUBLE")
+    # 32x32 grid: clustering on one dim alone leaves the other at full
+    # spread; Z-order bounds both
+    rows = [(x, y, float(x * y)) for x in range(32) for y in range(32)]
+    t.insert_values(rows)
+    before = sorted(map(tuple, t.scan().collect()))
+
+    t.rewrite_data_files(
+        rewrite_all=True, zorder_by=["x", "y"], target_file_partitions=16
+    )
+    after = sorted(map(tuple, t.scan().collect()))
+    assert after == before  # invisible
+
+    data_dir = t.current_snapshot().data_dirs[0]
+    files = glob.glob(os.path.join(data_dir, "**", "*.parquet"),
+                      recursive=True)
+    assert len(files) >= 8
+    spreads_x, spreads_y = [], []
+    for f in files:
+        pdf = spark.read.parquet(f).select("x", "y").toPandas()
+        if len(pdf) < 2:
+            continue
+        spreads_x.append(int(pdf.x.max() - pdf.x.min()))
+        spreads_y.append(int(pdf.y.max() - pdf.y.min()))
+    # global spread is 31 in each dim; z-ordered files must be much
+    # narrower ON AVERAGE in BOTH dims (a linear sort on x would leave
+    # y's average spread at ~31)
+    avg_x = sum(spreads_x) / len(spreads_x)
+    avg_y = sum(spreads_y) / len(spreads_y)
+    assert avg_x < 16, f"x spread {avg_x}"
+    assert avg_y < 16, f"y spread {avg_y}"
