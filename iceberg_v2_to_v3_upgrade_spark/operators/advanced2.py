@@ -371,3 +371,78 @@ def h12_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("arr", 2).alias("second_elem"),
         F.size("arr").alias("arr_len"),
     ).orderBy("key_from_struct")
+
+
+@declare(
+    "k1_salted_aggregation",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS sum_qty,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("skew", "aggregate"),
+)
+def k1_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe two-phase salted aggregate, oracle-proven equal to a
+    plain GROUP BY. l_returnflag has only 3 values — exactly the
+    hot-key-per-reducer shape salting exists for: each key spreads over
+    16 salt buckets before the merge phase."""
+    from iceberg_v2_to_v3_upgrade_spark.functions.skew import salted_agg
+
+    l = load_table(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", _dec(F.col("l_quantity"))
+    )
+    out = salted_agg(
+        l,
+        keys=["l_returnflag"],
+        aggs={
+            "n_rows": ("l_returnflag", "count"),
+            "sum_qty_dec": ("qty_dec", "sum"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        F.round("sum_qty_dec", 2).cast("double").alias("sum_qty"),
+        "min_price",
+        "max_price",
+    ).orderBy("l_returnflag")
+
+
+@declare(
+    "k2_salted_join",
+    oracle="""
+        SELECT s.s_name,
+               count(*) AS n_lines,
+               round(sum(l.l_quantity::DECIMAL(18,2)), 2)::DOUBLE
+                   AS total_qty
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_name ORDER BY s.s_name
+    """,
+    tags=("skew", "join"),
+)
+def k2_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe salted join (dim replicated salt-fold, fact salted),
+    oracle-proven equal to the plain equi-join. The shape for a dim too
+    big to broadcast when one fact key dominates."""
+    from iceberg_v2_to_v3_upgrade_spark.functions.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), _dec(F.col("l_quantity")).alias("qty_dec")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        salted_join(l, s, "s_suppkey", salt=8)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("qty_dec"), 2).cast("double").alias("total_qty"),
+        )
+        .orderBy("s_name")
+    )
