@@ -333,12 +333,24 @@ class LocalTable:
         ]
         return "".join(f", {name} string" for name in derived)
 
-    def _write_data_dir(self, df: DataFrame, path: str) -> None:
+    def _write_data_dir(
+        self,
+        df: DataFrame,
+        path: str,
+        max_records_per_file: int | None = None,
+    ) -> None:
         spec = self._partition_spec()
         for name, expr in spec:
             if expr is not None:
                 df = df.withColumn(name, expr)
         writer = df.write.mode("overwrite")
+        if max_records_per_file:
+            # target-file-size-bytes analog: the writer splits oversized
+            # tasks so compaction can hit a file-size target regardless of
+            # upstream partitioning
+            writer = writer.option(
+                "maxRecordsPerFile", max_records_per_file
+            )
         if spec:
             writer = writer.partitionBy(*[name for name, _ in spec])
         writer.parquet(path)
@@ -929,6 +941,7 @@ class LocalTable:
         target_file_partitions: int | None = None,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> Snapshot:
         """CALL system.rewrite_data_files(...) — full compaction.
 
@@ -969,7 +982,9 @@ class LocalTable:
             merged = merged.sortWithinPartitions(*sort_by)
         snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
         path = self._next_dir("data", snap_id)
-        self._write_data_dir(merged, path)
+        self._write_data_dir(
+            merged, path, max_records_per_file=max_records_per_file
+        )
         return self._commit("replace", [path], [])
 
     def remove_orphan_files(self, dry_run: bool = False) -> list[str]:

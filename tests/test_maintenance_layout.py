@@ -151,3 +151,26 @@ def test_zorder_compaction_clusters_both_dimensions(spark, tmp_path):
     avg_y = sum(spreads_y) / len(spreads_y)
     assert avg_x < 16, f"x spread {avg_x}"
     assert avg_y < 16, f"y spread {avg_y}"
+
+
+def test_compaction_respects_max_records_per_file(spark, tmp_path):
+    """target-file-size analog: compaction splits output so no file
+    exceeds the record cap (the file-sizing knob of table maintenance)."""
+    import glob
+
+    catalog = LocalCatalog(spark, str(tmp_path / "size_wh"))
+    t = catalog.create_table("db", "sized", "id INT, v DOUBLE")
+    t.insert_values([(i, float(i)) for i in range(1000)])
+    t.rewrite_data_files(
+        rewrite_all=True,
+        target_file_partitions=2,
+        max_records_per_file=100,
+    )
+    assert t.count() == 1000
+    files = glob.glob(
+        os.path.join(t.current_snapshot().data_dirs[0], "**", "*.parquet"),
+        recursive=True,
+    )
+    assert len(files) >= 10  # 1000 rows / 100-cap
+    for f in files:
+        assert spark.read.parquet(f).count() <= 100
