@@ -38,3 +38,50 @@ def stream_into_table(
     else:
         query = writer.start()
     return query
+
+
+def stream_upsert_into_table(
+    stream_df: DataFrame,
+    table: LocalTable,
+    keys: list[str],
+    checkpoint_dir: str,
+    order_col: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming upsert (CDC-apply): each micro-batch MERGEs into the
+    table — matched keys update, new keys insert. ``order_col`` picks the
+    within-batch winner per key (last-writer-wins by that column), so a
+    batch carrying several versions of one key applies cleanly.
+
+    This is the standard streaming-CDC landing pattern: exactly-once per
+    batch via the checkpoint, and the table keeps exactly one row per key
+    with full snapshot history (one merge commit per batch — time travel
+    shows every applied batch).
+    """
+    from pyspark.sql import Window, functions as F
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df
+        if order_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+            b = (
+                b.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if b.isEmpty():
+            return
+        table.merge_into(
+            b, keys, when_matched="update", when_not_matched="insert"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+    else:
+        query = writer.start()
+    return query

@@ -63,3 +63,53 @@ def test_stream_ingest_into_mutable_table(spark, tmp_path):
     assert table.count() == expected
     table.rewrite_data_files()
     assert table.count() == expected
+
+
+def test_stream_upsert_last_writer_wins(spark, tmp_path):
+    """Streaming CDC-apply: per micro-batch MERGE keeps one row per key,
+    later batches overwrite earlier ones, within-batch winner by ts."""
+    import datetime
+    import time
+
+    from iceberg_v2_to_v3_upgrade_spark.streaming.ingest import (
+        stream_upsert_into_table,
+    )
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    d = datetime.datetime
+    landing = str(tmp_path / "upsert_landing")
+    schema = "user_id long, ts timestamp, value double"
+    b1 = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 10), 10.0),
+            (2, d(2024, 1, 1, 10), 20.0),
+            (2, d(2024, 1, 1, 11), 21.0),  # within-batch dup: later wins
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{landing}/b1")
+    time.sleep(1.1)
+    b2 = spark.createDataFrame(
+        [(2, d(2024, 1, 2, 9), 25.0), (3, d(2024, 1, 2, 9), 30.0)],
+        schema,
+    )
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{landing}/b2")
+
+    catalog = LocalCatalog(spark, str(tmp_path / "upsert_wh"))
+    t = catalog.create_table("db", "profiles", schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*")
+    )
+    stream_upsert_into_table(
+        stream, t, keys=["user_id"],
+        checkpoint_dir=str(tmp_path / "upsert_ckpt"), order_col="ts",
+    )
+
+    final = catalog.load_table("db", "profiles")
+    got = {r.user_id: r.value for r in final.scan().collect()}
+    assert got == {1: 10.0, 2: 25.0, 3: 30.0}
+    # each applied batch is a snapshot: time travel sees the first state
+    ops = [s.operation for s in final.snapshots()]
+    assert ops.count("merge") == 2
