@@ -61,7 +61,11 @@ class Snapshot:
     timestamp: str  # ISO-8601 UTC
     operation: str  # append | delete | update | replace | create
     data_dirs: list[str] = field(default_factory=list)
-    delete_dirs: list[str] = field(default_factory=list)
+    delete_dirs: list[str] = field(default_factory=list)  # positional
+    # equality deletes: [{"dir": path, "cols": [...], "seq": snap_id}];
+    # each applies only to data committed BEFORE seq (Iceberg sequence-
+    # number semantics)
+    eq_deletes: list[dict] = field(default_factory=list)
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -70,6 +74,7 @@ class Snapshot:
             "operation": self.operation,
             "data_dirs": self.data_dirs,
             "delete_dirs": self.delete_dirs,
+            "eq_deletes": self.eq_deletes,
         }
 
     @staticmethod
@@ -80,6 +85,7 @@ class Snapshot:
             operation=d["operation"],
             data_dirs=list(d["data_dirs"]),
             delete_dirs=list(d["delete_dirs"]),
+            eq_deletes=list(d.get("eq_deletes", [])),
         )
 
 
@@ -242,6 +248,7 @@ class LocalTable:
         data_dirs,
         delete_dirs,
         branch: str | None = None,
+        eq_deletes: list[dict] | None = None,
     ) -> Snapshot:
         snap = Snapshot(
             id=max(s["id"] for s in self._meta["snapshots"]) + 1,
@@ -249,6 +256,7 @@ class LocalTable:
             operation=operation,
             data_dirs=data_dirs,
             delete_dirs=delete_dirs,
+            eq_deletes=list(eq_deletes or []),
         )
         self._meta["snapshots"].append(snap.to_json())
         if branch is None:
@@ -392,6 +400,7 @@ class LocalTable:
             cur.data_dirs + [path],
             list(cur.delete_dirs),
             branch=branch,
+            eq_deletes=cur.eq_deletes,
         )
 
     def insert_values(self, rows: list[tuple]) -> Snapshot:
@@ -419,6 +428,7 @@ class LocalTable:
                 list(cur.data_dirs),
                 cur.delete_dirs + [path],
                 branch=branch,
+                eq_deletes=cur.eq_deletes,
             )
         # copy-on-write: one full rewrite, zero delete files
         remaining = self._scan_raw(cur).join(
@@ -427,6 +437,41 @@ class LocalTable:
         path = self._next_dir("data", snap_id)
         self._write_data_dir(remaining, path)
         return self._commit("delete", [path], [], branch=branch)
+
+    def delete_by_keys(
+        self,
+        keys_df: DataFrame,
+        eq_cols: list[str],
+        branch: str | None = None,
+    ) -> Snapshot:
+        """Equality delete (Iceberg's second MoR delete flavor, the one
+        streaming CDC writers emit): append a delete file holding KEY
+        VALUES instead of row positions. At read time the keys anti-join
+        data committed BEFORE this delete's sequence number — rows
+        inserted later with the same key are NOT deleted. O(1) write cost
+        per key: no scan of the table happens here at all (the whole
+        point vs ``delete_where``, which must find matching positions).
+        """
+        declared = {
+            f.name for f in self.spark.createDataFrame([], self.schema_ddl).schema
+        }
+        missing = set(eq_cols) - declared
+        if missing:
+            raise TableError(f"equality columns not in schema: {sorted(missing)}")
+        cur = self._base_snapshot(branch)
+        snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
+        path = os.path.join(self.root, "deletes", f"snap-{snap_id:05d}-eq")
+        keys_df.select(*eq_cols).distinct().write.mode("overwrite").parquet(
+            path
+        )
+        entry = {"dir": path, "cols": list(eq_cols), "seq": snap_id}
+        return self._commit(
+            "delete",
+            list(cur.data_dirs),
+            list(cur.delete_dirs),
+            branch=branch,
+            eq_deletes=cur.eq_deletes + [entry],
+        )
 
     def update_set(
         self,
@@ -472,6 +517,7 @@ class LocalTable:
                 cur.data_dirs + [data_path],
                 cur.delete_dirs + [del_path],
                 branch=branch,
+                eq_deletes=cur.eq_deletes,
             )
         # copy-on-write
         untouched = raw.filter(~cond).drop(_ROW_ID)
@@ -580,7 +626,9 @@ class LocalTable:
             self._read_dirs([data_path], self._data_read_schema())
         )
             data_dirs.append(data_path)
-        return self._commit("merge", data_dirs, delete_dirs)
+        return self._commit(
+            "merge", data_dirs, delete_dirs, eq_deletes=cur.eq_deletes
+        )
 
     # ----------------------------------------------------- schema evolution
 
@@ -639,6 +687,50 @@ class LocalTable:
             out = out.unionByName(df)
         return out
 
+    def _read_data_with_seq(self, snap: Snapshot) -> DataFrame | None:
+        """Union of the snapshot's data dirs, each row tagged with the
+        commit sequence parsed from its dir name (`.../snap-00007`)."""
+        dfs = []
+        ddl = self._data_read_schema()
+        for d in snap.data_dirs:
+            m = re.search(r"snap-(\d+)", os.path.basename(d))
+            seq = int(m.group(1)) if m else 0
+            dfs.append(
+                self.spark.read.schema(ddl)
+                .option("basePath", d)
+                .parquet(d)
+                .withColumn("_seq", F.lit(seq))
+            )
+        if not dfs:
+            return None
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
+
+    def _apply_eq_deletes(self, snap: Snapshot, data: DataFrame) -> DataFrame:
+        """Anti-join each equality-delete key set against data rows with
+        an OLDER commit sequence (broadcast — key sets are O(deleted
+        keys), the fact side never shuffles)."""
+        declared = {
+            f.name: f.dataType.simpleString()
+            for f in self.spark.createDataFrame([], self.schema_ddl).schema
+        }
+        for entry in snap.eq_deletes:
+            cols = entry["cols"]
+            read_ddl = ", ".join(f"{c} {declared[c]}" for c in cols)
+            keys = (
+                self.spark.read.schema(read_ddl)
+                .parquet(entry["dir"])
+                .select(*[F.col(c).alias(f"_eq_{c}") for c in cols])
+            )
+            cond = F.lit(True)
+            for c in cols:
+                cond = cond & (F.col(c) == F.col(f"_eq_{c}"))
+            cond = cond & (F.col("_seq") < F.lit(entry["seq"]))
+            data = data.join(F.broadcast(keys), on=cond, how="left_anti")
+        return data
+
     def _scan_raw(
         self,
         snap: Snapshot | None = None,
@@ -653,13 +745,20 @@ class LocalTable:
         anti-join, it reaches the file index as partition pruning, so
         non-matching directories are never listed or read."""
         snap = snap or self.current_snapshot()
-        data = self._read_dirs(snap.data_dirs, self._data_read_schema())
+        if snap.eq_deletes:
+            # per-dir reads tagged with their commit sequence so each
+            # equality delete can scope to older data only
+            data = self._read_data_with_seq(snap)
+        else:
+            data = self._read_dirs(snap.data_dirs, self._data_read_schema())
         if data is None:
             return self.spark.createDataFrame(
                 [], self.schema_ddl + f", {_ROW_ID} long"
             )
         if partition_filter:
             data = data.filter(partition_filter)
+        if snap.eq_deletes:
+            data = self._apply_eq_deletes(snap, data)
         deletes = self._read_dirs(snap.delete_dirs, f"{_ROW_ID} long")
         if deletes is not None:
             # The C1 implicit MoR anti-join (README.md:7): delete files are
@@ -788,7 +887,10 @@ class LocalTable:
         if target is None:
             raise TableError(f"no snapshot {snapshot_id}")
         return self._commit(
-            "rollback", list(target.data_dirs), list(target.delete_dirs)
+            "rollback",
+            list(target.data_dirs),
+            list(target.delete_dirs),
+            eq_deletes=target.eq_deletes,
         )
 
     def files(self) -> DataFrame:
@@ -798,7 +900,12 @@ class LocalTable:
 
         snap = self.current_snapshot()
         rows = []
-        for kind, dirs in (("data", snap.data_dirs), ("deletes", snap.delete_dirs)):
+        eq_dirs = [e["dir"] for e in snap.eq_deletes]
+        for kind, dirs in (
+            ("data", snap.data_dirs),
+            ("deletes", snap.delete_dirs),
+            ("eq-deletes", eq_dirs),
+        ):
             for d in dirs:
                 for path in sorted(
                     _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
@@ -958,7 +1065,8 @@ class LocalTable:
         parquet min/max stats stay narrow on ALL the listed columns).
         """
         cur = self.current_snapshot()
-        if not rewrite_all and len(cur.delete_dirs) < delete_file_threshold:
+        n_delete_files = len(cur.delete_dirs) + len(cur.eq_deletes)
+        if not rewrite_all and n_delete_files < delete_file_threshold:
             return cur
         merged = self._scan_raw(cur)  # keeps _row_id: lineage survives
         if zorder_by:
@@ -995,6 +1103,7 @@ class LocalTable:
         for s in self.snapshots():
             referenced.update(s.data_dirs)
             referenced.update(s.delete_dirs)
+            referenced.update(e["dir"] for e in s.eq_deletes)
         orphans = []
         for kind in ("data", "deletes"):
             base = os.path.join(self.root, kind)
@@ -1042,8 +1151,14 @@ class LocalTable:
         for s in survivors:
             referenced.update(s.data_dirs)
             referenced.update(s.delete_dirs)
+            referenced.update(e["dir"] for e in s.eq_deletes)
         for s in expired:
-            for d in list(s.data_dirs) + list(s.delete_dirs):
+            expired_dirs = (
+                list(s.data_dirs)
+                + list(s.delete_dirs)
+                + [e["dir"] for e in s.eq_deletes]
+            )
+            for d in expired_dirs:
                 if d not in referenced and os.path.exists(d):
                     shutil.rmtree(d)
         self._meta["snapshots"] = [s.to_json() for s in survivors]

@@ -294,3 +294,45 @@ def test_branch_write_audit_publish(spark, tmp_path):
     assert t.count() == 11
     t.drop_branch("audit")
     assert t.branches() == {}
+
+
+def test_equality_deletes_sequence_semantics(spark, tmp_path):
+    """Equality deletes (the streaming-CDC delete flavor): keys anti-join
+    only data committed BEFORE the delete — same-key rows inserted later
+    survive. Compaction materializes them away; bookkeeping (files,
+    expiry) tracks the eq-delete files."""
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    catalog = LocalCatalog(spark, str(tmp_path / "eq_wh"))
+    t = catalog.create_table("db", "eq", "id INT, v DOUBLE")
+    t.insert_values([(1, 1.0), (2, 2.0), (3, 3.0)])
+
+    # delete ids 1,2 by KEY — no table scan happens at write time
+    keys = spark.createDataFrame([(1,), (2,)], "id INT")
+    t.delete_by_keys(keys, ["id"])
+    assert {r.id for r in t.scan().collect()} == {3}
+
+    # re-insert id 2 AFTER the delete: newer sequence -> survives
+    t.insert_values([(2, 22.0)])
+    got = {r.id: r.v for r in t.scan().collect()}
+    assert got == {3: 3.0, 2: 22.0}
+
+    # files metadata sees the eq-delete file
+    kinds = {r.content for r in t.files().collect()}
+    assert "eq-deletes" in kinds
+
+    # positional + equality deletes compose: positional delete of id 3
+    t.delete_where("id = 3")
+    assert {r.id for r in t.scan().collect()} == {2}
+
+    # compaction materializes both delete flavors
+    t.rewrite_data_files(rewrite_all=True)
+    assert t.current_snapshot().eq_deletes == []
+    assert not t.current_snapshot().delete_dirs
+    got = {r.id: r.v for r in t.scan().collect()}
+    assert got == {2: 22.0}
+
+    # time travel to before compaction still applies eq deletes
+    pre_compact = t.snapshots()[-2].id
+    old = {r.id: r.v for r in t.scan(snapshot_id=pre_compact).collect()}
+    assert old == {2: 22.0}
