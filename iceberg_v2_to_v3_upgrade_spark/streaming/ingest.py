@@ -85,3 +85,53 @@ def stream_upsert_into_table(
     else:
         query = writer.start()
     return query
+
+
+def stream_cdc_into_table(
+    stream_df: DataFrame,
+    table: LocalTable,
+    keys: list[str],
+    checkpoint_dir: str,
+    op_col: str = "op",
+    order_col: str | None = None,
+    available_now: bool = True,
+):
+    """Full CDC apply: the stream carries an op column ('I'nsert /
+    'U'pdate / 'D'elete, debezium-style). Per micro-batch, the LAST op
+    per key wins (by ``order_col``); deletes land as EQUALITY delete
+    files (no table scan — the O(1)-write flavor built for exactly this),
+    upserts as one MERGE.
+
+    Two commits per batch worst-case (delete + merge), each snapshot-
+    versioned — the table's history is the applied changelog.
+    """
+    from pyspark.sql import Window, functions as F
+
+    def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df
+        if order_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+            b = (
+                b.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        dels = b.filter(F.col(op_col) == "D").select(*keys)
+        ups = b.filter(F.col(op_col) != "D").drop(op_col)
+        if not dels.isEmpty():
+            table.delete_by_keys(dels, keys)
+        if not ups.isEmpty():
+            table.merge_into(
+                ups, keys, when_matched="update", when_not_matched="insert"
+            )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+    else:
+        query = writer.start()
+    return query

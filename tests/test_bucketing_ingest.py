@@ -113,3 +113,56 @@ def test_stream_upsert_last_writer_wins(spark, tmp_path):
     # each applied batch is a snapshot: time travel sees the first state
     ops = [s.operation for s in final.snapshots()]
     assert ops.count("merge") == 2
+
+
+def test_stream_cdc_apply_with_deletes(spark, tmp_path):
+    """Op-aware CDC apply: I/U rows merge, D rows become equality
+    deletes; last op per key wins within a batch."""
+    import datetime
+    import time
+
+    from iceberg_v2_to_v3_upgrade_spark.streaming.ingest import (
+        stream_cdc_into_table,
+    )
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    d = datetime.datetime
+    landing = str(tmp_path / "cdc_landing")
+    schema = "user_id long, ts timestamp, value double, op string"
+    b1 = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 10), 10.0, "I"),
+            (2, d(2024, 1, 1, 10), 20.0, "I"),
+            (3, d(2024, 1, 1, 10), 30.0, "I"),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{landing}/b1")
+    time.sleep(1.1)
+    b2 = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 2, 9), 11.0, "U"),   # update 1
+            (2, d(2024, 1, 2, 9), 0.0, "D"),    # delete 2
+            (3, d(2024, 1, 2, 8), 31.0, "U"),   # superseded by later D
+            (3, d(2024, 1, 2, 9), 0.0, "D"),    # last op for 3 wins
+            (4, d(2024, 1, 2, 9), 40.0, "I"),   # new key
+        ],
+        schema,
+    )
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{landing}/b2")
+
+    catalog = LocalCatalog(spark, str(tmp_path / "cdc_wh"))
+    t = catalog.create_table("db", "cdc", "user_id long, ts timestamp, value double")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*")
+    )
+    stream_cdc_into_table(
+        stream, t, keys=["user_id"],
+        checkpoint_dir=str(tmp_path / "cdc_ckpt"), order_col="ts",
+    )
+
+    final = catalog.load_table("db", "cdc")
+    got = {r.user_id: r.value for r in final.scan().collect()}
+    assert got == {1: 11.0, 4: 40.0}
