@@ -212,6 +212,28 @@ class EngineSQL:
             sql, "drop_tag", message=f"dropped {m.group('tag')}"
         )
 
+    def _create_branch(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        snap = m.group("snap")
+        t.create_branch(m.group("branch"), int(snap) if snap else None)
+        return StatementResult(
+            sql, "create_branch", message=f"branch {m.group('branch')}"
+        )
+
+    def _drop_branch(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        t.drop_branch(m.group("branch"))
+        return StatementResult(
+            sql, "drop_branch", message=f"dropped {m.group('branch')}"
+        )
+
+    def _call_fast_forward(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        t.fast_forward(m.group("branch"))
+        return StatementResult(
+            sql, "fast_forward", message=f"published {m.group('branch')}"
+        )
+
     def _call_rollback(self, sql: str, m: re.Match) -> StatementResult:
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         snap = t.rollback_to_snapshot(int(m.group("snap")))
@@ -403,6 +425,29 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             re.IGNORECASE,
         ),
         EngineSQL._drop_tag,
+    ),
+    (
+        re.compile(
+            rf"ALTER TABLE {_NAME}\s+CREATE BRANCH\s+(?P<branch>{_IDENT})"
+            rf"(?:\s+AS OF VERSION\s+(?P<snap>\d+))?\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._create_branch,
+    ),
+    (
+        re.compile(
+            rf"ALTER TABLE {_NAME}\s+DROP BRANCH\s+(?P<branch>{_IDENT})\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._drop_branch,
+    ),
+    (
+        re.compile(
+            rf"CALL system\.fast_forward\s*\(\s*table\s*=>\s*'{_NAME}'\s*,"
+            rf"\s*branch\s*=>\s*'(?P<branch>{_IDENT})'\s*\)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._call_fast_forward,
     ),
     (
         re.compile(

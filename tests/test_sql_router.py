@@ -216,3 +216,34 @@ def test_tags_rollback_and_tag_time_travel(engine):
     # history preserved: rollback appended, nothing rewritten
     ops = [s.operation for s in t3.snapshots()]
     assert ops[-1] == "rollback" and "delete" in ops
+
+
+def test_branch_sql_surface(engine):
+    """Branch DDL + WAP publish through SQL: CREATE BRANCH, branch read
+    via VERSION AS OF, CALL system.fast_forward, DROP BRANCH."""
+    engine.execute(DEMO_PROGRAM)
+    res = engine.execute_one(
+        "ALTER TABLE glue_catalog.demo_db.v2_mor_demo CREATE BRANCH audit"
+    )
+    assert res.kind == "create_branch"
+    # stage a delete on the branch via the Python surface
+    t = engine.catalog.load_table("demo_db", "v2_mor_demo")
+    t.delete_where("id = 1", branch="audit")
+    assert engine.catalog.load_table("demo_db", "v2_mor_demo").count() == 7
+
+    staged = engine.execute_one(
+        "SELECT count(*) AS n FROM demo_db.v2_mor_demo VERSION AS OF 'audit'"
+    ).df.collect()[0]
+    assert staged.n == 6
+
+    res = engine.execute_one(
+        "CALL system.fast_forward(table => "
+        "'glue_catalog.demo_db.v2_mor_demo', branch => 'audit')"
+    )
+    assert res.kind == "fast_forward"
+    assert engine.catalog.load_table("demo_db", "v2_mor_demo").count() == 6
+
+    res = engine.execute_one(
+        "ALTER TABLE demo_db.v2_mor_demo DROP BRANCH audit"
+    )
+    assert res.kind == "drop_branch"
