@@ -266,12 +266,14 @@ class EngineSQL:
         return StatementResult(sql, "merge", message=f"snapshot {snap.id}")
 
     def _metadata_df(self, db: str, name: str, meta: str) -> DataFrame:
-        """Iceberg metadata tables: `db.t.snapshots|history|files`."""
+        """Iceberg metadata tables: `db.t.snapshots|history|files|partitions`."""
         t = self.catalog.load_table(db, name)
         if meta == "files":
             return t.files()
         if meta == "history":
             return t.history()
+        if meta == "partitions":
+            return t.partitions()
         snaps = t.snapshots()
         rows = [
             (
@@ -291,14 +293,15 @@ class EngineSQL:
     def _select(self, sql: str) -> StatementResult:
         """Register every catalog table as `<db>_<table>` view, rewrite
         qualified names (incl. `VERSION AS OF <n>` time travel and the
-        `db.t.snapshots|history|files` metadata tables), hand to Spark SQL
+        `db.t.snapshots|history|files|partitions` metadata tables), hand to
+        Spark SQL
         (full Catalyst path)."""
         rewritten = sql
         # metadata tables first — the plain-name rewrite below would
         # otherwise consume the `db.t` prefix of `db.t.files`
         for tm in re.finditer(
             rf"(?:{_IDENT}\.)?(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})"
-            rf"\.(?P<meta>snapshots|history|files)\b",
+            rf"\.(?P<meta>snapshots|history|files|partitions)\b",
             rewritten,
             re.IGNORECASE,
         ):

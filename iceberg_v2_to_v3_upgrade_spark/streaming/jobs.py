@@ -137,6 +137,26 @@ def click_purchase_attribution(
     )
 
 
+def dedup_events(
+    events: DataFrame, streaming: bool = False, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exact streaming deduplication by event_id (the N1 dedup twin for
+    streams — what an at-least-once ingestion pipeline runs first).
+
+    Streaming uses ``dropDuplicatesWithinWatermark``: dedup keys live in
+    the state store only until the watermark passes their event time, so
+    state is bounded by (arrival rate × watermark delay) — a plain
+    ``dropDuplicates`` on a stream retains every key forever and OOMs at
+    100 TB. Duplicates arriving within ``watermark`` of each other are
+    guaranteed to collapse; the batch twin is plain dropDuplicates.
+    """
+    if streaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
 # -------------------------------------------- custom stateful operator
 
 USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"

@@ -915,6 +915,63 @@ class LocalTable:
             rows or [], "content string, file_path string, file_size_bytes long"
         )
 
+    def partitions(self) -> DataFrame:
+        """Iceberg `table.partitions` metadata-table analog: per-partition
+        live record count plus data-file count and bytes.
+
+        Partition values come from the directory layout (`k=v` path
+        segments — including hidden-partitioning transform columns), so
+        file stats reflect the physical clustering; record_count is the
+        MoR-merged live row count, matching what a scan returns. File
+        stats are metadata-only (a directory walk, no data read); the
+        record counts are one groupBy over the merged scan.
+        """
+        import glob as _glob
+
+        spec = self._partition_spec()
+        names = [name for name, _ in spec]
+        snap = self.current_snapshot()
+        stats: dict[tuple, list[int]] = {}
+        for d in snap.data_dirs:
+            for path in _glob.glob(
+                os.path.join(d, "**", "*.parquet"), recursive=True
+            ):
+                rel = os.path.relpath(path, d)
+                vals = dict(
+                    seg.split("=", 1)
+                    for seg in rel.split(os.sep)[:-1]
+                    if "=" in seg
+                )
+                key = tuple(vals.get(n, "") for n in names)
+                s = stats.setdefault(key, [0, 0])
+                s[0] += 1
+                s[1] += os.path.getsize(path)
+        file_rows = [(*k, n, b) for k, (n, b) in sorted(stats.items())]
+        cols = "file_count int, total_data_file_size_bytes long"
+        if not names:
+            n_files, n_bytes = file_rows[0] if file_rows else (0, 0)
+            return self.spark.createDataFrame(
+                [(self.scan().count(), n_files, n_bytes)],
+                "record_count long, " + cols,
+            )
+        files_df = self.spark.createDataFrame(
+            file_rows or [],
+            ", ".join(f"{n} string" for n in names) + ", " + cols,
+        )
+        df = self.scan()
+        for name, expr in spec:
+            if expr is not None:
+                df = df.withColumn(name, expr)
+        counts = df.groupBy(
+            *[F.col(n).cast("string").alias(n) for n in names]
+        ).agg(F.count(F.lit(1)).alias("record_count"))
+        # full outer: a partition can be all-deleted (files but 0 live rows)
+        return (
+            counts.join(files_df, on=names, how="full_outer")
+            .na.fill({"record_count": 0, "file_count": 0})
+            .orderBy(*names)
+        )
+
     def count(self) -> int:
         return self.scan().count()
 

@@ -112,6 +112,22 @@ def test_partition_transforms_hidden_partitioning(spark, tmp_path):
     t.rewrite_data_files(rewrite_all=True)
     assert t.count() == 30
 
+    # partitions metadata table re-derives the transform columns and
+    # reports MoR-merged (post-delete) counts per directory tuple
+    parts = t.partitions().collect()
+    assert set(parts[0].asDict()) >= {"ts_day", "user_id_bucket",
+                                      "record_count", "file_count"}
+    assert sum(p.record_count for p in parts) == 30
+    day_counts: dict[str, int] = {}
+    for p in parts:
+        day_counts[p.ts_day] = day_counts.get(p.ts_day, 0) + p.record_count
+    want: dict[str, int] = {}
+    for r in rows:
+        if r[0] >= 10:
+            k = r[1].strftime("%Y-%m-%d")
+            want[k] = want.get(k, 0) + 1
+    assert day_counts == want
+
 
 def test_zorder_compaction_clusters_both_dimensions(spark, tmp_path):
     """OPTIMIZE ZORDER analog: after zorder_by compaction, each file

@@ -165,6 +165,18 @@ def test_metadata_tables(engine):
     kinds = {r.content: r.n for r in files}
     assert kinds.get("data", 0) > 0 and kinds.get("deletes", 0) > 0
 
+    parts = engine.execute_one(
+        "SELECT category, record_count, file_count "
+        "FROM glue_catalog.demo_db.v2_mor_demo.partitions ORDER BY category"
+    ).df.collect()
+    assert [r.category for r in parts] == [
+        "clothing", "electronics", "furniture",
+    ]
+    # reference arc: 10 inserted, 3 MoR-deleted -> 7 live rows, and the
+    # per-partition counts reflect the merged (post-delete) scan
+    assert sum(r.record_count for r in parts) == 7
+    assert all(r.file_count > 0 for r in parts)
+
 
 def test_tags_rollback_and_tag_time_travel(engine):
     """Iceberg refs: CREATE TAG pins a snapshot (survives expiry), SELECT

@@ -8,6 +8,7 @@ import pytest
 from iceberg_v2_to_v3_upgrade_spark.io import load_table
 from iceberg_v2_to_v3_upgrade_spark.streaming.jobs import (
     click_purchase_attribution,
+    dedup_events,
     read_event_stream,
     run_append_to_memory_sink,
     run_to_memory_sink,
@@ -199,3 +200,25 @@ def test_custom_stateful_running_totals(spark, landing_dir, tmp_path):
     for uid, (n, total) in want.items():
         assert got[uid][0] == n
         assert got[uid][1] == pytest.approx(total, abs=0.02)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """At-least-once ingestion replays the whole input; the streaming dedup
+    collapses every replayed event_id to one emitted row (== batch dedup),
+    with state bounded by the watermark rather than all-keys-forever."""
+    ev = load_table(spark, SF_SMALL, "events")
+    d = tmp_path / "dup_landing"
+    ev.repartition(2).write.mode("overwrite").parquet(str(d))
+    ev.repartition(3).write.mode("append").parquet(str(d))  # full replay
+
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=2)
+    # watermark far wider than the fixture's time span: every replayed
+    # duplicate is within-watermark, so the dedup guarantee is total
+    run_append_to_memory_sink(
+        dedup_events(stream, streaming=True, watermark="3650 days"),
+        "dedup_sink",
+        str(tmp_path / "ckpt_dedup"),
+    )
+    got = spark.table("dedup_sink").count()
+    batch = dedup_events(spark.read.parquet(str(d))).count()
+    assert got == batch == ev.count()
