@@ -164,6 +164,29 @@ class EngineSQL:
         t.set_properties(_parse_props(m.group("props")))
         return StatementResult(sql, "alter", message="properties updated")
 
+    def _alter_add_column(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        t.add_column(m.group("col"), m.group("dtype").strip())
+        return StatementResult(
+            sql, "alter", message=f"added column {m.group('col')}"
+        )
+
+    def _alter_drop_column(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        t.drop_column(m.group("col"))
+        return StatementResult(
+            sql, "alter", message=f"dropped column {m.group('col')}"
+        )
+
+    def _alter_rename_column(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        t.rename_column(m.group("old"), m.group("new"))
+        return StatementResult(
+            sql,
+            "alter",
+            message=f"renamed {m.group('old')} to {m.group('new')}",
+        )
+
     def _call_rewrite(self, sql: str, m: re.Match) -> StatementResult:
         db, table = m.group("db"), m.group("table")
         options = _parse_options_map(m.group("options") or "")
@@ -384,6 +407,29 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             re.IGNORECASE,
         ),
         EngineSQL._alter_props,
+    ),
+    (
+        re.compile(
+            rf"ALTER TABLE {_NAME}\s+ADD COLUMNS?\s*\(?\s*"
+            rf"(?P<col>{_IDENT})\s+(?P<dtype>[^)]+?)\s*\)?\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._alter_add_column,
+    ),
+    (
+        re.compile(
+            rf"ALTER TABLE {_NAME}\s+DROP COLUMN\s+(?P<col>{_IDENT})\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._alter_drop_column,
+    ),
+    (
+        re.compile(
+            rf"ALTER TABLE {_NAME}\s+RENAME COLUMN\s+(?P<old>{_IDENT})"
+            rf"\s+TO\s+(?P<new>{_IDENT})\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._alter_rename_column,
     ),
     (
         re.compile(

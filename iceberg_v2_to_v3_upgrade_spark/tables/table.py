@@ -638,7 +638,61 @@ class LocalTable:
         schema = self.spark.createDataFrame([], self.schema_ddl).schema
         if name in schema.fieldNames():
             raise TableError(f"column {name} already exists")
+        if any(
+            name in (r["from"], r["to"])
+            for r in self._meta.get("renames", [])
+        ):
+            # Iceberg disambiguates reused names via field ids; this
+            # emulation matches by physical name, so a reused name would
+            # collide with bytes written under the old meaning.
+            raise TableError(
+                f"column name {name} appears in the rename history; "
+                "pick a fresh name"
+            )
         self._meta["schema_ddl"] = f"{self.schema_ddl}, {name} {dtype}"
+        self._write_meta()
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN — metadata-only, no file rewrite.
+
+        Iceberg renames are free because files reference columns by field
+        id; this parquet emulation matches by name, so the table metadata
+        keeps a rename log keyed by commit sequence and the read path
+        resolves each data dir's physical column names from the log
+        (dirs encode their commit sequence in the `snap-NNNNN` dir name).
+        Old files keep serving their bytes under the new name; files
+        written after the rename carry the new name physically.
+        """
+        schema = self.spark.createDataFrame([], self.schema_ddl).schema
+        if old not in schema.fieldNames():
+            raise TableError(f"no column {old}")
+        if new in schema.fieldNames():
+            raise TableError(f"column {new} already exists")
+        if old in self.partition_by or any(
+            f"({old})" in spec or f" {old})" in spec
+            for spec in self.partition_by
+        ):
+            raise TableError(f"cannot rename partition column {old}")
+        if any(
+            new in (r["from"], r["to"])
+            for r in self._meta.get("renames", [])
+        ):
+            raise TableError(
+                f"column name {new} appears in the rename history; "
+                "pick a fresh name"
+            )
+        for s in self.snapshots():
+            if any(old in e["cols"] for e in s.eq_deletes):
+                raise TableError(
+                    f"cannot rename {old}: equality-delete files key on it"
+                )
+        self._meta["schema_ddl"] = ", ".join(
+            f"{new if f.name == old else f.name} {f.dataType.simpleString()}"
+            for f in schema
+        )
+        self._meta.setdefault("renames", []).append(
+            {"seq": self._meta["current_snapshot_id"], "from": old, "to": new}
+        )
         self._write_meta()
 
     def drop_column(self, name: str) -> None:
@@ -665,6 +719,41 @@ class LocalTable:
             + self._derived_partition_ddl()
         )
 
+    def _read_one_dir(self, d: str, ddl: str) -> DataFrame:
+        """Read one snapshot dir with an explicit schema, resolving any
+        column renames: a dir written at commit sequence s (from its
+        `snap-NNNNN` name) stores, for each current column, the name that
+        column had at sequence s (walk the rename log newest->oldest);
+        the read projects physical names back to current names. Pure
+        metadata resolution — the Iceberg field-id lookup, emulated."""
+        renames = self._meta.get("renames", [])
+        if renames:
+            m = re.search(r"snap-(\d+)", os.path.basename(d))
+            seq = int(m.group(1)) if m else 0
+            fields = [
+                (f.name, f.dataType.simpleString())
+                for f in self.spark.createDataFrame([], ddl).schema
+            ]
+            hist = []
+            changed = False
+            for name, dt in fields:
+                h = name
+                for r in reversed(renames):
+                    if r["to"] == h and seq <= r["seq"]:
+                        h = r["from"]
+                        changed = True
+                hist.append((h, name, dt))
+            if changed:
+                read_ddl = ", ".join(f"{h} {dt}" for h, _, dt in hist)
+                return (
+                    self.spark.read.schema(read_ddl)
+                    .option("basePath", d)
+                    .parquet(d)
+                    .select(*[F.col(h).alias(c) for h, c, _ in hist])
+                )
+        # per-dir basePath so identity-partition columns round-trip
+        return self.spark.read.schema(ddl).option("basePath", d).parquet(d)
+
     def _read_dirs(self, dirs: list[str], ddl: str) -> DataFrame | None:
         """Read snapshot dirs with an EXPLICIT schema: a zero-row
         partitioned write leaves a dir with no parquet files at all, and
@@ -672,14 +761,7 @@ class LocalTable:
         model test). With the schema given, empty dirs read as empty
         frames, and files written before an ADD COLUMN null-fill the
         missing column (schema evolution)."""
-        dfs = []
-        for d in dirs:
-            # per-dir basePath so identity-partition columns round-trip
-            dfs.append(
-                self.spark.read.schema(ddl)
-                .option("basePath", d)
-                .parquet(d)
-            )
+        dfs = [self._read_one_dir(d, ddl) for d in dirs]
         if not dfs:
             return None
         out = dfs[0]
@@ -696,10 +778,7 @@ class LocalTable:
             m = re.search(r"snap-(\d+)", os.path.basename(d))
             seq = int(m.group(1)) if m else 0
             dfs.append(
-                self.spark.read.schema(ddl)
-                .option("basePath", d)
-                .parquet(d)
-                .withColumn("_seq", F.lit(seq))
+                self._read_one_dir(d, ddl).withColumn("_seq", F.lit(seq))
             )
         if not dfs:
             return None

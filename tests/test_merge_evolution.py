@@ -110,6 +110,88 @@ def test_schema_evolution(spark, catalog, demo_table):
         )
 
 
+def test_rename_column_metadata_only(spark, catalog, demo_table):
+    """RENAME COLUMN never rewrites files: pre-rename files keep serving
+    their bytes under the new name (rename-log resolution standing in for
+    Iceberg field ids), post-rename writes carry the new physical name,
+    and compaction mixes both without changing results."""
+    import datetime
+    from decimal import Decimal
+
+    t = demo_table
+    before = {r.id: r.amount for r in t.scan().collect()}
+    n_before = len(before)
+
+    t.rename_column("amount", "price")
+    got = {r.id: r.price for r in t.scan().collect()}
+    assert got == before  # old bytes, new name — NOT null-filled
+    assert "amount" not in t.scan().columns
+
+    # writes after the rename use the new name physically
+    t.insert(
+        spark.createDataFrame(
+            [(21, "Product R", "furniture", Decimal("77.00"),
+              datetime.datetime(2026, 5, 1))],
+            DEMO_SCHEMA.replace("amount", "price"),
+        )
+    )
+    rows = {r.id: r.price for r in t.scan().collect()}
+    assert rows[21] == Decimal("77.00") and rows[1] == before[1]
+
+    # DML through the renamed column; compaction stays invisible
+    t.update_set({"price": "price * 2"}, "id = 21")
+    assert {r.price for r in t.scan().filter("id = 21").collect()} == {
+        Decimal("154.00")
+    }
+    pre = sorted(map(tuple, t.scan().collect()))
+    t.rewrite_data_files(rewrite_all=True)
+    assert sorted(map(tuple, t.scan().collect())) == pre
+    assert t.count() == n_before + 1
+
+    # chained rename after compaction still resolves
+    t.rename_column("price", "unit_price")
+    assert {r.id: r.unit_price for r in t.scan().collect()}[1] == before[1]
+
+    # guards: partition column, name reuse, unknown/duplicate names
+    with pytest.raises(TableError, match="partition"):
+        t.rename_column("category", "cat")
+    with pytest.raises(TableError, match="rename history"):
+        t.add_column("amount", "double")
+    with pytest.raises(TableError, match="rename history"):
+        t.rename_column("name", "price")
+    with pytest.raises(TableError, match="no column"):
+        t.rename_column("ghost", "g2")
+
+
+def test_schema_evolution_sql_surface(spark, catalog, demo_table):
+    """ALTER TABLE ADD/DROP/RENAME COLUMN through the SQL router."""
+    engine = EngineSQL(catalog)
+
+    def cols():  # reload: ALTER writes metadata, instances don't share it
+        return catalog.load_table("demo_db", "v2_mor_demo").scan().columns
+
+    engine.execute_one(
+        "ALTER TABLE demo_db.v2_mor_demo ADD COLUMN discount double"
+    )
+    assert "discount" in cols()
+    engine.execute_one(
+        "ALTER TABLE demo_db.v2_mor_demo RENAME COLUMN discount TO rebate"
+    )
+    assert "rebate" in cols()
+    engine.execute_one(
+        "ALTER TABLE demo_db.v2_mor_demo DROP COLUMN rebate"
+    )
+    assert "rebate" not in cols()
+    # renamed data column remains queryable through plain SELECT
+    engine.execute_one(
+        "ALTER TABLE demo_db.v2_mor_demo RENAME COLUMN amount TO price"
+    )
+    total = engine.execute_one(
+        "SELECT round(sum(price), 2) AS s FROM demo_db.v2_mor_demo"
+    ).df.collect()[0].s
+    assert total is not None and total > 0
+
+
 def test_merge_and_time_travel_sql(spark, catalog, demo_table):
     engine = EngineSQL(catalog)
     snap_before = demo_table.current_snapshot().id
