@@ -178,6 +178,15 @@ class EngineSQL:
             sql, "alter", message=f"dropped column {m.group('col')}"
         )
 
+    def _alter_column_type(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        t.widen_column(m.group("col"), m.group("dtype").strip())
+        return StatementResult(
+            sql,
+            "alter",
+            message=f"widened {m.group('col')} to {m.group('dtype').strip()}",
+        )
+
     def _alter_rename_column(self, sql: str, m: re.Match) -> StatementResult:
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         t.rename_column(m.group("old"), m.group("new"))
@@ -430,6 +439,14 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             re.IGNORECASE,
         ),
         EngineSQL._alter_rename_column,
+    ),
+    (
+        re.compile(
+            rf"ALTER TABLE {_NAME}\s+ALTER COLUMN\s+(?P<col>{_IDENT})"
+            rf"\s+TYPE\s+(?P<dtype>.+?)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._alter_column_type,
     ),
     (
         re.compile(

@@ -652,6 +652,44 @@ class LocalTable:
         self._meta["schema_ddl"] = f"{self.schema_ddl}, {name} {dtype}"
         self._write_meta()
 
+    _PROMOTIONS = {
+        "tinyint": {"smallint", "int", "bigint"},
+        "smallint": {"int", "bigint"},
+        "int": {"bigint"},
+        "float": {"double"},
+    }
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        """ALTER COLUMN ... TYPE — Iceberg type promotion (int->bigint,
+        float->double, decimal precision growth at fixed scale).
+
+        Metadata-only: Spark's vectorized parquet reader upcasts narrower
+        physical types to the declared read schema on the fly, so files
+        written before the promotion are never rewritten. Promotions
+        outside Iceberg's legal set are refused (they would silently
+        corrupt or fail at read time).
+        """
+        schema = self.spark.createDataFrame([], self.schema_ddl).schema
+        cur = None
+        for f in schema:
+            if f.name == name:
+                cur = f.dataType.simpleString()
+        if cur is None:
+            raise TableError(f"no column {name}")
+        new = new_type.strip().lower().replace(" ", "")
+        ok = new in self._PROMOTIONS.get(cur, set())
+        if not ok and cur.startswith("decimal(") and new.startswith("decimal("):
+            p1, s1 = map(int, cur[8:-1].split(","))
+            p2, s2 = map(int, new[8:-1].split(","))
+            ok = s2 == s1 and p2 > p1
+        if not ok:
+            raise TableError(f"illegal type promotion {cur} -> {new_type}")
+        self._meta["schema_ddl"] = ", ".join(
+            f"{f.name} {new if f.name == name else f.dataType.simpleString()}"
+            for f in schema
+        )
+        self._write_meta()
+
     def rename_column(self, old: str, new: str) -> None:
         """ALTER TABLE RENAME COLUMN — metadata-only, no file rewrite.
 

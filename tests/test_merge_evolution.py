@@ -192,6 +192,66 @@ def test_schema_evolution_sql_surface(spark, catalog, demo_table):
     assert total is not None and total > 0
 
 
+def test_widen_column_type_promotion(spark, catalog):
+    """Iceberg type promotion: int->bigint / float->double /
+    decimal(p,s)->decimal(p+,s) are metadata-only (the parquet reader
+    upcasts old narrow files); everything else is refused."""
+    t = catalog.create_table(
+        "db", "widen_t", "id INT, score FLOAT, total DECIMAL(8,2)"
+    )
+    from decimal import Decimal
+
+    t.insert(
+        spark.createDataFrame(
+            [(1, 1.5, Decimal("12.34")), (2, 2.5, Decimal("56.78"))],
+            "id int, score float, total decimal(8,2)",
+        )
+    )
+    t.widen_column("id", "bigint")
+    t.widen_column("score", "double")
+    t.widen_column("total", "decimal(14,2)")
+    got = {r.id: (r.score, r.total) for r in t.scan().collect()}
+    assert got == {1: (1.5, Decimal("12.34")), 2: (2.5, Decimal("56.78"))}
+    assert dict(t.scan().dtypes) == {
+        "id": "bigint", "score": "double", "total": "decimal(14,2)",
+    }
+
+    # a value only the widened types can hold, written post-promotion
+    t.insert(
+        spark.createDataFrame(
+            [(2**40, 3.5, Decimal("999999999999.99"))],
+            "id bigint, score double, total decimal(14,2)",
+        )
+    )
+    assert t.scan().filter(f"id = {2**40}").count() == 1
+
+    # compaction rewrites old narrow files into the wide schema, invisibly
+    pre = sorted(map(tuple, t.scan().collect()))
+    t.rewrite_data_files(rewrite_all=True)
+    assert sorted(map(tuple, t.scan().collect())) == pre
+
+    # widen composes with rename: old files resolve name AND upcast type
+    t.rename_column("score", "quality")
+    assert {r.id: r.quality for r in t.scan().collect()}[1] == 1.5
+
+    for col, bad in [
+        ("id", "int"),          # narrowing
+        ("quality", "float"),   # narrowing
+        ("total", "decimal(14,4)"),  # scale change
+        ("total", "string"),    # cross-family
+    ]:
+        with pytest.raises(TableError, match="illegal type promotion"):
+            t.widen_column(col, bad)
+
+    # SQL surface
+    engine = EngineSQL(catalog)
+    catalog.create_table("db", "widen_sql", "a INT, b FLOAT")
+    engine.execute_one("ALTER TABLE db.widen_sql ALTER COLUMN a TYPE bigint")
+    assert dict(catalog.load_table("db", "widen_sql").scan().dtypes)["a"] == (
+        "bigint"
+    )
+
+
 def test_merge_and_time_travel_sql(spark, catalog, demo_table):
     engine = EngineSQL(catalog)
     snap_before = demo_table.current_snapshot().id
