@@ -1,7 +1,8 @@
 """Property-based model test for the mutable-table module (§2.I).
 
 Hypothesis drives random DML programs (insert / MoR delete / MoR update /
-compaction / snapshot expiry / V2->V3 upgrade) against a ``LocalTable``
+compaction / snapshot expiry / V2->V3 upgrade / rename column / widen
+column) against a ``LocalTable``
 and an in-memory list-of-rows model applying the same relational
 semantics. After every operation the table scan must equal the model —
 including straight through compaction (invisible by contract) and the
@@ -43,9 +44,14 @@ _update = st.tuples(st.just("update"), st.sampled_from(CATEGORIES))
 _compact = st.tuples(st.just("compact"), st.none())
 _expire = st.tuples(st.just("expire"), st.none())
 _upgrade = st.tuples(st.just("upgrade"), st.none())
+_rename = st.tuples(st.just("rename"), st.none())
+_widen = st.tuples(st.just("widen"), st.none())
 
 _program = st.lists(
-    st.one_of(_insert, _delete, _update, _compact, _expire, _upgrade),
+    st.one_of(
+        _insert, _delete, _update, _compact, _expire, _upgrade,
+        _rename, _widen,
+    ),
     min_size=3,
     max_size=7,
 )
@@ -63,14 +69,13 @@ def _apply_model(model: list[dict], op: str, arg) -> None:
         for r in model:
             if r["category"] == arg:
                 r["amount"] = round(r["amount"] + 1.5, 2)
-    # compact / expire / upgrade: semantically invisible
+    # compact / expire / upgrade / rename / widen: semantically invisible
+    # (rename/widen change only the schema, never row values)
 
 
-def _table_rows(t) -> list[tuple]:
-    return sorted(
-        (r.id, r.category, round(r.amount, 2))
-        for r in t.scan().select("id", "category", "amount").collect()
-    )
+def _table_rows(t, amount_col: str) -> list[tuple]:
+    rows = t.scan().select("id", "category", amount_col).collect()
+    return sorted((r.id, r.category, round(r[amount_col], 2)) for r in rows)
 
 
 def _model_rows(model: list[dict]) -> list[tuple]:
@@ -101,6 +106,8 @@ def test_random_dml_program_matches_model(spark, tmp_path_factory, program):
         },
     )
     model: list[dict] = []
+    amount_col = "amount"
+    n_renames = 0
     for op, arg in program:
         if op == "insert":
             t.insert_values(
@@ -112,7 +119,7 @@ def test_random_dml_program_matches_model(spark, tmp_path_factory, program):
             )
         elif op == "update":
             t.update_set(
-                {"amount": "round(amount + 1.5, 2)"},
+                {amount_col: f"round({amount_col} + 1.5, 2)"},
                 f"category = '{arg}'",
             )
         elif op == "compact":
@@ -123,8 +130,16 @@ def test_random_dml_program_matches_model(spark, tmp_path_factory, program):
             )
         elif op == "upgrade":
             t.set_properties({"format-version": "3"})
+        elif op == "rename":
+            n_renames += 1
+            new = f"amount_v{n_renames}"
+            t.rename_column(amount_col, new)
+            amount_col = new
+        elif op == "widen":
+            if dict(t.scan().dtypes)["id"] == "int":
+                t.widen_column("id", "bigint")
         _apply_model(model, op, arg)
-        assert _table_rows(t) == _model_rows(model), (
+        assert _table_rows(t, amount_col) == _model_rows(model), (
             f"divergence after {op} in program {program}"
         )
     if t.format_version == 3:
