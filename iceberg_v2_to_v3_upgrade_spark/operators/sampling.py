@@ -1,0 +1,97 @@
+"""[EXT] Deterministic sampling and dataset splitting over ``documents``
+(SURVEY.md §2.N — corpus-curation surface; no reference counterpart, the
+reference is a table-migration tool).
+
+A training-data pipeline needs REPRODUCIBLE corpus subsets: the keep/split
+decision must be a pure function of the row key — not of partitioning,
+executor count, or row order (``df.sample()`` is none of those, and its
+results change under AQE re-planning). Hash-bucketing the key with md5
+gives a uniform, engine-independent bucket per row: Spark and DuckDB
+produce identical md5 hex, so both operators are fully oracle-checkable.
+
+Scale posture: one scan, the bucket expression is a pure per-row
+projection inside whole-stage codegen (no UDF, no shuffle until the final
+small aggregate), and adding executors never changes which rows are
+sampled — the property that makes a 100 TB re-run auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+
+def hash_bucket(key: Column) -> Column:
+    """First two md5 hex chars of the key — 256 uniform buckets, ordered
+    lexicographically (hex strings compare like their numeric value)."""
+    return F.substring(F.md5(key.cast("string")), 1, 2)
+
+
+@declare(
+    "n11_stratified_sample",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_sampled,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        GROUP BY lang ORDER BY lang
+    """,
+    tags=("ext", "sampling"),
+)
+def n11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic corpus sample (26/256 hash buckets), reported
+    per language. Same rows on every run, every cluster size, and in
+    every engine — unlike rand()/df.sample()."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(hash_bucket(F.col("doc_id")) < "1a")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@declare(
+    "n12_train_val_test_split",
+    oracle="""
+        SELECT CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                   THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               lang,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars
+        FROM documents
+        GROUP BY split, lang ORDER BY split, lang
+    """,
+    tags=("ext", "sampling"),
+)
+def n12_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment by key hash
+    (buckets [0,0xcc) / [0xcc,0xe6) / [0xe6,0x100)), summarized per
+    split x language. Membership is stable across re-runs and engines,
+    so downstream training jobs can recompute the split instead of
+    materializing membership tables."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
