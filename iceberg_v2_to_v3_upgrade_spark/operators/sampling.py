@@ -18,6 +18,7 @@ sampled — the property that makes a 100 TB re-run auditable.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from iceberg_v2_to_v3_upgrade_spark.io import load_table
 from iceberg_v2_to_v3_upgrade_spark.registry import declare
@@ -94,4 +95,59 @@ def n12_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
         .orderBy("split", "lang")
+    )
+
+
+@declare(
+    "n13_sequence_packing",
+    oracle="""
+        WITH sized AS (
+            SELECT lang, doc_id,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), offs AS (
+            SELECT lang, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) - n_tokens AS start_offset
+            FROM sized
+        )
+        SELECT lang,
+               CAST(floor(start_offset / 4096.0) AS BIGINT) AS bin,
+               count(*) AS n_docs,
+               sum(n_tokens) AS bin_tokens
+        FROM offs
+        GROUP BY lang, bin ORDER BY lang, bin
+    """,
+    tags=("ext", "sampling", "packing"),
+)
+def n13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the shard-building step before training: assign
+    documents to contiguous 4096-token bins per language (a doc belongs
+    to the bin its starting offset falls in, the standard streaming
+    packer; a boundary-spanning doc overflows its bin by < 1 doc).
+
+    Deterministic (ordered by doc_id), and ONE window shuffle keyed by
+    the stratum — each language packs independently, so at 100 TB the
+    cumsum parallelizes across strata instead of serializing the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        sized.withColumn("bin", F.floor(start / F.lit(4096.0)))
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin")
     )
