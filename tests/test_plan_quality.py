@@ -101,3 +101,32 @@ def test_single_shuffle_for_simple_agg(spark, registry):
     n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", p)))
     assert n_exchanges <= 2, f"q1 has {n_exchanges} exchanges"
     assert "partial" in p  # map-side combine present
+
+
+def test_sampling_is_scan_side(spark, registry):
+    """The deterministic-sampling predicate is a pure projection-side
+    filter over one scan — no join, no extra exchange beyond the final
+    aggregate, and the scan reads only the referenced columns."""
+    import re
+
+    p = plan(spark, registry, "n11_stratified_sample")
+    assert "Join" not in p
+    n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    assert n_exchanges <= 2, f"n11 has {n_exchanges} exchanges"
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in read_schema  # samples on doc_id, never reads text
+
+
+def test_sequence_packing_single_window_shuffle(spark, registry):
+    """n13 must pack with ONE window shuffle keyed by the stratum (plus
+    the final agg/order exchanges) — a global-sort formulation would
+    serialize the corpus through one partition at 100 TB."""
+    import re
+
+    p = plan(spark, registry, "n13_sequence_packing")
+    assert "Window" in p
+    n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    assert n_exchanges <= 3, f"n13 has {n_exchanges} exchanges"
+    # the window partitions by lang — hashpartitioning, not a range sort
+    # of the whole corpus
+    assert "hashpartitioning(lang" in p
