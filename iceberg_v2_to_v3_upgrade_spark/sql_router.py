@@ -116,6 +116,45 @@ class EngineSQL:
         )
         return StatementResult(sql, "create_table", message=f"created {db}.{table}")
 
+    def _create_table_as_select(self, sql: str, m: re.Match) -> StatementResult:
+        """CTAS: schema inferred from the SELECT, then a regular append —
+        so the new table gets the same snapshot/MoR machinery as DDL ones."""
+        db, table = m.group("db"), m.group("table")
+        partition = m.group("partition")
+        df = self._select(m.group("select")).df
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        )
+        t = self.catalog.create_table(
+            db,
+            table,
+            ddl,
+            partition_by=_split_top_level(partition) if partition else None,
+        )
+        snap = t.insert(df)
+        return StatementResult(
+            sql, "ctas", message=f"created {db}.{table} snapshot {snap.id}"
+        )
+
+    def _insert_select(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        df = self._select(m.group("select")).df
+        target = self.spark.createDataFrame([], t.schema_ddl).schema
+        if len(df.columns) != len(target):
+            raise TableError(
+                f"INSERT arity {len(df.columns)} != schema {len(target)}"
+            )
+        aligned = df.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, target)
+            ]
+        )
+        snap = t.insert(aligned)
+        return StatementResult(
+            sql, "insert", message=f"appended snapshot {snap.id}"
+        )
+
     def _drop_table(self, sql: str, m: re.Match) -> StatementResult:
         dropped = self.catalog.drop_table(
             m.group("db"), m.group("table"), if_exists=bool(m.group("ifex"))
@@ -387,6 +426,16 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
     ),
     (
         re.compile(
+            rf"CREATE TABLE {_NAME}"
+            rf"(?:\s+USING iceberg)?"
+            rf"(?:\s+PARTITIONED BY \((?P<partition>[^)]*)\))?"
+            rf"\s+AS\s+(?P<select>SELECT\b.+)$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._create_table_as_select,
+    ),
+    (
+        re.compile(
             rf"DROP TABLE (?P<ifex>IF EXISTS )?{_NAME}\s*$", re.IGNORECASE
         ),
         EngineSQL._drop_table,
@@ -396,6 +445,12 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             rf"INSERT INTO {_NAME}\s+VALUES\s+(?P<values>.+)$", re.IGNORECASE
         ),
         EngineSQL._insert_values,
+    ),
+    (
+        re.compile(
+            rf"INSERT INTO {_NAME}\s+(?P<select>SELECT\b.+)$", re.IGNORECASE
+        ),
+        EngineSQL._insert_select,
     ),
     (
         re.compile(

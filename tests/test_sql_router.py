@@ -259,3 +259,35 @@ def test_branch_sql_surface(engine):
         "ALTER TABLE demo_db.v2_mor_demo DROP BRANCH audit"
     )
     assert res.kind == "drop_branch"
+
+
+def test_ctas_and_insert_select(engine):
+    """CREATE TABLE ... AS SELECT and INSERT INTO ... SELECT: the derived
+    table is a first-class mutable table (snapshots, MoR DML work on it)."""
+    engine.execute(DEMO_PROGRAM)
+
+    def count(table, pred=""):
+        return engine.execute_one(
+            f"SELECT count(*) AS n FROM demo_db.{table} {pred}"
+        ).df.collect()[0].n
+
+    res = engine.execute_one(
+        "CREATE TABLE demo_db.electronics_only PARTITIONED BY (category) AS "
+        "SELECT * FROM demo_db.v2_mor_demo WHERE category = 'electronics'"
+    )
+    assert res.kind == "ctas"
+    n_elec = count("v2_mor_demo", "WHERE category = 'electronics'")
+    assert count("electronics_only") == n_elec > 0
+
+    engine.execute_one(
+        "INSERT INTO demo_db.electronics_only "
+        "SELECT * FROM demo_db.v2_mor_demo WHERE category = 'clothing'"
+    )
+    n_cloth = count("v2_mor_demo", "WHERE category = 'clothing'")
+    assert count("electronics_only") == n_elec + n_cloth
+
+    # MoR DML on the derived table
+    engine.execute_one(
+        "DELETE FROM demo_db.electronics_only WHERE category = 'clothing'"
+    )
+    assert count("electronics_only") == n_elec
