@@ -116,6 +116,34 @@ class EngineSQL:
         )
         return StatementResult(sql, "create_table", message=f"created {db}.{table}")
 
+    def _truncate(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        snap = t.delete_where("true")
+        return StatementResult(sql, "truncate", message=f"snapshot {snap.id}")
+
+    def _show_tables(self, sql: str, m: re.Match) -> StatementResult:
+        rows = [
+            (m.group("dbname"), i["name"], str(i.get("format_version", "")))
+            for i in self.catalog.list_tables(m.group("dbname"))
+        ]
+        return StatementResult(
+            sql,
+            "show_tables",
+            df=self.spark.createDataFrame(
+                rows or [],
+                "namespace string, tableName string, format_version string",
+            ),
+        )
+
+    def _show_tblproperties(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        rows = sorted(t.properties.items())
+        return StatementResult(
+            sql,
+            "show_tblproperties",
+            df=self.spark.createDataFrame(rows or [], "key string, value string"),
+        )
+
     def _create_table_as_select(self, sql: str, m: re.Match) -> StatementResult:
         """CTAS: schema inferred from the SELECT, then a regular append —
         so the new table gets the same snapshot/MoR machinery as DDL ones."""
@@ -531,6 +559,23 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
     (
         re.compile(rf"DESCRIBE (?:TABLE )?{_NAME}\s*$", re.IGNORECASE),
         EngineSQL._describe,
+    ),
+    (
+        re.compile(rf"TRUNCATE TABLE {_NAME}\s*$", re.IGNORECASE),
+        EngineSQL._truncate,
+    ),
+    (
+        re.compile(
+            rf"SHOW TABLES (?:IN|FROM)\s+(?:{_IDENT}\.)?(?P<dbname>{_IDENT})\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._show_tables,
+    ),
+    (
+        re.compile(
+            rf"SHOW TBLPROPERTIES\s+{_NAME}\s*$", re.IGNORECASE
+        ),
+        EngineSQL._show_tblproperties,
     ),
     (
         re.compile(

@@ -291,3 +291,27 @@ def test_ctas_and_insert_select(engine):
         "DELETE FROM demo_db.electronics_only WHERE category = 'clothing'"
     )
     assert count("electronics_only") == n_elec
+
+
+def test_truncate_and_show_statements(engine):
+    """TRUNCATE TABLE + SHOW TABLES / SHOW TBLPROPERTIES."""
+    engine.execute(DEMO_PROGRAM)
+    tables = engine.execute_one("SHOW TABLES IN demo_db").df.collect()
+    assert [(r.tableName, r.format_version) for r in tables] == [
+        ("v2_mor_demo", "2")
+    ]
+    props = {
+        r.key: r.value
+        for r in engine.execute_one(
+            "SHOW TBLPROPERTIES glue_catalog.demo_db.v2_mor_demo"
+        ).df.collect()
+    }
+    assert props["write.delete.mode"] == "merge-on-read"
+
+    res = engine.execute_one("TRUNCATE TABLE glue_catalog.demo_db.v2_mor_demo")
+    assert res.kind == "truncate"
+    assert engine.catalog.load_table("demo_db", "v2_mor_demo").count() == 0
+    # truncation is a snapshot like any other: time travel still sees rows
+    t = engine.catalog.load_table("demo_db", "v2_mor_demo")
+    prev = t.snapshots()[-2].id
+    assert t.scan(snapshot_id=prev).count() == 7
