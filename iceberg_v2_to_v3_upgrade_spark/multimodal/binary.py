@@ -209,3 +209,159 @@ def m1_binary_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("orig_bytes", LongType()),
+        StructField("thumb_bytes", LongType()),
+    ]
+)
+
+
+def resize_binary(assets: DataFrame, target_bytes: int = 4096) -> DataFrame:
+    """Resize/thumbnail plumbing: binary in -> smaller binary out, one row
+    per asset, partition-preserving (the shape of an image-resize stage).
+    STUB: "resizing" truncates the real payload to ``target_bytes``; a
+    production codec decodes, resamples, and re-encodes — same batch
+    shape, schema, and (no-)shuffle profile.
+    """
+
+    def _resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            thumbs = pdf["payload"].map(lambda b: b[:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "orig_bytes": pdf["payload"].map(len).astype("int64"),
+                    "thumb_bytes": thumbs.map(len).astype("int64"),
+                }
+            )
+
+    n = assets.sparkSession.sparkContext.defaultParallelism
+    return (
+        assets.select("doc_id", "source", "payload")
+        .repartition(n)
+        .mapInPandas(_resize, RESIZE_SCHEMA)
+    )
+
+
+@declare(
+    "m3_resize_stats",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, source, octet_length(encode(text)) AS n
+            FROM documents)
+        SELECT source,
+               count(*) AS n_assets,
+               sum(least(n, 4096)) AS total_thumb_bytes,
+               sum(CASE WHEN n > 4096 THEN 1 ELSE 0 END) AS n_shrunk
+        FROM b GROUP BY source ORDER BY source
+    """,
+    tags=("ext", "multimodal", "pandas-udf"),
+)
+def m3_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail pipeline: payload -> 4 KiB-capped resize -> per-source
+    accounting. The oracle reproduces the truncation arithmetic on octet
+    lengths, so the Python resize stage is hash-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_binary(with_binary_payload(docs))
+    return (
+        resized.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("thumb_bytes").alias("total_thumb_bytes"),
+            F.sum(
+                (F.col("orig_bytes") > F.col("thumb_bytes")).cast("long")
+            ).alias("n_shrunk"),
+        )
+        .orderBy("source")
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("bucket", IntegerType()),
+        StructField("n_in_bucket", LongType()),
+    ]
+)
+
+
+def extract_byte_histogram(assets: DataFrame, n_buckets: int = 8) -> DataFrame:
+    """Feature-extraction plumbing: binary in -> fixed-dimension vector
+    out (emitted as (bucket, count) pairs). The stub feature is a real
+    computation over the payload BYTES — an ``n_buckets``-bin byte-value
+    histogram via numpy — standing in for an embedding model forward
+    pass; batch shape (Arrow in, vectorized kernel, fan-out rows) is the
+    production dataflow.
+    """
+
+    def _extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        width = 256 // n_buckets
+        for pdf in batches:
+            ids, srcs, buckets, counts = [], [], [], []
+            for doc_id, source, payload in zip(
+                pdf["doc_id"], pdf["source"], pdf["payload"]
+            ):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr // width, minlength=n_buckets)
+                for b in range(n_buckets):
+                    if hist[b]:
+                        ids.append(doc_id)
+                        srcs.append(source)
+                        buckets.append(b)
+                        counts.append(int(hist[b]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "source": pd.Series(srcs, dtype="object"),
+                    "bucket": pd.Series(buckets, dtype="int32"),
+                    "n_in_bucket": pd.Series(counts, dtype="int64"),
+                }
+            )
+
+    n = assets.sparkSession.sparkContext.defaultParallelism
+    return (
+        assets.select("doc_id", "source", "payload")
+        .repartition(n)
+        .mapInPandas(_extract, FEATURE_SCHEMA)
+    )
+
+
+@declare(
+    "m4_feature_extract",
+    oracle="""
+        WITH chars AS (
+            SELECT source, unnest(string_split(text, '')) AS ch
+            FROM documents)
+        SELECT source,
+               CAST(ascii(ch) // 32 AS INTEGER) AS bucket,
+               count(*) AS n_in_bucket
+        FROM chars
+        GROUP BY source, bucket ORDER BY source, bucket
+    """,
+    tags=("ext", "multimodal", "pandas-udf"),
+)
+def m4_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction end-to-end: payload bytes -> 8-bin byte
+    histogram per asset (the embedding-model stand-in) -> per-source
+    feature totals. The oracle recomputes the histogram from character
+    codepoints (== bytes for this ASCII fixture), hash-checking the
+    numpy kernel and the fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_byte_histogram(with_binary_payload(docs))
+    return (
+        feats.groupBy("source", "bucket")
+        .agg(F.sum("n_in_bucket").alias("n_in_bucket"))
+        .orderBy("source", "bucket")
+    )
