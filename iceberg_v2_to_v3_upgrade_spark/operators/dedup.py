@@ -377,3 +377,97 @@ def n2d_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .orderBy("doc_a", "doc_b")
     )
+
+
+_CLUSTER_ORACLE = """
+    WITH RECURSIVE d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+        FROM d, unnest(range(greatest(len(w) - 2, 0))) AS t(i)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    np AS (
+        SELECT p.doc_a, p.doc_b
+        FROM cand p
+        JOIN sz x ON x.doc_id = p.doc_a
+        JOIN sz y ON y.doc_id = p.doc_b
+        WHERE p.common * 1.0 / (x.n + y.n - p.common) >= 0.8),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS t FROM np
+        UNION ALL SELECT doc_b, doc_a FROM np),
+    reach(doc, r) AS (
+        SELECT DISTINCT s AS doc, s AS r FROM edges
+        UNION
+        SELECT e.s, reach.r FROM edges e JOIN reach ON reach.doc = e.t)
+    SELECT doc AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY doc ORDER BY doc_id
+"""
+
+
+@declare(
+    "n2f_dedup_clusters",
+    oracle=_CLUSTER_ORACLE,
+    tags=("ext", "dedup", "clustering", "iterative"),
+)
+def n2f_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step that
+    turns pairwise matches into dedup DECISIONS (cluster id = min doc_id
+    of the component; everything else in the cluster is droppable).
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels; converged when no
+    label changes (checked with a 1-row count, the only driver-side
+    data). Rounds needed = graph diameter — near-dup components are
+    tiny chains, so this is 2-4 rounds in practice; each round is one
+    shuffle keyed by vertex, never materializing the transitive closure
+    (which the DuckDB recursive-CTE oracle happily does at test scale —
+    exactly the formulation that cannot scale, which is why the engine
+    side iterates instead).
+    """
+    pairs = n2b_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(20):  # cap >> any real diameter; loop exits on converge
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            labels.withColumnRenamed("label", "old")
+            .join(new_labels, "doc_id")
+            .filter(F.col("old") != F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
