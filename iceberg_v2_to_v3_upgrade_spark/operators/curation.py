@@ -1,0 +1,278 @@
+"""[EXT] Training-corpus curation operators (SURVEY.md §2.N follow-ons).
+
+Document chunking, Gopher-style repetition filtering, and numeric-shape
+redaction — the preprocessing steps a large-scale LLM data pipeline runs
+between raw-corpus ingest and tokenization — plus two relational breadth
+ops (broadcast range join, unpivot/melt) the star-schema surface lacked.
+
+Scale posture: chunking is embarrassingly parallel array math (zero
+shuffle); repetition scoring shuffles twice but both exchanges are keyed
+on (doc_id[, bigram]) so they distribute evenly — per-doc state is bounded
+by document length, never corpus size. The range join broadcasts the tiny
+band table (BroadcastNestedLoopJoin over 4 rows) instead of shuffling the
+fact side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+# Chunking geometry: 64-token chunks every 48 tokens (16-token overlap) —
+# the classic sliding-context-window layout for LM pretraining shards.
+_CHUNK, _STRIDE = 64, 48
+
+
+@declare(
+    "n14_doc_chunking",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        s AS (
+            SELECT doc_id, words,
+                   unnest(range(0, greatest(len(words), 1), {_STRIDE})) AS start
+            FROM w)
+        SELECT doc_id,
+               start // {_STRIDE} AS chunk_id,
+               len(list_slice(words, start + 1, start + {_CHUNK}))
+                   AS n_chunk_tokens,
+               md5(array_to_string(
+                   list_slice(words, start + 1, start + {_CHUNK}), ' '))
+                   AS chunk_hash
+        FROM s ORDER BY doc_id, chunk_id
+    """,
+    tags=("ext", "text", "chunking"),
+)
+def n14_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking of documents into fixed-size
+    token chunks (64 tokens, stride 48) — one output row per chunk with a
+    content hash, the shard layout an LM pretraining pipeline feeds to the
+    tokenizer.
+
+    Pure array expressions + one posexplode: per-document work only, no
+    shuffle, so throughput scales with input splits. The chunk text itself
+    is reduced to md5 before leaving the executor — at 100 TB you ship
+    hashes to the verifier, not chunks."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("w") - 1, F.lit(0)), F.lit(_STRIDE)
+    )
+    chunk = F.expr(f"slice(w, start + 1, {_CHUNK})")
+    return (
+        docs.select("doc_id", "w", F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@declare(
+    "n4g_repetition_filter",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        b AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(words)),
+                          i -> words[i] || ' ' || words[i + 1])) AS bigram
+            FROM w WHERE len(words) >= 2),
+        g AS (
+            SELECT doc_id, bigram, count(*) AS c
+            FROM b GROUP BY doc_id, bigram)
+        SELECT doc_id,
+               sum(c) AS n_bigrams,
+               count(*) AS distinct_bigrams,
+               max(c) AS top_bigram_n,
+               round(max(c)::DOUBLE / sum(c), 6) AS top_share,
+               (max(c)::DOUBLE / sum(c)) > 0.05 AS is_repetitive
+        FROM g GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("ext", "text", "quality"),
+)
+def n4g_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: per document, the share of
+    all word-bigrams taken by the single most frequent bigram; documents
+    above 5% are flagged repetitive (boilerplate / template spam).
+
+    Two keyed shuffles — (doc_id, bigram) then doc_id — both bounded by
+    per-document length, so no key ever exceeds ~n_tokens rows and the
+    plan is skew-safe at corpus scale. The bigram array is built in its
+    own projection (materialized `w`) to stay clear of the nested-HOF
+    re-evaluation trap."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("w", i), F.element_at("w", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_bigram = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    share = F.col("top_bigram_n") / F.col("n_bigrams")
+    return (
+        per_bigram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("distinct_bigrams"),
+            F.max("c").alias("top_bigram_n"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "distinct_bigrams",
+            "top_bigram_n",
+            F.round(share, 6).alias("top_share"),
+            (share > 0.05).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declare(
+    "n4h_numeric_redaction",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(len(regexp_extract_all(props, '[0-9]+'))) AS n_digit_runs,
+               sum(list_sum(list_transform(
+                   regexp_extract_all(props, '[0-9]+'),
+                   x -> x::BIGINT))) AS digit_value_sum,
+               count(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g'))
+                   AS distinct_shapes
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("ext", "text", "redaction"),
+)
+def n4h_numeric_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric redaction / payload-shape analysis over event props: strip
+    digit runs to '#', count and sum the redacted values, and count the
+    distinct structural shapes that remain — the PII-scrub + schema-drift
+    probe a production event pipeline runs before retention.
+
+    `[0-9]+` parses identically under Java regex (Spark) and RE2 (DuckDB),
+    keeping the oracle cross-engine exact. One aggregate shuffle keyed on
+    event_type; everything else is codegen'd string work at the scan."""
+    events = load_table(spark, sf_dir, "events")
+    runs = F.expr("regexp_extract_all(props, '[0-9]+', 0)")
+    return (
+        events.select(
+            "event_type",
+            F.size(runs).alias("n_runs"),
+            F.aggregate(
+                runs,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x.cast("long"),
+            ).alias("run_sum"),
+            F.regexp_replace("props", "[0-9]+", "#").alias("shape"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("n_runs").alias("n_digit_runs"),
+            F.sum("run_sum").alias("digit_value_sum"),
+            F.countDistinct("shape").alias("distinct_shapes"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_BANDS = [
+    ("1_low", 0.0, 20_000.0),
+    ("2_mid", 20_000.0, 40_000.0),
+    ("3_high", 40_000.0, 60_000.0),
+    ("4_lux", 60_000.0, 1e12),
+]
+_BANDS_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
+
+
+@declare(
+    "c10_range_join",
+    oracle=f"""
+        SELECT band,
+               count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        JOIN (VALUES {_BANDS_SQL}) AS bands(band, lo, hi)
+          ON l_extendedprice >= lo AND l_extendedprice < hi
+        GROUP BY band ORDER BY band
+    """,
+    tags=("join", "range"),
+)
+def c10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: classify every lineitem into a price band via a
+    non-equi interval join against a tiny broadcast band table, then
+    aggregate per band.
+
+    The band side is 4 rows, so the only sane physical plan is a broadcast
+    nested-loop join — the fact table streams through without a shuffle
+    and the predicate stays in whole-stage codegen. (A shuffle-based plan
+    on a non-equi condition would be a cartesian disaster at scale.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+@declare(
+    "d9_unpivot",
+    oracle="""
+        WITH a AS (
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        UNION ALL
+        SELECT l_returnflag, 'sum_base_price', sum_base_price FROM a
+        UNION ALL
+        SELECT l_returnflag, 'avg_disc', avg_disc FROM a
+        ORDER BY l_returnflag, metric
+    """,
+    tags=("agg", "unpivot"),
+)
+def d9_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt: wide per-flag aggregate → long (flag, metric, value)
+    rows, the normalized layout metric stores and plotting layers want.
+
+    The unpivot itself is a zero-shuffle Expand (each input row fans out
+    to 3 output rows locally); the only exchange is the 3-group aggregate
+    before it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_base_price", "avg_disc"],
+        "metric",
+        "value",
+    ).orderBy("l_returnflag", "metric")

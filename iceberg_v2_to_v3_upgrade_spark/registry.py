@@ -59,6 +59,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         tpch_extra2,
         advanced2,
         sampling,
+        curation,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
