@@ -130,3 +130,51 @@ def test_sequence_packing_single_window_shuffle(spark, registry):
     # the window partitions by lang — hashpartitioning, not a range sort
     # of the whole corpus
     assert "hashpartitioning(lang" in p
+
+
+def test_chunking_is_shuffle_free(spark, registry):
+    """n14 chunking must be a scan -> Generate (posexplode) pipeline with
+    no exchange except the deterministic display sort, and must read only
+    (doc_id, text) — chunk hashing happens before anything leaves the
+    executor."""
+    import re
+
+    p = plan(spark, registry, "n14_doc_chunking")
+    assert "Generate" in p
+    n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    assert n_exchanges <= 1, f"n14 has {n_exchanges} exchanges"
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "struct<doc_id:bigint,text:string>" in read_schema
+
+
+def test_range_join_broadcasts_band_table(spark, registry):
+    """c10's non-equi interval join must broadcast the 4-row band side
+    (BroadcastNestedLoopJoin) — a shuffle or cartesian plan would be
+    catastrophic on the fact side at scale."""
+    p = plan(spark, registry, "c10_range_join")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_unpivot_is_local_expand(spark, registry):
+    """d9's melt compiles to a zero-shuffle Expand after the 3-group agg:
+    exactly one agg exchange plus the final sort."""
+    import re
+
+    p = plan(spark, registry, "d9_unpivot")
+    assert "Expand" in p
+    n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    assert n_exchanges <= 2, f"d9 has {n_exchanges} exchanges"
+
+
+def test_repetition_filter_keyed_shuffles_only(spark, registry):
+    """n4g shuffles on (doc_id, bigram) then doc_id — both partial-agg'd
+    and key-bounded; no join, no cartesian, at most 3 exchanges
+    (two aggs + display sort)."""
+    import re
+
+    p = plan(spark, registry, "n4g_repetition_filter")
+    assert "Join" not in p
+    assert "partial" in p  # map-side combine on the bigram counts
+    n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    assert n_exchanges <= 3, f"n4g has {n_exchanges} exchanges"
