@@ -276,3 +276,92 @@ def d9_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     ).orderBy("l_returnflag", "metric")
+
+
+# Decontamination window: word n-grams of this size define "overlap".
+# Production decontamination uses 13-grams (GPT-3 appendix C); the
+# synthetic fixture's 31-word vocabulary only collides at n=3, so the
+# fixture run exercises nonzero overlap while the operator stays
+# parameterized the same way.
+_DECON_N = 3
+# Held-out "benchmark" membership: every 53rd doc plays the eval set.
+_EVAL_MOD = 53
+
+
+@declare(
+    "n16_decontamination",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(words) - {_DECON_N - 2}),
+                       i -> md5(array_to_string(
+                           list_slice(words, i, i + {_DECON_N - 1}), ' ')))))
+                       AS gram
+            FROM w),
+        e AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id % {_EVAL_MOD} = 0),
+        t AS (
+            SELECT doc_id, gram FROM g WHERE doc_id % {_EVAL_MOD} <> 0),
+        n AS (
+            SELECT doc_id, count(*) AS n_grams FROM t GROUP BY doc_id)
+        SELECT t.doc_id,
+               n.n_grams,
+               count(*) AS n_hits,
+               round(count(*)::DOUBLE / n.n_grams, 6) AS contamination
+        FROM t JOIN e USING (gram) JOIN n USING (doc_id)
+        GROUP BY t.doc_id, n.n_grams
+        ORDER BY t.doc_id
+    """,
+    tags=("ext", "text", "decontamination"),
+)
+def n16_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan: hash every distinct word n-gram of
+    the training split, semi-match against the n-gram set of the held-out
+    eval split, and report per-training-doc overlap — the decontamination
+    pass every serious pretraining pipeline runs before training.
+
+    The eval n-gram set (benchmarks are tiny relative to the corpus) is
+    DISTINCT-ed and broadcast, so the training side streams through one
+    hash join with no fact-side shuffle before the per-doc aggregate.
+    Grams are md5'd before the join — fixed-width keys, engine-identical,
+    and at 100 TB you join on 16-byte hashes, not raw 13-gram strings."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    grams_arr = F.when(
+        F.size("w") >= _DECON_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (_DECON_N - 1)),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("w"), i, _DECON_N), " ")
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id",
+        F.size(grams_arr).alias("n_grams"),
+        F.explode(grams_arr).alias("gram"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD == 0).select("gram").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), 6).alias(
+                "contamination"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -151,3 +151,61 @@ def n13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin")
     )
+
+
+# Source-mixture tiers: keep-rate thresholds on the 2-hex-digit bucket.
+# 'zz' sorts above every hex pair -> keep all; '80' ~ 50%; '40' ~ 25%;
+# '14' ~ 8%. In production these weights come from the data-mixing recipe
+# (e.g. upsample curated sources, downsample crawl).
+_MIX_THRESHOLDS: dict[str, str] = {
+    f"src{i}": ("zz" if i < 5 else "80" if i < 10 else "40" if i < 15 else "14")
+    for i in range(20)
+}
+_MIX_CASE_SQL = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN '{t}'" for s, t in _MIX_THRESHOLDS.items())
+    + " ELSE '00' END"
+)
+
+
+@declare(
+    "n15_source_mixture",
+    oracle=f"""
+        SELECT source,
+               count(*) AS n_docs,
+               count(*) FILTER (
+                   WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < {_MIX_CASE_SQL}) AS n_kept,
+               round(count(*) FILTER (
+                   WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < {_MIX_CASE_SQL})::DOUBLE / count(*), 6)
+                   AS keep_rate
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("ext", "sampling", "mixture"),
+)
+def n15_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-weighted resampling — the data-mixing step
+    that reshapes a raw corpus toward a target source distribution
+    (keep-all / 50% / 25% / 8% tiers here). The keep decision is the same
+    md5 hash-bucket as n11, so the realized mixture is reproducible
+    across engines, re-runs, and cluster sizes, and composes with the
+    n12 split (independent hash uses).
+
+    One scan, conditional aggregation only — the mixture report costs a
+    single 20-group shuffle regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    expr = None
+    for s, t in _MIX_THRESHOLDS.items():
+        expr = (F.when if expr is None else expr.when)(F.col("source") == s, t)
+    thr = expr.otherwise("00")
+    kept = (hash_bucket(F.col("doc_id")) < thr).cast("long")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.round(F.sum(kept) / F.count(F.lit(1)), 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )

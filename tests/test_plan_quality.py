@@ -178,3 +178,12 @@ def test_repetition_filter_keyed_shuffles_only(spark, registry):
     assert "partial" in p  # map-side combine on the bigram counts
     n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", p)))
     assert n_exchanges <= 3, f"n4g has {n_exchanges} exchanges"
+
+
+def test_decontamination_broadcasts_eval_grams(spark, registry):
+    """n16's gram join must broadcast the (tiny) eval n-gram set — the
+    training side streams through a BroadcastHashJoin with no fact-side
+    shuffle before the per-doc aggregate."""
+    p = plan(spark, registry, "n16_decontamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
