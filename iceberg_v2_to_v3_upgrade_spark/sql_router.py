@@ -19,7 +19,9 @@ here, with the same grammar subset the reference uses.
 from __future__ import annotations
 
 import datetime
+import io
 import re
+from contextlib import redirect_stdout
 from dataclasses import dataclass
 from typing import Any
 
@@ -79,6 +81,11 @@ class EngineSQL:
     def __init__(self, catalog: LocalCatalog):
         self.catalog = catalog
         self.spark = catalog.spark
+        # session-level views: name -> defining SELECT, re-resolved against
+        # the live table state on every use (a view over a table must see
+        # later DML, so we can't pin the DataFrame at CREATE VIEW time)
+        self._views: dict[str, str] = {}
+        self._registering_views = False
 
     # ------------------------------------------------------------ public
 
@@ -134,6 +141,78 @@ class EngineSQL:
                 "namespace string, tableName string, format_version string",
             ),
         )
+
+    def _create_view(self, sql: str, m: re.Match) -> StatementResult:
+        name, select = m.group("view"), m.group("select")
+        if name in self._views and not m.group("replace"):
+            raise TableError(f"view {name} already exists")
+        self._views[name] = select
+        return StatementResult(sql, "create_view", message=f"view {name}")
+
+    def _drop_view(self, sql: str, m: re.Match) -> StatementResult:
+        name = m.group("view")
+        if name not in self._views and not m.group("ifex"):
+            raise TableError(f"view {name} not found")
+        self._views.pop(name, None)
+        self.spark.catalog.dropTempView(name)
+        return StatementResult(sql, "drop_view", message=f"dropped {name}")
+
+    def _register_views(self) -> None:
+        """(Re-)materialize session views as temp views in creation order,
+        so each SELECT sees the current table state through them."""
+        if self._registering_views:
+            return
+        self._registering_views = True
+        try:
+            for name, vsql in self._views.items():
+                try:
+                    self._select(vsql).df.createOrReplaceTempView(name)
+                except Exception:
+                    # a view invalidated by evolution of what it reads
+                    # (e.g. its base view was replaced) must not poison
+                    # unrelated queries — it errors when itself queried
+                    self.spark.catalog.dropTempView(name)
+        finally:
+            self._registering_views = False
+
+    def _explain(self, sql: str, m: re.Match) -> StatementResult:
+        """EXPLAIN [FORMATTED|EXTENDED|CODEGEN|COST] <select> — the
+        gateway analog of the reference's --dry-run plan display
+        (internal/upgrade_table.py:74-78), but over the real Catalyst
+        physical plan."""
+        mode = (m.group("mode") or "simple").lower()
+        inner = self._select(m.group("select")).df
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            inner.explain(mode)
+        return StatementResult(
+            sql,
+            "explain",
+            df=self.spark.createDataFrame([(buf.getvalue(),)], "plan string"),
+        )
+
+    def _show_create_table(self, sql: str, m: re.Match) -> StatementResult:
+        db, name = m.group("db"), m.group("table")
+        t = self.catalog.load_table(db, name)
+        parts = [f"CREATE TABLE {db}.{name} ({t.schema_ddl}) USING iceberg"]
+        if t.partition_by:
+            parts.append(f"PARTITIONED BY ({', '.join(t.partition_by)})")
+        if t.properties:
+            props = ", ".join(
+                f"'{k}' = '{v}'" for k, v in sorted(t.properties.items())
+            )
+            parts.append(f"TBLPROPERTIES ({props})")
+        return StatementResult(
+            sql,
+            "show_create_table",
+            df=self.spark.createDataFrame(
+                [("\n".join(parts),)], "createtab_stmt string"
+            ),
+        )
+
+    def _show_partitions(self, sql: str, m: re.Match) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        return StatementResult(sql, "show_partitions", df=t.partitions())
 
     def _show_tblproperties(self, sql: str, m: re.Match) -> StatementResult:
         t = self.catalog.load_table(m.group("db"), m.group("table"))
@@ -395,6 +474,7 @@ class EngineSQL:
         `db.t.snapshots|history|files|partitions` metadata tables), hand to
         Spark SQL
         (full Catalyst path)."""
+        self._register_views()
         rewritten = sql
         # metadata tables first — the plain-name rewrite below would
         # otherwise consume the `db.t` prefix of `db.t.files`
@@ -442,6 +522,41 @@ class EngineSQL:
 
 # route table (class attribute referencing unbound methods)
 EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
+    (
+        re.compile(
+            rf"CREATE (?P<replace>OR REPLACE )?(?:TEMP(?:ORARY)? )?VIEW\s+"
+            rf"(?P<view>{_IDENT})\s+AS\s+(?P<select>SELECT\b.+)$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._create_view,
+    ),
+    (
+        re.compile(
+            rf"DROP VIEW (?P<ifex>IF EXISTS )?(?P<view>{_IDENT})\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._drop_view,
+    ),
+    (
+        re.compile(
+            r"EXPLAIN (?:(?P<mode>FORMATTED|EXTENDED|CODEGEN|COST)\s+)?"
+            r"(?P<select>SELECT\b.+)$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._explain,
+    ),
+    (
+        re.compile(
+            rf"SHOW CREATE TABLE {_NAME}\s*$", re.IGNORECASE
+        ),
+        EngineSQL._show_create_table,
+    ),
+    (
+        re.compile(
+            rf"SHOW PARTITIONS {_NAME}\s*$", re.IGNORECASE
+        ),
+        EngineSQL._show_partitions,
+    ),
     (
         re.compile(
             rf"CREATE TABLE (?:IF NOT EXISTS )?{_NAME}\s*\((?P<cols>.*?)\)\s*"

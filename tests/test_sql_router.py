@@ -315,3 +315,90 @@ def test_truncate_and_show_statements(engine):
     t = engine.catalog.load_table("demo_db", "v2_mor_demo")
     prev = t.snapshots()[-2].id
     assert t.scan(snapshot_id=prev).count() == 7
+
+
+def test_views_explain_show_create_show_partitions(engine):
+    """CREATE/DROP VIEW (live over later DML), EXPLAIN, SHOW CREATE TABLE,
+    SHOW PARTITIONS."""
+    engine.execute(DEMO_PROGRAM)
+
+    engine.execute_one(
+        "CREATE VIEW electronics_v AS SELECT id, amount "
+        "FROM glue_catalog.demo_db.v2_mor_demo "
+        "WHERE category = 'electronics'"
+    )
+    rows = engine.execute_one(
+        "SELECT count(*) AS n FROM electronics_v"
+    ).df.collect()
+    assert rows[0].n == 3
+    # a view is a live query, not a snapshot: it must see later DML
+    engine.execute_one(
+        "DELETE FROM glue_catalog.demo_db.v2_mor_demo WHERE id = 1"
+    )
+    assert (
+        engine.execute_one("SELECT count(*) AS n FROM electronics_v")
+        .df.collect()[0]
+        .n
+        == 2
+    )
+    # view-over-view resolves in creation order
+    engine.execute_one(
+        "CREATE VIEW expensive_v AS SELECT * FROM electronics_v "
+        "WHERE amount > 200"
+    )
+    assert (
+        engine.execute_one("SELECT count(*) AS n FROM expensive_v")
+        .df.collect()[0]
+        .n
+        == 2
+    )
+    with pytest.raises(Exception):
+        engine.execute_one("CREATE VIEW electronics_v AS SELECT 1 AS x")
+    engine.execute_one(
+        "CREATE OR REPLACE VIEW electronics_v AS SELECT 1 AS x"
+    )
+    assert (
+        engine.execute_one("SELECT * FROM electronics_v").df.collect()[0].x
+        == 1
+    )
+    # expensive_v was invalidated by the replace: it errors when queried,
+    # but must not poison unrelated statements
+    with pytest.raises(Exception):
+        engine.execute_one("SELECT * FROM expensive_v").df.collect()
+    engine.execute_one("DROP VIEW IF EXISTS expensive_v")
+    engine.execute_one("DROP VIEW electronics_v")
+    with pytest.raises(Exception):
+        engine.execute_one("DROP VIEW electronics_v")
+
+    plan = (
+        engine.execute_one(
+            "EXPLAIN FORMATTED SELECT category, count(*) AS n "
+            "FROM glue_catalog.demo_db.v2_mor_demo GROUP BY category"
+        )
+        .df.collect()[0]
+        .plan
+    )
+    assert "HashAggregate" in plan and "Exchange" in plan
+
+    ddl = (
+        engine.execute_one(
+            "SHOW CREATE TABLE glue_catalog.demo_db.v2_mor_demo"
+        )
+        .df.collect()[0]
+        .createtab_stmt
+    )
+    assert "CREATE TABLE demo_db.v2_mor_demo" in ddl
+    assert "USING iceberg" in ddl
+    assert "PARTITIONED BY (category)" in ddl
+    assert "'write.delete.mode' = 'merge-on-read'" in ddl
+    # the emitted DDL must round-trip through the router
+    engine.execute_one(ddl.replace("demo_db.v2_mor_demo", "demo_db.rt"))
+    assert engine.catalog.load_table("demo_db", "rt").partition_by == [
+        "category"
+    ]
+
+    parts = engine.execute_one(
+        "SHOW PARTITIONS glue_catalog.demo_db.v2_mor_demo"
+    ).df
+    assert "category" in parts.columns and "record_count" in parts.columns
+    assert parts.count() == 3
