@@ -471,3 +471,139 @@ def n2f_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+# --- md5-based SimHash: the engine-portable (oracle-checked) variant ------
+# n2d's xxhash64 is JVM-only, so it can only be rows-only checked. This
+# variant derives the token hash from md5 (identical hex in every engine)
+# as two 32-bit halves, so the ENTIRE pipeline — signature, banding,
+# hamming verify — is reproducible in DuckDB and the pairs hash-match.
+
+_SH_SUMS = ", ".join(
+    f"sum(CASE WHEN (hi >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS hb{b}, "
+    f"sum(CASE WHEN (lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS lb{b}"
+    for b in range(32)
+)
+_SH_SIG_HI = " + ".join(
+    f"CASE WHEN hb{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+)
+_SH_SIG_LO = " + ".join(
+    f"CASE WHEN lb{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+)
+_SH_HAMMING = (
+    "bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo))"
+)
+
+
+@declare(
+    "n2g_simhash_md5_neardup",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split(
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                       ' ')) AS tok
+            FROM documents),
+        h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+                   ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+            FROM tok),
+        s AS (SELECT doc_id, {_SH_SUMS} FROM h GROUP BY doc_id),
+        sig AS (
+            SELECT doc_id,
+                   ({_SH_SIG_HI})::BIGINT AS sig_hi,
+                   ({_SH_SIG_LO})::BIGINT AS sig_lo
+            FROM s),
+        banded AS (
+            SELECT doc_id, sig_hi, sig_lo,
+                   unnest([sig_hi & 65535,
+                           65536 + ((sig_hi >> 16) & 65535),
+                           131072 + (sig_lo & 65535),
+                           196608 + ((sig_lo >> 16) & 65535)]) AS bkey
+            FROM sig)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               {_SH_HAMMING} AS hamming
+        FROM banded a JOIN banded b
+          ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+        WHERE {_SH_HAMMING} <= 6
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("ext", "dedup", "simhash"),
+)
+def n2g_simhash_md5_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with an engine-portable hash: per-token md5
+    split into two 32-bit halves, 2x32-bit signature via sign-of-bit-sums,
+    4x16-bit banded candidate join, exact hamming <= 6 verify — same LSH
+    shape as n2d, but every stage is bit-identical in DuckDB, making this
+    the auditable twin of the xxhash64 throughput path.
+
+    Scale: one token explode + one 64-expression grouped aggregate (single
+    doc_id shuffle), then a candidate join keyed on 16-bit bands — band
+    keys cap bucket skew at 4/65536 of the corpus per band value, and
+    signatures stay in [0, 2^32) so all bit math is sign-safe in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    )
+    md5 = F.md5("tok")
+    halves = tokens.select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+    sums = halves.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(src), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"{pre}{b}")
+            for pre, src in (("hb", "hi"), ("lb", "lo"))
+            for b in range(32)
+        ]
+    )
+
+    def _sig(prefix: str):
+        s = F.lit(0).cast("bigint")
+        for b in range(32):
+            s = s + F.when(
+                F.col(f"{prefix}{b}") > 0, F.lit(1 << b).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return s
+
+    sigs = sums.select(
+        "doc_id", _sig("hb").alias("sig_hi"), _sig("lb").alias("sig_lo")
+    )
+    keys = F.array(
+        F.col("sig_hi").bitwiseAND(F.lit(65535)),
+        F.lit(65536)
+        + F.shiftright(F.col("sig_hi"), 16).bitwiseAND(F.lit(65535)),
+        F.lit(131072) + F.col("sig_lo").bitwiseAND(F.lit(65535)),
+        F.lit(196608)
+        + F.shiftright(F.col("sig_lo"), 16).bitwiseAND(F.lit(65535)),
+    )
+    banded = sigs.select(
+        "doc_id", "sig_hi", "sig_lo", F.explode(keys).alias("bkey")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi"))
+    ) + F.bit_count(F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    )
