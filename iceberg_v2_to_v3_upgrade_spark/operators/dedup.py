@@ -607,3 +607,146 @@ def n2g_simhash_md5_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- md5-based MinHash: the engine-portable (oracle-checked) variant ------
+# Same pattern as n2g vs n2d: n2c's xxhash64(seed) family is JVM-only, so
+# its LSH output can only be rows-only checked. Deriving the 32 hash
+# functions from md5('<seed>:<shingle>') makes signature, band keys, and
+# the verified pair set bit-identical in DuckDB.
+
+_MH_SEEDS, _MH_BANDS, _MH_ROWS = 32, 8, 4
+
+
+@declare(
+    "n2h_minhash_md5_neardup",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+            FROM d, unnest(range(greatest(len(w) - 2, 0))) AS t(i)),
+        h AS (
+            SELECT doc_id, s.seed,
+                   min(('0x' || substr(
+                       md5(s.seed::VARCHAR || ':' || shingle), 1, 8))::BIGINT)
+                       AS mh
+            FROM sh, unnest(range({_MH_SEEDS})) AS s(seed)
+            GROUP BY doc_id, s.seed),
+        sig AS (
+            SELECT doc_id, list(mh ORDER BY seed) AS sig
+            FROM h GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, sig, b.band,
+                   md5(array_to_string(
+                       sig[b.band * {_MH_ROWS} + 1 : (b.band + 1) * {_MH_ROWS}],
+                       ',')) AS bkey
+            FROM sig, unnest(range({_MH_BANDS})) AS b(band)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sig AS sig_a, b.sig AS sig_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               round(len(list_filter(generate_series(1, {_MH_SEEDS}),
+                         i -> sig_a[i] = sig_b[i])) / {_MH_SEEDS}.0, 6)
+                   AS est_jaccard
+        FROM cand
+        WHERE len(list_filter(generate_series(1, {_MH_SEEDS}),
+                  i -> sig_a[i] = sig_b[i])) / {_MH_SEEDS}.0 >= 0.8
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("ext", "dedup", "minhash", "lsh"),
+)
+def n2h_minhash_md5_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH with an engine-portable hash family:
+    hash_s(shingle) = int32(md5('<s>:<shingle>')[:8]) for 32 seeds,
+    8 bands x 4 rows, candidate join on md5 band keys, verify at
+    estimated Jaccard >= 0.8 — the auditable twin of the n2c throughput
+    path (xxhash64), fully hash-checkable in DuckDB.
+
+    Same scale shape as n2c: explode -> 32 grouped mins (one doc_id
+    shuffle, each shingle hashed once per seed — the column-expression
+    formulation re-evaluates the shingle array 32x, measured 15x slower),
+    band join keyed on (band, 128-bit key) so the candidate space stays
+    linear in corpus size."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(s)), F.col("sh"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+            ).alias(f"_h{s}")
+            for s in range(_MH_SEEDS)
+        ]
+    )
+    sig = mins.select(
+        "doc_id",
+        F.array(*[F.col(f"_h{s}") for s in range(_MH_SEEDS)]).alias("sig"),
+    )
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * _MH_ROWS + 1, _MH_ROWS),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(_MH_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "sig", F.explode(band_keys).alias("bk")
+    ).select("doc_id", "sig", "bk.band", "bk.bkey")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(_MH_SEEDS))
+    )
+    return (
+        candidates.select(
+            "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
