@@ -189,7 +189,58 @@ def n3c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare("n3b_lsh_ann", oracle=None, tags=("ext", "similarity", "ann", "lsh"))
+def _lsh_oracle() -> str:
+    """DuckDB twin of n3b with the hyperplane constants INLINED as SQL
+    literals (repr(float) round-trips IEEE doubles exactly, and both
+    engines fold the dot product in index order), so the 'approximate'
+    result is deterministic and fully hash-checkable cross-engine."""
+    n_tables, n_bits = 4, 6
+    tables = [_hyperplanes(n_bits, _DIM, seed=42 + t) for t in range(n_tables)]
+
+    def arr(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    def bucket_expr(planes: list[list[float]]) -> str:
+        return " + ".join(
+            f"CASE WHEN list_dot_product(v, {arr(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        )
+
+    union = "\n            UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, ({bucket_expr(planes)}) AS bucket "
+        "FROM e"
+        for t, planes in enumerate(tables)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_bits)]
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS ({union}),
+        q AS (
+            SELECT vec_id AS query_id, v AS qv, tbl,
+                   unnest([{probes}]) AS bucket
+            FROM b WHERE vec_id < {_N_QUERIES}),
+        sims AS (
+            SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id,
+                   list_dot_product(q.qv, b.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(b.v, b.v))) AS sim
+            FROM b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
+            WHERE b.vec_id <> q.query_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM sims)
+        SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+        FROM ranked WHERE rank <= {_TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
+@declare("n3b_lsh_ann", oracle=_lsh_oracle(), tags=("ext", "similarity", "ann", "lsh"))
 def n3b_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
@@ -201,7 +252,9 @@ def n3b_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: the corpus is bucketed once per table (one keyed shuffle or
     a bucket-partitioned write) and each query touches 4*7/64 of the key
-    space. Approximate -> rows-only; recall audited vs n3_topk_cosine.
+    space. Approximate but DETERMINISTIC: the hyperplanes are inlined
+    constants, so the DuckDB oracle reproduces the exact bucketed result
+    (hash-checked); recall additionally audited vs n3_topk_cosine.
     """
     n_tables, n_bits = 4, 6
     tables = [
