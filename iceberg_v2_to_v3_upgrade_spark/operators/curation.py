@@ -365,3 +365,146 @@ def n16_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@declare(
+    "e6_window_distribution",
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ntile(4) OVER w AS price_quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM orders
+            WHERE o_custkey < 200
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice,
+                         o_orderkey))
+        SELECT * FROM base ORDER BY o_custkey, o_totalprice, o_orderkey
+    """,
+    tags=("window", "distribution"),
+)
+def e6_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile / percent_rank / cume_dist
+    per customer, the quantile-assignment shapes behind per-group
+    percentile capping and curriculum bucketing.
+
+    One window shuffle keyed on o_custkey; the o_orderkey tiebreak makes
+    every rank function deterministic (unordered ties would hash-differ
+    across engines)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 200
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+    )
+
+
+@declare(
+    "n17_curriculum_buckets",
+    oracle="""
+        WITH sized AS (
+            SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+            FROM documents),
+        bucketed AS (
+            SELECT lang,
+                   CASE WHEN n_tokens < 16 THEN '0_tiny'
+                        WHEN n_tokens < 48 THEN '1_short'
+                        WHEN n_tokens < 96 THEN '2_medium'
+                        ELSE '3_long' END AS bucket,
+                   n_tokens
+            FROM sized)
+        SELECT lang, bucket,
+               count(*) AS n_docs,
+               sum(n_tokens) AS total_tokens,
+               round(avg(n_tokens), 2) AS avg_tokens
+        FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+    tags=("ext", "sampling", "curriculum"),
+)
+def n17_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length curriculum binning: assign every document to a
+    length bucket (tiny/short/medium/long) and report the per-language
+    token budget of each bin — the shard-planning step for length-based
+    curriculum training and packing-efficiency estimates.
+
+    Pure projection + one grouped aggregate; the bucket CASE stays in
+    whole-stage codegen so this is a single-shuffle full-corpus census."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    bucket = (
+        F.when(n_tokens < 16, "0_tiny")
+        .when(n_tokens < 48, "1_short")
+        .when(n_tokens < 96, "2_medium")
+        .otherwise("3_long")
+    )
+    return (
+        docs.select("lang", bucket.alias("bucket"), n_tokens.alias("n_tokens"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+@declare(
+    "n18_unigram_logprob_score",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+        freq AS (
+            SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        total AS (SELECT sum(c) AS n FROM freq),
+        scored AS (
+            SELECT t.doc_id, ln(f.c / total.n) AS lp
+            FROM tok t JOIN freq f ON t.tok = f.tok, total)
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               round(avg(lp), 4) AS avg_logprob
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("ext", "text", "quality", "perplexity"),
+)
+def n18_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability scoring — the perplexity-proxy quality
+    filter: estimate a unigram LM from the corpus itself (token relative
+    frequencies), then score each document by its mean token log-prob.
+    Low scores flag gibberish / rare-token spam; production pipelines cut
+    a bottom percentile on exactly this signal.
+
+    The 'language model' is a tiny aggregate (|vocab| rows), so the score
+    join is a broadcast hash join against the token stream — at 100 TB
+    the corpus is scanned twice (count, score) and shuffled once per
+    grouped aggregate, never joined shuffle-side. avg() is rounded to 4
+    decimals: float sums are order-sensitive under parallel aggregation,
+    and 1e-4 is far above double accumulation error at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    lm = freq.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("c") / F.col("n")).alias("lp")
+    )
+    return (
+        tok.join(F.broadcast(lm), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

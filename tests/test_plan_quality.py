@@ -187,3 +187,22 @@ def test_decontamination_broadcasts_eval_grams(spark, registry):
     p = plan(spark, registry, "n16_decontamination")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_unigram_lm_join_is_broadcast(spark, registry):
+    """n18's token-scoring join must broadcast the vocab-sized LM — the
+    token stream must never shuffle join-side."""
+    p = plan(spark, registry, "n18_unigram_logprob_score")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_curriculum_census_single_shuffle(spark, registry):
+    """n17 is a projection + one grouped aggregate (+ display sort):
+    at most 2 exchanges, with map-side partial aggregation."""
+    import re
+
+    p = plan(spark, registry, "n17_curriculum_buckets")
+    n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    assert n_exchanges <= 2, f"n17 has {n_exchanges} exchanges"
+    assert "partial" in p
