@@ -235,3 +235,38 @@ def run_update_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_with_segment(
+    events: DataFrame, dim: DataFrame, streaming: bool = False
+) -> DataFrame:
+    """Stream-static enrichment join: tag each event with the market
+    segment of its user (static dimension, broadcast) and aggregate value
+    per 1-hour window x segment — the canonical "enrich the stream with a
+    dim table" shape. The static side never needs state: Spark re-plans
+    the broadcast per micro-batch, so dimension updates are picked up on
+    the next trigger.
+
+    Unmatched users fall into 'UNKNOWN' (left join + coalesce) — an
+    enrichment stream must never drop events because the dim is stale."""
+    df = events.withWatermark("ts", "2 hours") if streaming else events
+    segment = F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN"))
+    return (
+        df.join(
+            F.broadcast(dim.select("c_custkey", "c_mktsegment")),
+            df["user_id"] == F.col("c_custkey"),
+            "left",
+        )
+        .select("ts", "value", segment.alias("segment"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )

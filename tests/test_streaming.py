@@ -222,3 +222,34 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = spark.table("dedup_sink").count()
     batch = dedup_events(spark.read.parquet(str(d))).count()
     assert got == batch == ev.count()
+
+
+def test_stream_static_enrichment_equals_batch(spark, landing_dir, tmp_path):
+    """Stream-static broadcast join + windowed agg == its batch twin."""
+    from iceberg_v2_to_v3_upgrade_spark.streaming.jobs import (
+        enrich_with_segment,
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    dim = load_table(spark, SF_SMALL, "customer")
+    stream = read_event_stream(spark, landing_dir, max_files_per_trigger=2)
+    run_to_memory_sink(
+        enrich_with_segment(stream, dim, streaming=True),
+        "seg_enriched",
+        str(tmp_path / "ckpt_seg"),
+    )
+    got = _sorted_rows(
+        spark.table("seg_enriched"), "window_start", "segment"
+    )
+    want = _sorted_rows(
+        enrich_with_segment(
+            load_table(spark, SF_SMALL, "events"), dim, streaming=False
+        ),
+        "window_start",
+        "segment",
+    )
+    assert got == want and len(got) > 0
+    # both matched and unmatched users must be represented
+    segments = {r[1] for r in got}
+    assert "UNKNOWN" in segments or len(segments) > 1
