@@ -206,3 +206,18 @@ def test_curriculum_census_single_shuffle(spark, registry):
     n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", p)))
     assert n_exchanges <= 2, f"n17 has {n_exchanges} exchanges"
     assert "partial" in p
+
+
+def test_quantization_is_map_side_only(spark, registry):
+    """n19 quantization is per-row array math — scan -> project with no
+    exchange beyond the deterministic display sort, vec_id filter pushed
+    into the parquet scan, and only (vec_id, embedding) read."""
+    import re
+
+    p = plan(spark, registry, "n19_embedding_quantization")
+    n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    assert n_exchanges <= 1, f"n19 has {n_exchanges} exchanges"
+    pushed = p.split("PushedFilters")[1].splitlines()[0]
+    assert "vec_id" in pushed
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "vec_id" in read_schema and "embedding" in read_schema
