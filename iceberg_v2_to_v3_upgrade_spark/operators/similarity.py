@@ -189,6 +189,80 @@ def n3c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_CELLS = 8
+
+_IVF_ASSIGN_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < {_N_CELLS}),
+    d AS (
+        SELECT e.vec_id, c.cell_id,
+               list_sum(list_transform(generate_series(1, len(e.v)),
+                        i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))
+                   AS dist2
+        FROM e CROSS JOIN c),
+    a AS (
+        SELECT vec_id, cell_id, dist2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cell_id) AS rn
+        FROM d)
+    SELECT cell_id,
+           count(*) AS n_vectors,
+           round(avg(dist2), 6) AS avg_dist2,
+           min(vec_id) AS first_vec
+    FROM a WHERE rn = 1
+    GROUP BY cell_id ORDER BY cell_id
+"""
+
+
+@declare(
+    "n3d_ivf_cell_assignment",
+    oracle=_IVF_ASSIGN_ORACLE,
+    tags=("ext", "similarity", "ann", "ivf"),
+)
+def n3d_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer cell assignment, oracle-checked: assign every
+    vector to its nearest of 8 fixed centroids (the first 8 corpus
+    vectors — a deterministic k-means init) by squared L2, and report
+    per-cell population and mean distortion.
+
+    The exactness twin of n3c's GEMM assignment pass: centroids come from
+    a pushed-down `vec_id < 8` scan and broadcast; distance is a
+    sequential-fold array expression so both engines produce identical
+    doubles; the argmin is one partial-aggregated min(struct(dist2,
+    cell_id)) shuffle on vec_id — no window sort — then a cell-keyed
+    rollup over K rows' worth of groups. At 100 TB this is exactly the
+    index-build partitioning pass: corpus x K broadcast work, two keyed
+    shuffles, both map-side combined."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell_id", dist2.alias("dist2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "cell_id")).alias("best"))
+        .select("vec_id", F.col("best.dist2").alias("dist2"),
+                F.col("best.cell_id").alias("cell_id"))
+    )
+    return (
+        assigned.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("dist2"), 6).alias("avg_dist2"),
+            F.min("vec_id").alias("first_vec"),
+        )
+        .orderBy("cell_id")
+    )
+
+
 def _lsh_oracle() -> str:
     """DuckDB twin of n3b with the hyperplane constants INLINED as SQL
     literals (repr(float) round-trips IEEE doubles exactly, and both

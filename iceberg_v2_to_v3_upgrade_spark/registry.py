@@ -60,6 +60,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         advanced2,
         sampling,
         curation,
+        relevance,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401

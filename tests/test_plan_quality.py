@@ -221,3 +221,37 @@ def test_quantization_is_map_side_only(spark, registry):
     assert "vec_id" in pushed
     read_schema = p.split("ReadSchema")[1].splitlines()[0]
     assert "vec_id" in read_schema and "embedding" in read_schema
+
+
+def test_bm25_stats_broadcast_and_topk(spark, registry):
+    """n20's one-row global-stats frame must broadcast into the scoring
+    pass, the top-15 must compile to TakeOrderedAndProject (no global
+    sort), and the scan must read only (doc_id, text)."""
+    p = plan(spark, registry, "n20_bm25_relevance")
+    assert "TakeOrderedAndProject" in p
+    assert "Broadcast" in p
+    assert "SortMergeJoin" not in p
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "struct<doc_id:bigint,text:string>" in read_schema
+
+
+def test_kl_divergence_broadcasts_vocab_joins(spark, registry):
+    """n21's per-source / global / total stats are vocab-sized and must
+    re-join via broadcast — the token stream shuffles only for the
+    (source, word) grouped count (partial-agg'd)."""
+    p = plan(spark, registry, "n21_source_kl_divergence")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial" in p
+
+
+def test_ivf_assignment_broadcasts_centroids(spark, registry):
+    """n3d: centroid side is a pushed-down vec_id<8 scan broadcast into a
+    nested-loop join; both the per-vector argmin and the per-cell rollup
+    aggregate with map-side partial combine."""
+    p = plan(spark, registry, "n3d_ivf_cell_assignment")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    pushed = p.split("PushedFilters")[1].splitlines()[0]
+    assert "vec_id" in pushed or "LessThan" in pushed
+    assert "partial" in p
