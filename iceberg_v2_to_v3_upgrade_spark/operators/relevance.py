@@ -113,6 +113,107 @@ def n20_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cross-source overlap window (matches n16's fixture-calibrated tradeoff:
+# production pipelines use 13-grams; the synthetic 31-word vocabulary needs
+# a small n to exhibit nonzero overlap, here 5).
+_OVL_N = 5
+_OVL_TOP = 20
+
+_OVERLAP_ORACLE = f"""
+    WITH w AS (SELECT source, string_split(text, ' ') AS words
+               FROM documents),
+    g AS (
+        SELECT DISTINCT source,
+               unnest(list_distinct(list_transform(
+                   range(1, len(words) - {_OVL_N - 2}),
+                   i -> md5(array_to_string(
+                       list_slice(words, i, i + {_OVL_N - 1}), ' ')))))
+                   AS gram
+        FROM w),
+    n AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
+    p AS (
+        SELECT a.source AS sa, b.source AS sb, count(*) AS shared
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY a.source, b.source)
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           p.shared AS shared_grams,
+           round(p.shared / least(na.n_grams, nb.n_grams), 6)
+               AS containment
+    FROM p
+    JOIN n na ON na.source = p.sa
+    JOIN n nb ON nb.source = p.sb
+    ORDER BY shared_grams DESC, source_a, source_b
+    LIMIT {_OVL_TOP}
+"""
+
+
+@declare(
+    "n22_cross_source_overlap",
+    oracle=_OVERLAP_ORACLE,
+    tags=("ext", "text", "dedup", "mixture"),
+)
+def n22_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-source n-gram overlap matrix: for every pair of corpus
+    sources, the count of shared distinct word 5-grams and the containment
+    ratio shared/min(|A|,|B|) — the scraping-pipeline diagnostic that
+    finds mirrored / re-crawled sources before they skew dedup and
+    mixture weights (n16 is corpus-vs-benchmark; this is
+    corpus-vs-itself at source granularity).
+
+    Grams are md5'd in-executor (16-byte keys). The (source, gram)
+    distinct set is built once and persisted — it feeds the per-source
+    census and both sides of the self-join, and Spark shares no subplans
+    across branches. The self-join shuffles by gram hash with group size
+    bounded by the number of sources, so candidate pairs stay linear in
+    corpus size; per-source totals re-enter via broadcast."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("w")
+    )
+    grams_arr = F.when(
+        F.size("w") >= _OVL_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (_OVL_N - 1)),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("w"), i, _OVL_N), " ")
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from pyspark import StorageLevel
+
+    g = (
+        docs.select("source", F.explode(grams_arr).alias("gram"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    ga = g.select(F.col("source").alias("sa"), "gram")
+    gb = g.select(F.col("source").alias("sb"), "gram")
+    pairs = (
+        ga.join(gb, "gram")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = n.select(F.col("source").alias("sa"), F.col("n_grams").alias("na"))
+    nb = n.select(F.col("source").alias("sb"), F.col("n_grams").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("shared").alias("shared_grams"),
+            F.round(F.col("shared") / F.least("na", "nb"), 6).alias(
+                "containment"
+            ),
+        )
+        .orderBy(F.desc("shared_grams"), "source_a", "source_b")
+        .limit(_OVL_TOP)
+    )
+
+
 _KL_ORACLE = """
     WITH sw AS (
         SELECT source, t.word, count(*) AS c

@@ -255,3 +255,13 @@ def test_ivf_assignment_broadcasts_centroids(spark, registry):
     pushed = p.split("PushedFilters")[1].splitlines()[0]
     assert "vec_id" in pushed or "LessThan" in pushed
     assert "partial" in p
+
+
+def test_cross_source_overlap_caches_gram_set(spark, registry):
+    """n22's (source, gram) distinct set feeds three plan branches; it
+    must come from one cached build (InMemoryTableScan), with per-source
+    totals re-entering via broadcast, not sort-merge."""
+    p = plan(spark, registry, "n22_cross_source_overlap")
+    assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
