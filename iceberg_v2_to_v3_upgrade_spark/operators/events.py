@@ -178,3 +178,167 @@ def n9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declare(
+    "n23_event_funnel",
+    oracle="""
+        WITH pu AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+            FROM events GROUP BY user_id),
+        c2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN pu ON e.user_id = pu.user_id
+            WHERE e.event_type = 'click' AND e.ts > pu.t1
+            GROUP BY e.user_id),
+        p3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN c2 ON e.user_id = c2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c2.t2
+            GROUP BY e.user_id)
+        SELECT count(*) AS n_users,
+               count(t1) AS n_viewed,
+               (SELECT count(*) FROM c2) AS n_clicked,
+               (SELECT count(*) FROM p3) AS n_purchased,
+               round((SELECT count(*) FROM c2) / count(t1), 6)
+                   AS view_to_click,
+               round((SELECT count(*) FROM p3)
+                     / (SELECT count(*) FROM c2), 6) AS click_to_purchase
+        FROM pu
+    """,
+    tags=("ext", "events", "funnel"),
+)
+def n23_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: each stage
+    counts users whose first qualifying event happens strictly AFTER the
+    previous stage's first event — the sequencing that makes funnels
+    different from mere event-type counts.
+
+    One hash shuffle total: three chained whole-partition window
+    aggregates over the same hashpartitioning(user_id) (no orderBy, so no
+    sort), then a per-user rollup that reuses that partitioning, then a
+    single-row global aggregate. The oracle expresses the same sequencing
+    with stage-wise join CTEs."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked"),
+        F.count("t3").alias("n_purchased"),
+        F.round(F.count("t2") / F.count("t1"), 6).alias("view_to_click"),
+        F.round(F.count("t3") / F.count("t2"), 6).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+@declare(
+    "n24_cohort_retention",
+    oracle="""
+        WITH uw AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+            FROM events),
+        c AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id),
+        sizes AS (SELECT cohort, count(*) AS cohort_size FROM c GROUP BY cohort),
+        act AS (
+            SELECT c.cohort,
+                   CAST(date_diff('day', c.cohort, uw.wk) / 7 AS BIGINT)
+                       AS week_offset,
+                   count(DISTINCT uw.user_id) AS n_active
+            FROM uw JOIN c ON uw.user_id = c.user_id
+            GROUP BY 1, 2)
+        SELECT act.cohort AS cohort_week, act.week_offset, act.n_active,
+               round(act.n_active / sizes.cohort_size, 6) AS retention
+        FROM act JOIN sizes ON sizes.cohort = act.cohort
+        ORDER BY cohort_week, week_offset
+    """,
+    tags=("ext", "events", "cohort"),
+)
+def n24_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    activity; for each cohort and week offset, how many are still active
+    and what fraction of the cohort that is.
+
+    ONE fact-scale shuffle: collect_set(week) per user (per-user state
+    bounded by the number of distinct weeks, i.e. tiny), then cohort =
+    array_min and a posexplode-free unnest — everything downstream
+    operates on user-cardinality rows, cached because it feeds both the
+    cohort-size census and the activity rollup, with cohort sizes
+    re-entering via broadcast. Week arithmetic sticks to date_trunc +
+    day-diff/7 so both engines bin identically (ISO Monday weeks)."""
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events")
+    # cast to date: DuckDB's date_trunc('week', ts) yields DATE
+    per_user = (
+        ev.select(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+        )
+        .groupBy("user_id")
+        .agg(F.collect_set("wk").alias("wks"))
+        .withColumn("cohort", F.array_min("wks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = per_user.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    act = (
+        per_user.select("cohort", F.explode("wks").alias("wk"))
+        .select(
+            "cohort",
+            (F.datediff("wk", "cohort") / 7).cast("bigint").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        act.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -265,3 +265,26 @@ def test_cross_source_overlap_caches_gram_set(spark, registry):
     assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_funnel_single_user_shuffle(spark, registry):
+    """n23's three chained stage windows and the per-user rollup must all
+    ride ONE hashpartitioning(user_id) exchange (plus the single-row
+    global aggregate) — no per-stage re-shuffle, no sort-merge join."""
+    import re
+
+    p = plan(spark, registry, "n23_event_funnel")
+    assert "hashpartitioning(user_id" in p
+    assert "SortMergeJoin" not in p
+    n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    assert n_exchanges <= 2, f"n23 has {n_exchanges} exchanges"
+
+
+def test_cohort_retention_caches_per_user_frame(spark, registry):
+    """n24's per-user week-set frame feeds both the cohort census and the
+    activity rollup: one cached build (InMemoryTableScan) and broadcast
+    re-entry for cohort sizes."""
+    p = plan(spark, registry, "n24_cohort_retention")
+    assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
+    assert "Broadcast" in p
+    assert "SortMergeJoin" not in p
