@@ -446,3 +446,58 @@ def k2_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name")
     )
+
+
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_quantity",
+    "l_discount",
+    "l_returnflag",
+    "l_shipdate",
+)
+
+_PROFILE_ORACLE = "\n        UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+    f"count(*) - count({c}) AS n_nulls, "
+    f"count(DISTINCT {c}) AS n_distinct FROM lineitem"
+    for c in _PROFILE_COLS
+) + "\n        ORDER BY column_name"
+
+
+@declare(
+    "d10_table_profile",
+    oracle=_PROFILE_ORACLE,
+    tags=("profiling", "metadata"),
+)
+def d10_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of lineitem — row count, null count,
+    exact distinct cardinality per column — in ONE scan: a single
+    aggregate computes every column's stats (Spark plans the multi-column
+    exact count-distinct as one Expand + aggregate pass), then a stack()
+    unpivots the one-row result to long form driver-side for free.
+
+    The oracle spells it as per-column UNION ALL scans; at 100 TB the
+    production knob is swapping count(DISTINCT) for
+    approx_count_distinct (HLL, n8's path) to drop the Expand factor —
+    the operator shape is otherwise unchanged."""
+    li = load_table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return (
+        one.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+                "AS (column_name, n_nulls, n_distinct)"
+            ),
+        )
+        .select("column_name", "n_rows", "n_nulls", "n_distinct")
+        .orderBy("column_name")
+    )

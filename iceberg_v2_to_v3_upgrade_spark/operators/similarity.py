@@ -396,3 +396,75 @@ def n3b_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
         .orderBy("query_id", "rank")
     )
+
+
+_KMEANS_UPDATE_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < {_N_CELLS}),
+    d AS (
+        SELECT e.vec_id, e.v, c.cell_id,
+               list_sum(list_transform(generate_series(1, len(e.v)),
+                        i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))
+                   AS dist2
+        FROM e CROSS JOIN c),
+    a AS (
+        SELECT vec_id, v, cell_id, dist2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cell_id) AS rn
+        FROM d),
+    comp AS (
+        SELECT a.cell_id, s.i AS pos, a.v[s.i] AS x
+        FROM a, unnest(generate_series(1, len(a.v))) AS s(i)
+        WHERE a.rn = 1)
+    SELECT cell_id, pos, round(avg(x), 6) AS centroid_component
+    FROM comp WHERE pos <= 8
+    GROUP BY cell_id, pos ORDER BY cell_id, pos
+"""
+
+
+@declare(
+    "n3e_kmeans_update",
+    oracle=_KMEANS_UPDATE_ORACLE,
+    tags=("ext", "similarity", "ann", "kmeans"),
+)
+def n3e_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration of distributed k-means, oracle-checked:
+    assign every vector to its nearest of 8 fixed centroids (n3d's
+    broadcast + min-struct argmin), then recompute each centroid as the
+    per-cell component-wise mean (first 8 components displayed).
+
+    The update step is posexplode -> grouped avg keyed by (cell,
+    component): K*dim groups regardless of corpus size, map-side partial
+    aggregation, no per-cell data concentration — the exact shape a 100 TB
+    k-means iteration must have (the naive collect_list-per-cell
+    formulation would OOM on a popular cell). n3c runs the same
+    iteration driver-side on a sample; this is the cluster-scale twin."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cell_id", dist2.alias("dist2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist2", "cell_id")).alias("best"),
+            F.first("v").alias("v"),
+        )
+        .select(F.col("best.cell_id").alias("cell_id"), "v")
+    )
+    return (
+        assigned.select("cell_id", F.posexplode("v").alias("pos0", "x"))
+        .select("cell_id", (F.col("pos0") + 1).alias("pos"), "x")
+        .filter(F.col("pos") <= 8)
+        .groupBy("cell_id", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("centroid_component"))
+        .orderBy("cell_id", "pos")
+    )

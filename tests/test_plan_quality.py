@@ -288,3 +288,24 @@ def test_cohort_retention_caches_per_user_frame(spark, registry):
     assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
     assert "Broadcast" in p
     assert "SortMergeJoin" not in p
+
+
+def test_kmeans_update_is_grouped_not_collected(spark, registry):
+    """n3e's centroid update must be a (cell, component) grouped average
+    with map-side partial aggregation — never a per-cell collect — with
+    the centroid side broadcast into the assignment join."""
+    p = plan(spark, registry, "n3e_kmeans_update")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "partial" in p
+    assert "collect_list" not in p
+
+
+def test_table_profile_single_scan(spark, registry):
+    """d10 computes all six columns' null/distinct stats in ONE pass:
+    exactly one parquet scan, multi-count-distinct planned via Expand."""
+    import re
+
+    p = plan(spark, registry, "d10_table_profile")
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", p))
+    assert len(scans) == 1, scans
+    assert "Expand" in p
