@@ -508,3 +508,168 @@ def n18_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@declare(
+    "n26_chunk_dedup_savings",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, source, string_split(text, ' ') AS words
+            FROM documents),
+        s AS (
+            SELECT doc_id, source, words,
+                   unnest(range(0, greatest(len(words), 1), {_STRIDE}))
+                       AS st
+            FROM w),
+        c AS (
+            SELECT doc_id, source,
+                   st // {_STRIDE} AS chunk_id,
+                   len(list_slice(words, st + 1, st + {_CHUNK})) AS n_tok,
+                   md5(array_to_string(
+                       list_slice(words, st + 1, st + {_CHUNK}), ' ')) AS h
+            FROM s),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY h
+                                         ORDER BY doc_id, chunk_id) AS rn
+            FROM c)
+        SELECT source,
+               count(*) AS n_chunks,
+               sum(n_tok) AS n_tokens,
+               sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS dup_chunks,
+               sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS dup_tokens,
+               round(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END)
+                     / sum(n_tok), 6) AS savings_pct
+        FROM r GROUP BY source ORDER BY source
+    """,
+    tags=("ext", "text", "dedup", "chunking"),
+)
+def n26_chunk_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at chunk granularity (the scalable
+    approximation of suffix-array substring dedup): shard the corpus into
+    n14's 64-token chunks, keep the first occurrence of each chunk hash,
+    and report per-source duplicated-chunk/token counts and the token
+    savings from deduplicating shards before tokenization.
+
+    Chunk hashes are md5'd in-executor; the only fact-scale movement is
+    ONE shuffle keyed by chunk hash for the keeper window (group size =
+    duplicate multiplicity), then a source-keyed rollup that partial-
+    aggregates. Ties inside a hash group break on (doc_id, chunk_id), so
+    the keeper choice is deterministic under any partitioning."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("w") - 1, F.lit(0)), F.lit(_STRIDE)
+    )
+    chunk = F.expr(f"slice(w, start + 1, {_CHUNK})")
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(starts).alias("chunk_id", "start"),
+        "w",
+    ).select(
+        "doc_id",
+        "source",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).alias("n_tok"),
+        F.md5(F.array_join(chunk, " ")).alias("h"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "chunk_id")
+    )
+    dup = F.col("rn") > 1
+    return (
+        chunks.withColumn("rn", rn)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("dup_chunks"),
+            F.sum(F.when(dup, F.col("n_tok")).otherwise(0)).alias(
+                "dup_tokens"
+            ),
+            F.round(
+                F.sum(F.when(dup, F.col("n_tok")).otherwise(0))
+                / F.sum("n_tok"),
+                6,
+            ).alias("savings_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+@declare(
+    "n27_quality_weighted_sample",
+    oracle="""
+        WITH q AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_unique
+            FROM documents),
+        s AS (
+            SELECT doc_id, source, n_tokens,
+                   0.5 * least(n_tokens / 64.0, 1.0)
+                   + 0.5 * (n_unique * 1.0 / n_tokens) AS quality,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u01
+            FROM q)
+        SELECT source,
+               count(*) AS n_docs,
+               sum(CASE WHEN u01 < quality THEN 1 ELSE 0 END) AS n_kept,
+               sum(CASE WHEN u01 < quality THEN n_tokens ELSE 0 END)
+                   AS kept_tokens,
+               round(avg(quality), 6) AS target_rate,
+               round(sum(CASE WHEN u01 < quality THEN 1 ELSE 0 END)
+                     / count(*), 6) AS realized_rate
+        FROM s GROUP BY source ORDER BY source
+    """,
+    tags=("ext", "text", "sampling", "quality"),
+)
+def n27_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: keep each document with
+    probability equal to its quality score (n4c's length-saturation +
+    lexical-diversity scorer) — the DCLM/FineWeb-style soft filter that
+    preserves a quality gradient instead of a hard cutoff.
+
+    The keep decision is md5(doc_id)-derived uniform-[0,1) < quality, so
+    membership is deterministic, reproducible across engines, cluster
+    sizes, and re-partitioning (same property as n11/n12/n15), and the
+    realized per-source rate converges to mean quality. Map-side only +
+    one source-keyed rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    s = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens).alias("n_tokens"),
+        (
+            0.5 * F.least(F.size(tokens) / 64.0, F.lit(1.0))
+            + 0.5 * (F.size(F.array_distinct(tokens)) / F.size(tokens))
+        ).alias("quality"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            / 4294967296.0
+        ).alias("u01"),
+    )
+    kept = F.col("u01") < F.col("quality")
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+            F.round(F.avg("quality"), 6).alias("target_rate"),
+            F.round(
+                F.sum(F.when(kept, 1).otherwise(0)) / F.count(F.lit(1)), 6
+            ).alias("realized_rate"),
+        )
+        .orderBy("source")
+    )
