@@ -69,25 +69,37 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all_operators()
 
-    # warmup: spin executors + codegen, untimed
-    registry["d1_count_star"].fn(spark, sf_dir).count()
+    # warmup: spin executors + codegen, untimed (failure non-fatal)
+    try:
+        registry["d1_count_star"].fn(spark, sf_dir).count()
+    except Exception:  # noqa: BLE001
+        pass
 
     # two passes per query: pass 1 pays one-time plan compilation + codegen
     # (reported separately as cold_run_total_sec); the headline value is
     # steady-state (min of the passes) — the number that scales with data.
+    # Per-query fault isolation: one broken query must never take down the
+    # whole run (round-1 postmortem — a single AnalysisException cost every
+    # timing). Failures are recorded under "errors" and the JSON line is
+    # ALWAYS emitted.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry[name].fn
         best = float("inf")
-        for it in range(2):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - start
-            if it == 0:
-                cold[name] = elapsed
-            best = min(best, elapsed)
-        timings[name] = round(best, 3)
+        try:
+            for it in range(2):
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - start
+                if it == 0:
+                    cold[name] = elapsed
+                best = min(best, elapsed)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — bench must survive anything
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            cold.pop(name, None)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -100,6 +112,7 @@ def main() -> None:
                 "sf": sf,
                 "cold_run_total_sec": round(sum(cold.values()), 3),
                 "n_queries": len(timings),
+                "errors": errors,
             }
         )
     )

@@ -34,17 +34,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes engine-incompatible types.
 
-    ``events.ts`` is INT64 TIMESTAMP(NANOS) in the footer, which Spark's
-    reader rejects outright; we read it as a long (nanosAsLong) and truncate
-    to microseconds — exactly what DuckDB does on read, so both engines see
-    identical values.
+    ``events.ts`` has drifted across fixture generations: INT64
+    TIMESTAMP(NANOS) footers read as ``bigint`` (nanosAsLong), and
+    ``timestamp[us] isAdjustedToUTC=false`` footers read as TIMESTAMP_NTZ.
+    Both are normalized to session-TZ TIMESTAMP here — the session TZ is
+    pinned UTC (session.py RUNTIME_CONFS), so the wall-clock values are
+    unchanged and match what DuckDB reads from the same file.
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: float division would lose µs precision on
-        # int64 nanosecond values (> 2^53)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division: float division would lose µs precision on
+            # int64 nanosecond values (> 2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # NTZ -> TIMESTAMP at UTC: same instant, but unlocks the
+            # instant-typed functions (unix_micros etc.)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

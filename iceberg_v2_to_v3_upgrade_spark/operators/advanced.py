@@ -100,15 +100,25 @@ def h4_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "h5_array_agg",
     oracle="""
-        SELECT r.r_name, list_sort(list(n.n_name)) AS nations
+        SELECT r.r_name,
+               array_to_string(list_sort(list(n.n_name)), ',') AS nations
         FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name ORDER BY r.r_name
     """,
     tags=("aggregate", "array"),
 )
 def h5_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list + sort_array: grouped array aggregation (sorted for
-    cross-engine determinism)."""
+    """collect_list + sort_array: grouped array aggregation, joined to a
+    string for the cross-engine hash (the driver's canonicalizer sorts via
+    pandas, which cannot hash list cells). The native array<string> form is
+    `h5_array_agg_native` below, kept under local pytest parity."""
+    return h5_array_agg_native(spark, sf_dir).withColumn(
+        "nations", F.array_join("nations", ",")
+    )
+
+
+def h5_array_agg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-typed variant (sorted for cross-engine determinism)."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     return (

@@ -15,6 +15,7 @@ and nothing here assumes local mode.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -44,10 +45,14 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
-        except Exception:
+        except Exception as exc:
             # A conf may be non-settable on exotic builds; every consumer of
-            # these keys degrades gracefully (io.load_table re-checks).
-            pass
+            # these keys degrades gracefully (io.load_table re-checks) — but
+            # surface it so type/fixture drift doesn't hide here again.
+            print(
+                f"[iceberg-v2-to-v3-upgrade-spark] WARN: conf {key}={value} not applied: {exc}",
+                file=sys.stderr,
+            )
     return spark
 
 
