@@ -134,12 +134,17 @@ def n2b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster scale: MEMORY_AND_DISK recomputes on executor loss) and
     halves the query's runtime.
     """
-    tau = 0.8
     # single-row-group landing file == one task; spread the CPU-heavy
     # shingling (and everything downstream) across all cores
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    return _exact_jaccard_pairs(docs, tau=0.8)
+
+
+def _exact_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs over an arbitrary docs frame
+    (shared by n2b and the n2c/n2d in-query recall audits)."""
     shingled = (
         docs.select(
             "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
@@ -196,6 +201,61 @@ def n2b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Memoized recall audits (one per (kind, sf_dir) per process) so repeated
+#: invocations — bench steady-state passes, repeated driver calls — don't
+#: re-pay the exact-pair computation.
+_NEARDUP_AUDITS: dict[tuple[str, str], float] = {}
+_AUDIT_MAX_DOCS = 20_000
+
+
+def _audit_neardup_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    got: DataFrame,
+    kind: str,
+    min_recall: float,
+) -> None:
+    """In-query recall self-check for the hash-based (rows-only) near-dup
+    operators: the emitted pair set must recall >= ``min_recall`` of the
+    exact Jaccard>=0.8 pairs (n2b's formulation) on the same corpus —
+    hash-sampled down above _AUDIT_MAX_DOCS so the audit stays bounded at
+    any scale. Raises if recall degrades, so the driver's rows-only row
+    still proves the operator works (VERDICT.md round-1 item 6).
+    """
+    key = (kind, sf_dir)
+    if key in _NEARDUP_AUDITS:
+        return
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    if n > _AUDIT_MAX_DOCS:
+        stride = n // _AUDIT_MAX_DOCS + 1
+        docs = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(stride)) == 0)
+        sampled_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    else:
+        sampled_ids = None  # full corpus
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in _exact_jaccard_pairs(
+            docs.repartition(spark.sparkContext.defaultParallelism)
+        ).collect()
+    }
+    if not exact:
+        _NEARDUP_AUDITS[key] = 1.0
+        return
+    got_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in got.select("doc_a", "doc_b").collect()
+        if sampled_ids is None
+        or (r.doc_a in sampled_ids and r.doc_b in sampled_ids)
+    }
+    recall = len(exact & got_pairs) / len(exact)
+    if recall < min_recall:
+        raise AssertionError(
+            f"{kind} recall {recall:.2f} < {min_recall} vs exact pairs at {sf_dir}"
+        )
+    _NEARDUP_AUDITS[key] = recall
+
+
 @declare("n2c_minhash_lsh_neardup", oracle=None, tags=("ext", "dedup", "minhash", "lsh"))
 def n2c_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs — the scale path.
@@ -244,12 +304,14 @@ def n2c_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(64.0)
     )
-    return (
+    result = (
         candidates.withColumn("est_jaccard", F.round(est_jaccard, 3))
         .filter(F.col("est_jaccard") >= 0.8)
         .select("doc_a", "doc_b", "est_jaccard")
         .orderBy("doc_a", "doc_b")
     )
+    _audit_neardup_recall(spark, sf_dir, result, "minhash_lsh", min_recall=0.9)
+    return result
 
 
 _COSINE_NEARDUP_ORACLE = """
@@ -266,6 +328,13 @@ _COSINE_NEARDUP_ORACLE = """
 """
 
 
+#: Corpus sizes at or below this use broadcast-GEMM (one numpy matrix per
+#: executor, ~500k x 64 dims x 8B = 256 MB); above it, the block-pair grid
+#: runs instead — no driver collect on any path for a large corpus.
+_NEARDUP_BROADCAST_MAX_ROWS = 500_000
+_NEARDUP_THRESHOLD = 0.45
+
+
 @declare(
     "n2e_embedding_cosine_neardup",
     oracle=_COSINE_NEARDUP_ORACLE,
@@ -277,23 +346,35 @@ def n2e_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairwise similarity is dense linear algebra, which row-at-a-time SQL
     expressions cannot express efficiently (a pure-DataFrame formulation —
     broadcast nested-loop join + per-pair dot — measured ~4us/pair: the
-    wide expression falls out of whole-stage codegen). The idiomatic
-    Spark shape is BLOCKED GEMM: broadcast the corpus as one numpy matrix,
-    stream row-blocks through Arrow mapInPandas, and emit only the
-    above-threshold pairs. One BLAS matmul per block, no shuffle.
+    wide expression falls out of whole-stage codegen). Two exact physical
+    strategies, chosen by corpus size (both produce identical pairs, so the
+    one oracle covers either path):
 
-    At 100 TB both sides are blocked (grid of block-pairs) or the LSH
-    bucketing of operators/similarity.n3b_lsh_ann prunes candidates first;
-    this broadcast-one-side form is exact and linear in corpus size for a
-    corpus that fits a broadcast (the usual dedup-reference case).
+    - small corpus: broadcast-GEMM — corpus as one numpy matrix on every
+      executor, row-blocks streamed through Arrow mapInPandas, one BLAS
+      matmul per block, zero shuffle;
+    - large corpus: block-pair grid — vectors hashed into B blocks, each
+      vector replicated to the B grid cells it participates in, per-cell
+      GEMM via applyInPandas. No broadcast, no driver collect; memory per
+      task is 2|corpus|/B rows. The O(n^2) FLOPs are inherent to an exact
+      threshold scan — the grid distributes them evenly.
     """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if emb.count() <= _NEARDUP_BROADCAST_MAX_ROWS:
+        return _cosine_neardup_broadcast_gemm(spark, emb)
+    return _cosine_neardup_block_grid(spark, emb)
+
+
+def _cosine_neardup_broadcast_gemm(
+    spark: SparkSession, emb: DataFrame, threshold: float = _NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Exact pairs via broadcast corpus x streamed row-blocks (small corpus)."""
     from collections.abc import Iterator
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = emb.collect()  # broadcast side only (like F.broadcast), not a
-    # data-path collect: at scale this is the reference block
     import numpy as np
 
+    rows = emb.collect()  # broadcast side only (guarded by the row-count
+    # check in n2e_embedding_cosine_neardup), not an unbounded data-path collect
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array([r.embedding for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -311,7 +392,7 @@ def n2e_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             a /= np.linalg.norm(a, axis=1, keepdims=True)
             sims = a @ b_mat.value.T  # BLAS dgemm: the entire pairwise step
             ai, bj = np.nonzero(
-                (sims >= 0.45) & (a_ids[:, None] < b_ids.value[None, :])
+                (sims >= threshold) & (a_ids[:, None] < b_ids.value[None, :])
             )
             yield pd.DataFrame(
                 {
@@ -325,6 +406,86 @@ def n2e_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.repartition(par)
         .mapInPandas(block_gemm, "vec_a long, vec_b long, cos_sim double")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _cosine_neardup_block_grid(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_blocks: int = 32,
+    threshold: float = _NEARDUP_THRESHOLD,
+) -> DataFrame:
+    """Exact pairs via a B x B block-pair grid (large corpus; no broadcast).
+
+    Each vector lands in block ``xxhash64(vec_id) % B`` and is shipped to
+    every grid cell (i, j), i <= j, that its block participates in — B
+    copies per vector, so shuffle volume is B * |corpus| while per-task
+    memory is 2|corpus|/B rows. Cell (i, j) GEMMs block i against block j
+    and emits each qualifying pair exactly once (same-block pairs only in
+    the diagonal cell; cross-block pairs only in their unique off-diagonal
+    cell), so no dedup pass is needed afterwards.
+    """
+
+    blocked = emb.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    # grid cell id for (i, j), i <= j: i * B + j
+    cells = F.array(
+        *[
+            F.least(F.col("blk"), F.lit(j)) * n_blocks
+            + F.greatest(F.col("blk"), F.lit(j))
+            for j in range(n_blocks)
+        ]
+    )
+    # cells are distinct per vector by construction (for block b, j sweeps
+    # out B distinct (min,max) pairs), so no dedup shuffle is needed
+    exploded = blocked.select(
+        "vec_id", "embedding", "blk", F.explode(cells).alias("cell")
+    )
+
+    def cell_gemm(key: tuple, pdf) -> object:
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        if not len(pdf):
+            return empty
+        cell = int(key[0])
+        i, j = divmod(cell, n_blocks)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        blks = pdf["blk"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        left = blks == i
+        right = blks == j
+        if not left.any() or not right.any():
+            return empty
+        l_ids, r_ids = ids[left], ids[right]
+        sims = mat[left] @ mat[right].T
+        mask = sims >= threshold
+        if i == j:
+            # same-block: each unordered pair appears twice; keep one
+            mask &= l_ids[:, None] < r_ids[None, :]
+        li, rj = np.nonzero(mask)
+        a, b = l_ids[li], r_ids[rj]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(a, b),
+                "vec_b": np.maximum(a, b),
+                "cos_sim": np.round(sims[li, rj], 4),
+            }
+        )
+
+    return (
+        exploded.groupBy("cell")
+        .applyInPandas(cell_gemm, "vec_a long, vec_b long, cos_sim double")
         .orderBy("vec_a", "vec_b")
     )
 
@@ -359,7 +520,7 @@ def n2d_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", "bk.band", "bk.key")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    result = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -377,6 +538,8 @@ def n2d_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .orderBy("doc_a", "doc_b")
     )
+    _audit_neardup_recall(spark, sf_dir, result, "simhash", min_recall=0.85)
+    return result
 
 
 _CLUSTER_ORACLE = """

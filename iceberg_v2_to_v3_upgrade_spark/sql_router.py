@@ -28,6 +28,7 @@ from typing import Any
 from pyspark.sql import DataFrame, functions as F
 
 from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+from iceberg_v2_to_v3_upgrade_spark.tables.permissions import PermissionDenied
 from iceberg_v2_to_v3_upgrade_spark.tables.table import TableError
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -76,10 +77,16 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
 
 
 class EngineSQL:
-    """Execute reference-shaped SQL programs against a LocalCatalog."""
+    """Execute reference-shaped SQL programs against a LocalCatalog.
 
-    def __init__(self, catalog: LocalCatalog):
+    ``principal`` is the acting identity for the J7 permission checks —
+    ``None`` means an anonymous caller, who passes only via
+    IAM_ALLOWED_PRINCIPALS wildcard grants (or a non-enforcing store,
+    Lake Formation's IAM-access default)."""
+
+    def __init__(self, catalog: LocalCatalog, principal: str | None = None):
         self.catalog = catalog
+        self.principal = principal
         self.spark = catalog.spark
         # session-level views: name -> defining SELECT, re-resolved against
         # the live table state on every use (a view over a table must see
@@ -107,10 +114,30 @@ class EngineSQL:
                 return handler(self, sql, m)
         return self._select(sql)
 
+    # ------------------------------------------------------- authorization
+
+    def _authorize_db(self, permission: str, db: str) -> None:
+        """J7 gate for db-scoped statements (CREATE TABLE needs the
+        CREATE_TABLE db grant, lake_formation_setup.py:43)."""
+        if not self.catalog.permissions.check_database(self.principal, db, permission):
+            raise PermissionDenied(
+                f"principal {self.principal!r} lacks {permission} on database {db}"
+            )
+
+    def _authorize_table(self, permission: str, db: str, table: str) -> None:
+        """J7 gate for table-scoped DML/DDL (lake_formation_setup.py:79)."""
+        if not self.catalog.permissions.check_table(
+            self.principal, db, table, permission
+        ):
+            raise PermissionDenied(
+                f"principal {self.principal!r} lacks {permission} on {db}.{table}"
+            )
+
     # ---------------------------------------------------------- handlers
 
     def _create_table(self, sql: str, m: re.Match) -> StatementResult:
         db, table = m.group("db"), m.group("table")
+        self._authorize_db("CREATE_TABLE", db)
         cols = m.group("cols").strip()
         partition = m.group("partition")
         props = _parse_props(m.group("props") or "")
@@ -124,6 +151,7 @@ class EngineSQL:
         return StatementResult(sql, "create_table", message=f"created {db}.{table}")
 
     def _truncate(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("DELETE", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         snap = t.delete_where("true")
         return StatementResult(sql, "truncate", message=f"snapshot {snap.id}")
@@ -227,6 +255,7 @@ class EngineSQL:
         """CTAS: schema inferred from the SELECT, then a regular append —
         so the new table gets the same snapshot/MoR machinery as DDL ones."""
         db, table = m.group("db"), m.group("table")
+        self._authorize_db("CREATE_TABLE", db)
         partition = m.group("partition")
         df = self._select(m.group("select")).df
         ddl = ", ".join(
@@ -244,6 +273,7 @@ class EngineSQL:
         )
 
     def _insert_select(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("INSERT", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         df = self._select(m.group("select")).df
         target = self.spark.createDataFrame([], t.schema_ddl).schema
@@ -263,6 +293,7 @@ class EngineSQL:
         )
 
     def _drop_table(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("DROP", m.group("db"), m.group("table"))
         dropped = self.catalog.drop_table(
             m.group("db"), m.group("table"), if_exists=bool(m.group("ifex"))
         )
@@ -271,6 +302,7 @@ class EngineSQL:
         )
 
     def _insert_values(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("INSERT", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         # let Spark's parser evaluate the literal tuples (incl.
         # current_timestamp()), then cast by position to the table schema
@@ -292,11 +324,15 @@ class EngineSQL:
         )
 
     def _delete(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("DELETE", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         snap = t.delete_where(m.group("pred"))
         return StatementResult(sql, "delete", message=f"snapshot {snap.id}")
 
     def _update(self, sql: str, m: re.Match) -> StatementResult:
+        # MoR UPDATE = delete + reinsert, so both table grants are required
+        self._authorize_table("DELETE", m.group("db"), m.group("table"))
+        self._authorize_table("INSERT", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         assignments = {}
         for item in _split_top_level(m.group("sets")):
@@ -306,11 +342,13 @@ class EngineSQL:
         return StatementResult(sql, "update", message=f"snapshot {snap.id}")
 
     def _alter_props(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         t.set_properties(_parse_props(m.group("props")))
         return StatementResult(sql, "alter", message="properties updated")
 
     def _alter_add_column(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         t.add_column(m.group("col"), m.group("dtype").strip())
         return StatementResult(
@@ -318,6 +356,7 @@ class EngineSQL:
         )
 
     def _alter_drop_column(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         t.drop_column(m.group("col"))
         return StatementResult(
@@ -325,6 +364,7 @@ class EngineSQL:
         )
 
     def _alter_column_type(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         t.widen_column(m.group("col"), m.group("dtype").strip())
         return StatementResult(
@@ -334,6 +374,7 @@ class EngineSQL:
         )
 
     def _alter_rename_column(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         t.rename_column(m.group("old"), m.group("new"))
         return StatementResult(
@@ -344,6 +385,7 @@ class EngineSQL:
 
     def _call_rewrite(self, sql: str, m: re.Match) -> StatementResult:
         db, table = m.group("db"), m.group("table")
+        self._authorize_table("ALTER", db, table)
         options = _parse_options_map(m.group("options") or "")
         t = self.catalog.load_table(db, table)
         snap = t.rewrite_data_files(

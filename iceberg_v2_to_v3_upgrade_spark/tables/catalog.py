@@ -16,6 +16,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from iceberg_v2_to_v3_upgrade_spark.tables.permissions import PermissionStore
 from iceberg_v2_to_v3_upgrade_spark.tables.table import LocalTable, TableError
 
 
@@ -24,6 +25,9 @@ class LocalCatalog:
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
         os.makedirs(self.warehouse, exist_ok=True)
+        # J7/J8: grant table + account id (non-enforcing until enabled —
+        # Lake Formation's IAM-access default; see tables/permissions.py)
+        self.permissions = PermissionStore(self.warehouse)
 
     # ------------------------------------------------------------ databases
 

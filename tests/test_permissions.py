@@ -1,0 +1,156 @@
+"""J7/J8 — the reference's Lake Formation permission surface made local
+(reference internal/lake_formation_setup.py). The router's DDL/DML paths
+consult the catalog's PermissionStore once enforcement is enabled; a fresh
+store is non-enforcing (LF's IAM-access default), which keeps unsecured
+workflows identical to round 1.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL, PermissionDenied
+from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+from iceberg_v2_to_v3_upgrade_spark.tables.permissions import (
+    DB_PERMISSIONS,
+    IAM_ALLOWED_PRINCIPALS,
+    TABLE_PERMISSIONS,
+    get_account_id,
+    setup_permissions,
+)
+
+ROLE = "arn:aws:iam::123456789012:role/engineer"
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LocalCatalog(spark, str(tmp_path / "wh"))
+
+
+def _mk_table(catalog):
+    sql = EngineSQL(catalog, principal=ROLE)
+    sql.execute(
+        "CREATE TABLE glue_catalog.db1.t1 (id BIGINT, v STRING) USING iceberg;"
+        "INSERT INTO glue_catalog.db1.t1 VALUES (1, 'a'), (2, 'b')"
+    )
+    return sql
+
+
+def test_account_id_is_stable_12_digits(tmp_path):
+    a = get_account_id(str(tmp_path))
+    assert len(a) == 12 and a.isdigit()
+    assert a == get_account_id(str(tmp_path))  # deterministic (J8)
+
+
+def test_fresh_store_is_non_enforcing(catalog):
+    # anonymous principal, zero grants: everything allowed (LF IAM default)
+    sql = EngineSQL(catalog)
+    res = sql.execute(
+        "CREATE TABLE glue_catalog.db1.t1 (id BIGINT) USING iceberg;"
+        "DROP TABLE IF EXISTS glue_catalog.db1.t1"
+    )
+    assert [r.kind for r in res] == ["create_table", "drop_table"]
+
+
+def test_unprivileged_drop_denied(catalog):
+    _mk_table(catalog)
+    catalog.permissions.grant_iam_allowed_principals("db1")  # db-level only
+    catalog.permissions.enable_enforcement()
+    intruder = EngineSQL(catalog, principal="arn:aws:iam::123456789012:role/intruder")
+    with pytest.raises(PermissionDenied, match="DROP"):
+        intruder.execute_one("DROP TABLE glue_catalog.db1.t1")
+    # the table survived
+    assert catalog.table_exists("db1", "t1")
+
+
+def test_unprivileged_dml_denied_then_granted(catalog):
+    _mk_table(catalog)
+    catalog.permissions.enable_enforcement()
+    user = EngineSQL(catalog, principal="arn:aws:iam::123456789012:role/analyst")
+    with pytest.raises(PermissionDenied, match="INSERT"):
+        user.execute_one("INSERT INTO glue_catalog.db1.t1 VALUES (3, 'c')")
+    with pytest.raises(PermissionDenied, match="DELETE"):
+        user.execute_one("DELETE FROM glue_catalog.db1.t1 WHERE id = 1")
+    with pytest.raises(PermissionDenied, match="ALTER"):
+        user.execute_one(
+            "ALTER TABLE glue_catalog.db1.t1 SET TBLPROPERTIES ('k' = 'v')"
+        )
+    catalog.permissions.grant_table_permissions(user.principal, "db1", "t1")
+    res = user.execute_one("INSERT INTO glue_catalog.db1.t1 VALUES (3, 'c')")
+    assert "appended" in res.message
+
+
+def test_update_requires_delete_and_insert(catalog):
+    _mk_table(catalog)
+    catalog.permissions.enable_enforcement()
+    user = EngineSQL(catalog, principal="arn:aws:iam::123456789012:role/writer")
+    catalog.permissions.grant_table_permissions(
+        user.principal, "db1", "t1", ["INSERT"]
+    )
+    with pytest.raises(PermissionDenied, match="DELETE"):
+        user.execute_one("UPDATE glue_catalog.db1.t1 SET v = 'x' WHERE id = 1")
+    catalog.permissions.grant_table_permissions(
+        user.principal, "db1", "t1", ["DELETE"]
+    )
+    res = user.execute_one("UPDATE glue_catalog.db1.t1 SET v = 'x' WHERE id = 1")
+    assert res.kind == "update"
+
+
+def test_create_table_needs_db_grant(catalog):
+    catalog.create_database("db2")
+    catalog.permissions.enable_enforcement()
+    user = EngineSQL(catalog, principal="arn:aws:iam::123456789012:role/creator")
+    with pytest.raises(PermissionDenied, match="CREATE_TABLE"):
+        user.execute_one("CREATE TABLE glue_catalog.db2.t2 (id BIGINT) USING iceberg")
+    catalog.permissions.grant_database_permissions(user.principal, "db2")
+    assert (
+        user.execute_one("CREATE TABLE glue_catalog.db2.t2 (id BIGINT) USING iceberg").kind
+        == "create_table"
+    )
+
+
+def test_iam_allowed_principals_wildcard(catalog):
+    """A grant to IAM_ALLOWED_PRINCIPALS admits every principal — the
+    reference's IAM-based access path (lake_formation_setup.py:93-141)."""
+    _mk_table(catalog)
+    catalog.permissions.grant_iam_allowed_principals("db1", "t1")
+    catalog.permissions.enable_enforcement()
+    anyone = EngineSQL(catalog, principal="arn:aws:iam::123456789012:role/random")
+    assert "appended" in anyone.execute_one(
+        "INSERT INTO glue_catalog.db1.t1 VALUES (9, 'z')"
+    ).message
+    # ...but DROP is not in the IAM table set, so it still fails
+    with pytest.raises(PermissionDenied, match="DROP"):
+        anyone.execute_one("DROP TABLE glue_catalog.db1.t1")
+
+
+def test_setup_permissions_arc_and_revoke(catalog):
+    """The reference CLI's grant arc, then revoke closes access again."""
+    _mk_table(catalog)
+    assert setup_permissions(catalog.permissions, ROLE, "db1", "t1")
+    catalog.permissions.enable_enforcement()
+    owner = EngineSQL(catalog, principal=ROLE)
+    assert owner.execute_one("DELETE FROM glue_catalog.db1.t1 WHERE id = 2").kind == "delete"
+    # closing access means revoking the role AND the IAM wildcard the setup
+    # arc granted (wildcard admits every principal, reference :93-141)
+    catalog.permissions.revoke_table_permissions(ROLE, "db1", "t1")
+    catalog.permissions.revoke_table_permissions(
+        IAM_ALLOWED_PRINCIPALS, "db1", "t1"
+    )
+    with pytest.raises(PermissionDenied):
+        owner.execute_one("DELETE FROM glue_catalog.db1.t1 WHERE id = 1")
+
+
+def test_grants_idempotent_and_persisted(catalog):
+    # double-grant is the reference's "AlreadyExists -> [OK]" path
+    assert catalog.permissions.grant_database_permissions(ROLE, "db1")
+    assert catalog.permissions.grant_database_permissions(ROLE, "db1")
+    # a second store over the same warehouse sees the same grants
+    fresh = LocalCatalog(catalog.spark, catalog.warehouse).permissions
+    assert fresh.check_database(ROLE, "db1", "DROP") or not fresh.enforcing
+    fresh.enable_enforcement()
+    for p in DB_PERMISSIONS:
+        assert fresh.check_database(ROLE, "db1", p)
+    assert not fresh.check_database("nobody", "db1", "DROP")
+    for p in TABLE_PERMISSIONS:
+        assert not fresh.check_table("nobody", "db1", "t1", p)
