@@ -39,6 +39,7 @@ HEADLINE = [
     "m1_binary_decode_stats",
     "c7_asof_join",
     "n2e_embedding_cosine_neardup",
+    "n25_semantic_dedup",
     "n4e_top_terms",
     "i3_table_lifecycle",
     "q14_promo_revenue_ratio",

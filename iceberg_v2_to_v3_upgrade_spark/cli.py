@@ -127,6 +127,38 @@ def cmd_demo(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_permissions(args: argparse.Namespace) -> int:
+    """The reference's lake_formation_setup.py CLI arc (J7/J8): grant db
+    perms, optional table perms, the IAM wildcard pair (reference
+    :174-205), against the local PermissionStore. ``--revoke`` is the
+    closing half Lake Formation exposes via revoke_permissions."""
+    from iceberg_v2_to_v3_upgrade_spark.tables.permissions import (
+        PermissionStore,
+        setup_permissions,
+    )
+
+    store = PermissionStore(args.warehouse or load_config().warehouse)
+    print("=" * 60 + "\nPERMISSION SETUP (local)\n" + "=" * 60)
+    print(f"account id: {store.account_id}")
+    if args.revoke:
+        store.revoke_database_permissions(args.principal, args.database)
+        if args.table:
+            store.revoke_table_permissions(args.principal, args.database, args.table)
+        print(f"  [OK] revoked {args.principal} on {args.database}"
+              + (f".{args.table}" if args.table else ""))
+        return 0
+    setup_permissions(store, args.principal, args.database, args.table)
+    print(f"  [OK] database permissions granted on '{args.database}'")
+    if args.table:
+        print(f"  [OK] table permissions granted on '{args.database}.{args.table}'")
+    print("  [OK] IAM_ALLOWED_PRINCIPALS granted")
+    if args.enforce:
+        store.enable_enforcement()
+        print("  [OK] enforcement enabled")
+    print("\n[OK] permission setup complete!")
+    return 0
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     """spark-sql -e analog (reference upgrade_table.py:81-90 shipped SQL
     text over SSH; here it routes through EngineSQL in-process)."""
@@ -182,6 +214,18 @@ def main(argv: list[str] | None = None) -> int:
     sqlp.add_argument("-e", "--execute", required=True, help="SQL text")
     sqlp.add_argument("--warehouse")
     sqlp.set_defaults(fn=cmd_sql)
+
+    perm = sub.add_parser(
+        "permissions", help="grant/revoke catalog permissions (J7 analog)"
+    )
+    perm.add_argument("-d", "--database", required=True)
+    perm.add_argument("-t", "--table")
+    perm.add_argument("-p", "--principal", required=True, help="principal to grant to")
+    perm.add_argument("--revoke", action="store_true")
+    perm.add_argument("--enforce", action="store_true",
+                      help="enable enforcement after granting")
+    perm.add_argument("--warehouse")
+    perm.set_defaults(fn=cmd_permissions)
 
     exp = sub.add_parser(
         "explain", help="formatted physical plan of a declared query"

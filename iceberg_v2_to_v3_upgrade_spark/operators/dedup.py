@@ -593,27 +593,39 @@ def n2f_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     side iterates instead).
     """
     pairs = n2b_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    undirected pair list (cols = (a, b) in any names). Returns (id, label).
+    One keyed shuffle per round, rounds = component diameter, convergence
+    checked with a 1-row count — the only driver-side data."""
+    a, b = pairs.columns[:2]
     edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
+        pairs.select(a, b)
+        .union(pairs.select(b, a))
         .toDF("src", "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
+        edges.select(F.col("src").alias("id"))
         .distinct()
-        .withColumn("label", F.col("doc_id"))
+        .withColumn("label", F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     for _ in range(20):  # cap >> any real diameter; loop exits on converge
         nbr = (
-            edges.join(labels, edges.dst == labels.doc_id)
+            edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
         new_labels = (
-            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            labels.join(nbr, labels.id == nbr.src, "left")
             .select(
-                "doc_id",
+                "id",
                 F.least(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
@@ -622,7 +634,7 @@ def n2f_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         changed = (
             labels.withColumnRenamed("label", "old")
-            .join(new_labels, "doc_id")
+            .join(new_labels, "id")
             .filter(F.col("old") != F.col("label"))
             .count()
         )
@@ -631,9 +643,7 @@ def n2f_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(
-        "doc_id", F.col("label").alias("cluster_id")
-    ).orderBy("doc_id")
+    return labels
 
 
 # --- md5-based SimHash: the engine-portable (oracle-checked) variant ------
@@ -912,4 +922,68 @@ def n2h_minhash_md5_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("est_jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- SemDeDup-style semantic dedup decisions ------------------------------
+# Turns the exact embedding-cosine near-dup graph (n2e) into per-vector
+# KEEP/DROP decisions: connected components over the pair graph, keep the
+# min-id representative of each semantic cluster (SemDeDup, Abbas et al.
+# 2023, arXiv:2303.09540 — public paper; the keep-one-per-cluster policy).
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    np AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= {_NEARDUP_THRESHOLD}),
+    edges AS (
+        SELECT va AS s, vb AS t FROM np
+        UNION ALL SELECT vb, va FROM np),
+    reach(doc, r) AS (
+        SELECT DISTINCT s AS doc, s AS r FROM edges
+        UNION
+        SELECT e2.s, reach.r FROM edges e2 JOIN reach ON reach.doc = e2.t),
+    comp AS (SELECT doc AS vec_id, min(r) AS cluster_id
+             FROM reach GROUP BY doc)
+    SELECT u.vec_id,
+           coalesce(c.cluster_id, u.vec_id) AS cluster_id,
+           CASE WHEN c.cluster_id IS NULL OR c.cluster_id = u.vec_id
+                THEN 1 ELSE 0 END AS keep
+    FROM (SELECT vec_id FROM embeddings) u
+    LEFT JOIN comp c ON c.vec_id = u.vec_id
+    ORDER BY u.vec_id
+"""
+
+
+@declare(
+    "n25_semantic_dedup",
+    oracle=_SEMANTIC_DEDUP_ORACLE,
+    tags=("ext", "dedup", "embeddings", "iterative"),
+)
+def n25_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup decisions: cosine>=threshold pair graph (exact, via
+    n2e's size-guarded GEMM) -> connected components (iterative min-label,
+    one keyed shuffle per round) -> keep the min-vec_id representative per
+    cluster; singletons keep themselves. The DuckDB recursive-CTE oracle
+    materializes the transitive closure — fine at test scale, exactly the
+    formulation the engine side avoids.
+    """
+    pairs = n2e_embedding_cosine_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    comp = _min_label_components(pairs)
+    universe = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        universe.join(comp, universe.vec_id == comp.id, "left")
+        .select(
+            "vec_id",
+            F.coalesce("label", F.col("vec_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "keep",
+            F.when(F.col("cluster_id") == F.col("vec_id"), 1).otherwise(0),
+        )
+        .orderBy("vec_id")
     )

@@ -76,6 +76,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "n16_decontamination",
     "n17_curriculum_buckets",
     "n18_unigram_logprob_score",
+    "n25_semantic_dedup",
     "n26_chunk_dedup_savings",
     "n27_quality_weighted_sample",
     # relevance
@@ -95,7 +96,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # TPC-H breadth representatives (rest follow in registration order)
     "q14_promo_revenue_ratio",
     "q19_disjunctive_pushdown",
-    "q21_suppliers_kept_waiting",
 )
 
 #: CORRECTNESS_r01-green queries (driver evidence already on file).
