@@ -57,6 +57,7 @@ HEADLINE = [
     "n4f_winnow_fingerprint",
     "n10_corpus_curation",
     "m2_frame_sample",
+    "m5_real_codec_decode",
     "n11_stratified_sample",
     "n12_train_val_test_split",
     "n13_sequence_packing",

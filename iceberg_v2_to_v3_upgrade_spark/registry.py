@@ -88,14 +88,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "m2_frame_sample",
     "m3_resize_stats",
     "m4_feature_extract",
+    "m5_real_codec_decode",
     # scale-technique + profiling operators
     "d10_table_profile",
     "k1_salted_aggregation",
     "k2_salted_join",
     "c10_range_join",
-    # TPC-H breadth representatives (rest follow in registration order)
+    # TPC-H breadth representative (rest follow in registration order)
     "q14_promo_revenue_ratio",
-    "q19_disjunctive_pushdown",
 )
 
 #: CORRECTNESS_r01-green queries (driver evidence already on file).
