@@ -98,6 +98,34 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue_ratio",
 )
 
+def _driver_evidenced() -> frozenset[str]:
+    """Queries with driver evidence on file: any CORRECTNESS_r*.json row
+    that hash-matched, or a rows-only query whose row count was recorded
+    (`no_oracle` with spark_rows) — those have consumed their slot's value.
+    Makes the 50-slot rotation automatic across rounds: new or
+    never-checked queries always sort ahead of evidenced ones."""
+    import glob
+    import json
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            ):
+                seen.add(name)
+    return frozenset(seen) | _DRIVER_GREEN_R01
+
+
 #: CORRECTNESS_r01-green queries (driver evidence already on file).
 _DRIVER_GREEN_R01: frozenset[str] = frozenset({
     "a1_scan_order_by", "b2_literal_status_count", "b3_eq_filter_numeric",
@@ -157,14 +185,17 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
 
+    evidenced = _driver_evidenced()
     ordered: dict[str, DeclaredQuery] = {}
+    # un-evidenced priority names lead (hand-ranked families), then
+    # un-evidenced stragglers in registration order, then everything with
+    # driver evidence on file — the 50-slot budget always reaches the
+    # queries that need it, automatically, every round.
     for name in DRIVER_PRIORITY:
-        if name in REGISTRY:
+        if name in REGISTRY and name not in evidenced:
             ordered[name] = REGISTRY[name]
-    # round-1-green names last; remaining never-checked next (slots 51+
-    # are round-3 rotation candidates)
     deferred = [n for n in REGISTRY if n not in ordered]
-    deferred.sort(key=lambda n: n in _DRIVER_GREEN_R01)
+    deferred.sort(key=lambda n: n in evidenced)  # stable: keeps reg. order
     for name in deferred:
         ordered[name] = REGISTRY[name]
     return ordered
