@@ -468,3 +468,129 @@ def n3e_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("x"), 6).alias("centroid_component"))
         .orderBy("cell_id", "pos")
     )
+
+
+# --- Product quantization (n3f) -------------------------------------------
+# PQ splits each vector into M subvectors and quantizes each against its
+# own K-entry codebook — the memory-side ANN technique (Jégou et al. 2011,
+# "Product quantization for nearest neighbor search", public paper): codes
+# are M small ints (here 8 x 4 bits = 4 bytes/vector vs 256 bytes raw).
+# Codebooks are deterministic seeded unit vectors (model constants, like
+# n3b's hyperplanes), so the whole assignment is exact and oracle-checked.
+
+_PQ_M = 8  # subspaces
+_PQ_K = 16  # codebook entries per subspace
+_PQ_SUBDIM = _DIM // _PQ_M
+
+
+def _pq_codebooks() -> list[tuple[int, int, list[float]]]:
+    """(subspace, cell, centroid) triples, deterministic per subspace."""
+    out = []
+    for m in range(_PQ_M):
+        for cell, cv in enumerate(_hyperplanes(_PQ_K, _PQ_SUBDIM, seed=100 + m)):
+            out.append((m, cell, cv))
+    return out
+
+
+def _pq_oracle() -> str:
+    """DuckDB twin with the codebooks inlined as literals (repr(float)
+    round-trips IEEE doubles; both engines fold distances in index order)."""
+
+    def arr(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    rows = ",\n            ".join(
+        f"({m}, {cell}, {arr(cv)}::DOUBLE[])"
+        for m, cell, cv in _pq_codebooks()
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb(subspace, cell, cv) AS (VALUES
+            {rows}),
+        sub AS (
+            SELECT vec_id, m AS subspace,
+                   list_slice(v, m * {_PQ_SUBDIM} + 1,
+                              m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sv
+            FROM e, unnest(range({_PQ_M})) AS t(m)),
+        d AS (
+            SELECT sub.vec_id, sub.subspace, cb.cell,
+                   list_sum(list_transform(generate_series(1, {_PQ_SUBDIM}),
+                            i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])))
+                       AS dist2
+            FROM sub JOIN cb ON cb.subspace = sub.subspace),
+        a AS (
+            SELECT vec_id, subspace, cell, dist2,
+                   row_number() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY dist2, cell) AS rn
+            FROM d)
+        SELECT subspace, cell,
+               count(*) AS n_assigned,
+               round(avg(dist2), 6) AS avg_dist2
+        FROM a WHERE rn = 1
+        GROUP BY subspace, cell
+        ORDER BY subspace, cell
+    """
+
+
+@declare(
+    "n3f_pq_assign",
+    oracle=_pq_oracle(),
+    tags=("ext", "similarity", "ann", "pq"),
+)
+def n3f_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment + per-codebook-entry
+    distortion: every vector's M=8 subvectors each mapped to the nearest
+    of K=16 codebook entries (squared L2), reporting how the corpus
+    populates the 128 codebook cells and at what distortion — the
+    index-build accounting an engineer reads before trusting a PQ index.
+
+    Scale shape: subvector explode is map-side (M rows per vector, narrow),
+    codebooks are 128 broadcast rows, argmin is one partial-aggregated
+    min(struct) shuffle on (vec_id, subspace), then a 128-group rollup —
+    the same corpus x K broadcast pattern as n3d, never a corpus self-join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("subspace"),
+                        F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.subspace", "s.sv")
+    cb = spark.createDataFrame(
+        _pq_codebooks(), "subspace int, cell int, cv array<double>"
+    )
+    dist2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        sub.join(F.broadcast(cb), "subspace")
+        .select("vec_id", "subspace", "cell", dist2.alias("dist2"))
+        .groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("dist2", "cell")).alias("best"))
+        .select(
+            "vec_id",
+            "subspace",
+            F.col("best.cell").alias("cell"),
+            F.col("best.dist2").alias("dist2"),
+        )
+    )
+    return (
+        assigned.groupBy("subspace", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(F.avg("dist2"), 6).alias("avg_dist2"),
+        )
+        .orderBy("subspace", "cell")
+    )

@@ -327,3 +327,60 @@ def n10_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# GPT-2-family pre-tokenizer regex (public: Radford et al. 2019 release),
+# simplified to the lookahead-free common subset of Java regex (Spark) and
+# RE2 (DuckDB) so both engines tokenize identically: contraction suffixes,
+# space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+# punctuation runs, residual whitespace.
+_BPE_PRETOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[A-Za-z]+"
+    "| ?[0-9]+"
+    "| ?[^A-Za-z0-9'\\s]+"
+    "|\\s+"
+)
+
+
+@declare(
+    "n4i_bpe_pretokenize",
+    oracle=f"""
+        WITH t AS (
+            SELECT source,
+                   len(regexp_extract_all(text, '{_BPE_PRETOKEN_RE.replace("'", "''")}'))
+                       AS n_pretokens,
+                   len(string_split(text, ' ')) AS n_ws_tokens
+            FROM documents)
+        SELECT source,
+               sum(n_pretokens) AS total_pretokens,
+               round(avg(n_pretokens), 4) AS avg_pretokens,
+               round(sum(n_pretokens) * 1.0 / sum(n_ws_tokens), 4)
+                   AS pretoken_per_word
+        FROM t GROUP BY source ORDER BY source
+    """,
+    tags=("ext", "text", "tokens", "bpe"),
+)
+def n4i_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts: the GPT-2 pre-tokenizer regex
+    (the split that runs before byte-pair merges) applied per document,
+    aggregated per source. Tokenizer-true counts are what sequence-packing
+    and mixture budgets are denominated in — chars/4 (n4d) is the cheap
+    proxy, this is the regex-faithful one. Map-only + one grouped
+    aggregate; the regex runs inside codegen (no UDF).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_pre = F.size(F.regexp_extract_all("text", F.lit(_BPE_PRETOKEN_RE), F.lit(0)))
+    n_ws = F.size(F.split("text", " "))
+    return (
+        docs.select("source", n_pre.alias("n_pretokens"), n_ws.alias("n_ws_tokens"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_pretokens").alias("total_pretokens"),
+            F.round(F.avg("n_pretokens"), 4).alias("avg_pretokens"),
+            F.round(
+                F.sum("n_pretokens") / F.sum("n_ws_tokens"), 4
+            ).alias("pretoken_per_word"),
+        )
+        .orderBy("source")
+    )

@@ -45,6 +45,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "n3d_ivf_cell_assignment",
     "n3b_lsh_ann",
     "n3e_kmeans_update",
+    "n3f_pq_assign",
     # text analysis
     "n4_text_stats_by_lang",
     "n4b_language_id",
@@ -54,6 +55,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "n4f_winnow_fingerprint",
     "n4g_repetition_filter",
     "n4h_numeric_redaction",
+    "n4i_bpe_pretokenize",
     # embeddings
     "n5_embedding_stats",
     "n5b_normalized_embeddings",
