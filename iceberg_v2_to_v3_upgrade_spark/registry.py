@@ -40,6 +40,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "h5_array_agg",
     # table lifecycle (the reference's core arc) — never driver-checked
     "i3_table_lifecycle",
+    "i4_time_travel",
+    "i5_incremental_cdc",
+    "i6_wap_publish",
     # similarity / ANN
     "n3c_ivf_ann",
     "n3d_ivf_cell_assignment",
