@@ -309,3 +309,32 @@ def test_table_profile_single_scan(spark, registry):
     scans = set(re.findall(r"\((\d+)\) Scan parquet", p))
     assert len(scans) == 1, scans
     assert "Expand" in p
+
+
+# --- registry-wide scale guard --------------------------------------------
+
+# Deliberate exceptions, each justified:
+#   c9_cross_join          — the declared cross-join operator itself.
+_CARTESIAN_OK = {"c9_cross_join"}
+# DML/lifecycle queries mutate tmp warehouses when invoked; their read
+# plans are pinned by tests/test_tables.py instead of re-running DDL here.
+_SKIP_TAGS = {"dml", "lifecycle"}
+
+
+def test_every_query_plan_is_scale_clean(spark, registry):
+    """Global 100 TB guard over EVERY declared query: the physical plan
+    must contain no unintended CartesianProduct and no row-at-a-time
+    Python UDF (BatchEvalPython). Arrow-vectorized Python
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) is the
+    allowed slow path. A new operator that sneaks in a per-row UDF or an
+    accidental cross join fails here even while its oracle matches."""
+    bad: list[str] = []
+    for name, q in registry.items():
+        if _SKIP_TAGS & set(q.tags):
+            continue
+        p = plan(spark, registry, name)
+        if "BatchEvalPython" in p:
+            bad.append(f"{name}: row-wise Python UDF")
+        if "CartesianProduct" in p and name not in _CARTESIAN_OK:
+            bad.append(f"{name}: CartesianProduct")
+    assert not bad, "\n".join(bad)
