@@ -221,3 +221,57 @@ def i6_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand", "p_size")
         .orderBy("p_partkey")
     )
+
+
+_GATEWAY_ORACLE = """
+    SELECT n_name,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+"""
+
+
+@declare("k3_sql_gateway", oracle=_GATEWAY_ORACLE, tags=("sql", "gateway"))
+def k3_sql_gateway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K1 gateway end-to-end as a driver-checked query: catalog
+    tables are populated through `LocalTable`, then a catalog-qualified
+    join+aggregate SQL string (the shape the reference ships over SSH,
+    upgrade_table.py:59-97) goes through `EngineSQL.execute_one` — name
+    rewrite, permission gate, full Catalyst path — and the resulting
+    DataFrame is hash-checked against DuckDB.
+
+    Scale shape: the router adds zero execution machinery of its own
+    (statement routing is driver-side string work; the plan is the same
+    broadcast-dim join Catalyst builds for q-family queries).
+    """
+    from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="gateway_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    cust = catalog.create_table(
+        "gw_db",
+        "customer",
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING",
+    )
+    cust.insert(load_table(spark, sf_dir, "customer"))
+    nat = catalog.create_table(
+        "gw_db", "nation", "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    )
+    nat.insert(load_table(spark, sf_dir, "nation"))
+    result = EngineSQL(catalog).execute_one(
+        """
+        SELECT n_name,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM glue_catalog.gw_db.customer
+        JOIN glue_catalog.gw_db.nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
+    assert result.df is not None, result.message
+    return result.df

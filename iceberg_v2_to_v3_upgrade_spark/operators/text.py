@@ -384,3 +384,89 @@ def n4i_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@declare(
+    "n28_bigram_pmi",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        uni AS (
+            SELECT u.w, count(*) AS c
+            FROM toks, unnest(t) AS u(w) GROUP BY u.w),
+        n AS (SELECT sum(c)::DOUBLE AS total FROM uni),
+        big AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c12
+            FROM toks, unnest(range(1, len(t))) AS r(i)
+            GROUP BY 1, 2),
+        b AS (SELECT sum(c12)::DOUBLE AS total FROM big)
+        SELECT w1, w2, c12,
+               round(ln((c12 / b.total) /
+                        ((u1.c / n.total) * (u2.c / n.total))), 6) AS pmi
+        FROM big
+        JOIN uni u1 ON big.w1 = u1.w
+        JOIN uni u2 ON big.w2 = u2.w, n, b
+        WHERE c12 >= 5
+        ORDER BY pmi DESC, w1, w2
+        LIMIT 20
+    """,
+    tags=("ext", "text", "collocation", "topk"),
+)
+def n28_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise mutual information
+    (PMI = ln(p(w1,w2) / p(w1)p(w2)), Church & Hanks 1990) with a minimum
+    pair count — the standard corpus-linguistics signal for multi-word
+    expressions, and a tokenizer-vocabulary input (merge candidates).
+
+    Scale shape: bigram generation is map-side (zip of adjacent tokens);
+    pair counting is one keyed shuffle; the unigram table is vocabulary-
+    sized, joined twice via broadcast (word vocabularies stay broadcast-
+    able even at 100 TB corpus scale); the scalar token/bigram totals
+    ride in as broadcast 1-row frames; top-20 compiles to
+    TakeOrderedAndProject, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = uni.agg(F.sum("c").cast("double").alias("n_total"))
+    big = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 1)"),
+                    F.expr("slice(t, 2, size(t) - 1)"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    b_total = big.agg(F.sum("c12").cast("double").alias("b_total"))
+    big = big.filter(F.col("c12") >= 5)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(b_total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") / F.col("b_total"))
+                    / ((F.col("c1") / F.col("n_total")) * (F.col("c2") / F.col("n_total")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )

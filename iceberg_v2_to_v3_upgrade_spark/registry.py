@@ -43,6 +43,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "i4_time_travel",
     "i5_incremental_cdc",
     "i6_wap_publish",
+    "k3_sql_gateway",
     # similarity / ANN
     "n3c_ivf_ann",
     "n3d_ivf_cell_assignment",
@@ -59,6 +60,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "n4g_repetition_filter",
     "n4h_numeric_redaction",
     "n4i_bpe_pretokenize",
+    "n28_bigram_pmi",
     # embeddings
     "n5_embedding_stats",
     "n5b_normalized_embeddings",
