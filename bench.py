@@ -61,6 +61,11 @@ HEADLINE = [
     "n11_stratified_sample",
     "n12_train_val_test_split",
     "n13_sequence_packing",
+    "i5_incremental_cdc",
+    "k3_sql_gateway",
+    "n3f_pq_assign",
+    "n4i_bpe_pretokenize",
+    "n28_bigram_pmi",
 ]
 
 

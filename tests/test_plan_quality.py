@@ -338,3 +338,13 @@ def test_every_query_plan_is_scale_clean(spark, registry):
         if "CartesianProduct" in p and name not in _CARTESIAN_OK:
             bad.append(f"{name}: CartesianProduct")
     assert not bad, "\n".join(bad)
+
+
+def test_bigram_pmi_broadcasts_vocab_and_takes_ordered(spark, registry):
+    """n28: both unigram joins broadcast (vocab-sized sides), scalar
+    totals ride broadcast nested-loop, top-20 is TakeOrdered — the plan
+    that survives a 100 TB corpus."""
+    p = plan(spark, registry, "n28_bigram_pmi")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
