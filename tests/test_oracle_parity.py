@@ -58,6 +58,21 @@ def duck():
 def test_query_matches_oracle(spark, duck, name):
     q = REGISTRY[name]
     sdf = q.fn(spark, SF_SMALL)
+    # Driver-canon contract: the driver hashes results via pandas
+    # sort_values, which raises "unhashable type" on array/map/struct cells
+    # (round-1 h5_array_agg postmortem). Oracle-backed queries must emit
+    # scalar columns only — join arrays to strings before returning.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: oracle-backed query returns complex-typed columns "
+        f"{complex_cols}; the driver's pandas canonicalizer cannot hash these"
+    )
     s_rows = [tuple(r) for r in sdf.collect()]
     s_cols = list(sdf.columns)
 
