@@ -182,12 +182,16 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         embeddings,
         events,
         lifecycle,
+        lifecycle2,
         tpch_extra,
         tpch_extra2,
         advanced2,
         sampling,
         curation,
         relevance,
+        text2,
+        events2,
+        embeddings2,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
