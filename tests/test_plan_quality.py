@@ -348,3 +348,42 @@ def test_bigram_pmi_broadcasts_vocab_and_takes_ordered(spark, registry):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_winnow_pairs_keyed_join_no_cartesian(spark, registry):
+    """n31: the candidate step must be an equi-join keyed on the
+    fingerprint (banding shape), never an all-pairs product, and the
+    doc_a < doc_b ordering must not degrade it to nested-loop."""
+    p = plan(spark, registry, "n31_winnow_neardup_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "[fp" in p or "fp#" in p  # join keyed on the fingerprint
+
+
+def test_centroid_cohesion_broadcasts_centroids(spark, registry):
+    """n44: the (label, pos) centroid frame is |labels| x dim rows — it
+    must ride a broadcast back onto the exploded vectors, not a
+    sort-merge shuffle of the full explode."""
+    p = plan(spark, registry, "n44_label_centroid_cohesion")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_knn_broadcasts_query_sample(spark, registry):
+    """n45: the leave-one-out query sample is broadcast; the corpus
+    streams past it exactly once (one parquet scan pair, no corpus
+    self-shuffle before the rank window)."""
+    p = plan(spark, registry, "n45_knn_label_accuracy")
+    assert "Broadcast" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_anomaly_zscore_two_level_aggregation(spark, registry):
+    """n41: the raw-event pass is the grouped hourly count (with partial
+    aggregation); the z-score window runs over the tiny rollup, so no
+    window function ever sees raw events."""
+    p = plan(spark, registry, "n41_hourly_anomaly_zscore")
+    assert "partial_count" in p or "HashAggregate" in p
+    # window runs AFTER the aggregate in the plan tree (higher node id =
+    # deeper in formatted explain's preorder: scan is deepest)
+    assert p.index("Window") < p.index("HashAggregate")
