@@ -192,6 +192,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         text2,
         events2,
         embeddings2,
+        advanced3,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401

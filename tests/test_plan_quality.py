@@ -387,3 +387,32 @@ def test_anomaly_zscore_two_level_aggregation(spark, registry):
     # window runs AFTER the aggregate in the plan tree (higher node id =
     # deeper in formatted explain's preorder: scan is deepest)
     assert p.index("Window") < p.index("HashAggregate")
+
+
+def test_bucketed_join_has_no_exchange(spark, registry):
+    """k4: both join sides are bucketed on the join key, so the physical
+    plan must join co-located buckets with NO Exchange between the scans
+    and the SortMergeJoin — the shuffle was paid once at ingest."""
+    p = plan(spark, registry, "k4_bucketed_join")
+    join_section = p.split("SortMergeJoin")[0] if "SortMergeJoin" in p else p
+    # the only allowed exchange is the final single-partition sort for
+    # the ORDER BY / aggregate ABOVE the join; below the join: none
+    scan_to_join = join_section.split("Scan parquet")[0]
+    assert "SortMergeJoin" in p
+    assert "Exchange hashpartitioning(o_orderkey" not in p
+    assert "Exchange hashpartitioning(l_orderkey" not in p
+
+
+def test_tfidf_broadcasts_df_frame(spark, registry):
+    """n46: the vocab-sized document-frequency frame is broadcast; the
+    corpus-scale frames never sort-merge."""
+    p = plan(spark, registry, "n46_tfidf_topk_terms")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pagerank_iteration_is_keyed_joins(spark, registry):
+    """n47: the unrolled iteration is rank-joined-to-edges + grouped
+    inflow — broadcastable rank/node frames, no cartesian blowup."""
+    p = plan(spark, registry, "n47_pagerank_transitions")
+    assert "CartesianProduct" not in p
