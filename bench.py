@@ -66,6 +66,16 @@ HEADLINE = [
     "n3f_pq_assign",
     "n4i_bpe_pretokenize",
     "n28_bigram_pmi",
+    "i7_merge_upsert",
+    "k4_bucketed_join",
+    "i9_incremental_agg_maintenance",
+    "n29_ttr_hapax",
+    "n31_winnow_neardup_pairs",
+    "n41_hourly_anomaly_zscore",
+    "n44_label_centroid_cohesion",
+    "n45_knn_label_accuracy",
+    "n46_tfidf_topk_terms",
+    "n47_pagerank_transitions",
 ]
 
 

@@ -10,6 +10,7 @@ grouping column, every hot path linear in corpus size.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from iceberg_v2_to_v3_upgrade_spark.io import load_table
 from iceberg_v2_to_v3_upgrade_spark.registry import declare
@@ -208,17 +209,29 @@ def n31_winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("hs"),
     )
-    fps = hashed.select(
+    # Row formulation of the sliding min, NOT nested array HOFs
+    # (transform(seq, j -> array_min(slice(hs, j, w)))): Catalyst's
+    # InferFiltersFromGenerate plants a size()>0 pre-filter under every
+    # explode with the full producing expression inlined, and the nested
+    # form re-evaluates the md5 shingle transform once per window index
+    # inside that filter — O(len^2) md5s per document, measured 56 s vs
+    # 3 s at sf0.1. posexplode once + a 4-row window min is O(len) per
+    # document no matter where the optimizer copies the expression.
+    shingle_rows = hashed.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("hs") - (_W - 1)),
-                lambda j: F.array_min(F.slice(F.col("hs"), j, _W)),
-            )
-        ).alias("fps"),
+        F.size("hs").alias("n_h"),
+        F.posexplode("hs").alias("pos", "h"),
     )
-    sizes = fps.select("doc_id", F.size("fps").alias("n_fp"))
-    fp = fps.select("doc_id", F.explode("fps").alias("fp"))
+    w_min = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _W - 1)
+    )
+    fp = (
+        shingle_rows.withColumn("fp", F.min("h").over(w_min))
+        .filter(F.col("pos") <= F.col("n_h") - _W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     good = fp.join(freq.filter(F.col("df") <= _MAX_DF), "fp")
     a = good.select(F.col("doc_id").alias("doc_a"), "fp")

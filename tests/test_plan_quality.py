@@ -416,3 +416,24 @@ def test_pagerank_iteration_is_keyed_joins(spark, registry):
     inflow — broadcastable rank/node frames, no cartesian blowup."""
     p = plan(spark, registry, "n47_pagerank_transitions")
     assert "CartesianProduct" not in p
+
+
+def test_partition_pruning_reaches_scan(spark, registry):
+    """k5: the event_type predicate must prune partition DIRECTORIES
+    (PartitionFilters on the scan), not filter rows post-read."""
+    p = plan(spark, registry, "k5_partition_pruning")
+    assert "PartitionFilters" in p
+    part_filters = p.split("PartitionFilters")[1].splitlines()[0]
+    assert "event_type" in part_filters
+
+
+def test_winnow_pairs_row_formulation_single_scan(spark, registry):
+    """n31: the md5 shingle transform must be computed on the row path
+    (posexplode + window min), never inside a Generate pre-filter — the
+    nested-HOF form re-evaluates the transform O(len) times per document
+    (round-2 postmortem: 176 s -> 3.6 s at sf0.1). One parquet scan of
+    documents feeds the whole pair pipeline via exchange reuse."""
+    import re
+
+    p = plan(spark, registry, "n31_winnow_neardup_pairs")
+    assert "ReusedExchange" in p or len(set(re.findall(r"Scan parquet", p))) == 1
