@@ -1,0 +1,143 @@
+"""Source-format roundtrip and temporal-join operators.
+
+``a7`` puts the CSV/JSON/ORC format bindings (SURVEY.md §2.A5,
+``sources/formats.py``) behind the driver's hash gate — round 1 only the
+local suite covered them. ``c11`` adds the SCD-2 point-in-time join, the
+dimension-lookup shape every warehouse eventually needs.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+_ROUNDTRIP_ORACLE = """
+    WITH sub AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        FROM lineitem WHERE l_orderkey < 100)
+    SELECT fmt, n_rows, n_keys, revenue FROM (
+        SELECT 'csv' AS fmt, count(*) AS n_rows,
+               count(DISTINCT l_orderkey) AS n_keys,
+               round(sum(l_extendedprice), 2) AS revenue FROM sub
+        UNION ALL
+        SELECT 'json', count(*), count(DISTINCT l_orderkey),
+               round(sum(l_extendedprice), 2) FROM sub
+        UNION ALL
+        SELECT 'orc', count(*), count(DISTINCT l_orderkey),
+               round(sum(l_extendedprice), 2) FROM sub)
+    ORDER BY fmt
+"""
+
+
+@declare("a7_multi_format_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("dml", "sources"))
+def a7_multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-binding proof: the same lineitem slice written to CSV,
+    JSON, and ORC, read back with explicit schemas, and summarized —
+    identical numbers per format mean every binding preserves values
+    bit-for-bit (doubles round-trip via shortest-repr in CSV/JSON).
+
+    The per-format summary is the reference's A5 surface (S3FileIO bound
+    formats) made driver-checkable. Scale note: format choice changes
+    scan cost, not plan shape — ORC/parquet carry pushdown + pruning,
+    CSV/JSON pay full parse; that contrast is the point of keeping all
+    bindings behind one API.
+    """
+    sub = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+    )
+    root = tempfile.mkdtemp(prefix="roundtrip_")
+    schema = "l_orderkey bigint, l_linenumber bigint, l_extendedprice double, l_returnflag string"
+    sub.write.mode("overwrite").option("header", True).csv(f"{root}/csv")
+    sub.write.mode("overwrite").json(f"{root}/json")
+    sub.write.mode("overwrite").orc(f"{root}/orc")
+    frames = {
+        "csv": spark.read.schema(schema).option("header", True).csv(f"{root}/csv"),
+        "json": spark.read.schema(schema).json(f"{root}/json"),
+        "orc": spark.read.schema(schema).orc(f"{root}/orc"),
+    }
+    out = None
+    for fmt, df in frames.items():
+        summary = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_keys"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "n_keys", "revenue")
+        out = summary if out is None else out.unionByName(summary)
+    return out.orderBy("fmt")
+
+
+_SCD2_ORACLE = """
+    WITH dim AS (
+        SELECT user_id, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to,
+               event_id AS version_id
+        FROM events WHERE event_type = 'view'),
+    fact AS (
+        SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase'),
+    joined AS (
+        SELECT d.user_id, d.version_id, f.value
+        FROM fact f JOIN dim d
+          ON f.user_id = d.user_id
+         AND f.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to))
+    SELECT user_id, version_id, count(*) AS n_purchases,
+           round(sum(value), 2) AS total_value
+    FROM joined GROUP BY user_id, version_id
+    ORDER BY user_id, version_id
+"""
+
+
+@declare("c11_scd2_point_in_time", oracle=_SCD2_ORACLE, tags=("join", "temporal"))
+def c11_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 point-in-time join: dimension versions get [valid_from,
+    valid_to) intervals via lead() over the version history; each fact
+    row joins to the version whose interval contains its timestamp.
+    Here both sides derive from events (view events = dim versions,
+    purchases = facts), so the oracle replays it exactly.
+
+    Scale shape: the interval build is one window keyed on the natural
+    key; the join is an equi-join on that same key with the range
+    predicate as a residual filter — rows compared per key are bounded
+    by that key's own version/fact counts, never cross-key. The
+    (ts, event_id) window order makes interval edges deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("valid_to"),
+            F.col("event_id").alias("version_id"),
+        )
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = fact.alias("f").join(
+        dim.alias("d"),
+        (F.col("f.user_id") == F.col("d.user_id"))
+        & (F.col("f.ts") >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (F.col("f.ts") < F.col("d.valid_to"))),
+    )
+    return (
+        joined.groupBy(
+            F.col("d.user_id").alias("user_id"), "version_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id", "version_id")
+    )
