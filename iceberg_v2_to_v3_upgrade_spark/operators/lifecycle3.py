@@ -1,0 +1,182 @@
+"""Declared lifecycle queries, part 3: partitions metadata table and
+snapshot rollback — plus the grouped-Arrow OLS operator that puts the
+``applyInPandas`` path under the driver's hash gate.
+
+Reference parity: partitions-metadata mirrors Iceberg's
+``table.partitions`` (the inspection surface behind the reference's
+``--list`` report, ``internal/upgrade_table.py:187-194``); rollback mirrors
+``CALL system.rollback_to_snapshot`` — the escape hatch the reference's
+README points operators to when an upgrade goes wrong.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+_PARTITIONS_ORACLE = """
+    SELECT p_brand AS partition_value, count(*) AS record_count
+    FROM part WHERE p_partkey NOT IN (2, 4, 6)
+    GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+@declare(
+    "i11_partitions_metadata", oracle=_PARTITIONS_ORACLE, tags=("dml", "lifecycle")
+)
+def i11_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table.partitions`` metadata read after MoR mutation: per-partition
+    LIVE record counts (delete files applied) — what the reference's
+    ``--list`` style inspection shows an operator deciding what to
+    compact. Partition values come from the directory layout; only the
+    record counts touch data, as one grouped count over the merged scan.
+
+    File-count/byte columns exist on the API but are excluded here: how
+    many parquet files a partition holds depends on writer parallelism,
+    which is environment- not data-determined.
+    """
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="partmeta_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "pm_db",
+        "part_mor",
+        "p_partkey BIGINT, p_brand STRING, p_retailprice DOUBLE",
+        partition_by=["p_brand"],
+    )
+    t.insert(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand", "p_retailprice"
+        )
+    )
+    t.delete_where("p_partkey IN (2, 4, 6)")
+    return (
+        t.partitions()
+        .select(
+            F.col("p_brand").alias("partition_value"),
+            "record_count",
+        )
+        .orderBy("partition_value")
+    )
+
+
+_ROLLBACK_ORACLE = """
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part ORDER BY p_partkey
+"""
+
+
+@declare("i12_rollback", oracle=_ROLLBACK_ORACLE, tags=("dml", "lifecycle"))
+def i12_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rollback_to_snapshot``: mutate (DELETE + UPDATE), then roll back
+    to the post-insert snapshot — the scan must read exactly the
+    unmutated fixture (the oracle), and the rollback itself lands as a
+    NEW auditable commit (history preserved, like Iceberg).
+
+    Rollback is metadata-only at any scale: the commit points back at
+    the old snapshot's file set; no data file is read or written.
+    """
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="rollback_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "rb_db",
+        "part_mor",
+        "p_partkey BIGINT, p_brand STRING, p_retailprice DOUBLE",
+        partition_by=["p_brand"],
+    )
+    insert_snap = t.insert(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand", "p_retailprice"
+        )
+    )
+    t.delete_where("p_partkey IN (2, 4, 6)")
+    t.update_set(
+        {"p_retailprice": "round(p_retailprice * 1.1, 2)"}, "p_brand = 'BrandA'"
+    )
+    t.rollback_to_snapshot(insert_snap.id)
+    assert t.current_snapshot().operation == "rollback"
+    return (
+        t.scan()
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+_OLS_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type,
+               date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                         date_trunc('hour', ts)) AS hr,
+               count(*) AS c
+        FROM events GROUP BY event_type, hr)
+    SELECT event_type,
+           count(*) AS n_hours,
+           round(regr_slope(c, hr), 4) + 0 AS slope,
+           round(regr_intercept(c, hr), 4) + 0 AS intercept
+    FROM hourly GROUP BY event_type ORDER BY event_type
+"""
+
+
+@declare("m6_grouped_arrow_ols", oracle=_OLS_ORACLE, tags=("ext", "arrow"))
+def m6_grouped_arrow_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-Arrow custom aggregation: per-event-type OLS fit of hourly
+    counts, computed in numpy inside ``applyInPandas`` — and hash-checked
+    against DuckDB's regr_slope/regr_intercept, which certifies the whole
+    grouped-Arrow path (grouping, batch assembly, pandas->Arrow->JVM
+    types) numerically, not just structurally. n51 computes the same fit
+    with built-in algebraic aggregates; this is the escape hatch for
+    models the SQL surface can't express (the two agree through round(4)).
+
+    Scale shape: the expensive pass is the hourly pre-aggregation
+    (map-side combined); the Arrow stage sees |types| x |hours| rows
+    grouped on the same key they were already shuffled on.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                (F.unix_timestamp(F.date_trunc("hour", "ts"))
+                 - F.unix_timestamp(anchor)) / 3600
+            )
+        ).alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # closure-self-contained (pickled by value — executors don't have
+        # the repo on sys.path; see SCALING.md UDF note)
+        import numpy as np
+
+        x = pdf["hr"].to_numpy(dtype="float64")
+        y = pdf["c"].to_numpy(dtype="float64")
+        xm, ym = x.mean(), y.mean()
+        cov = ((x - xm) * (y - ym)).sum()
+        var = ((x - xm) ** 2).sum()
+        slope = cov / var
+        intercept = ym - slope * xm
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [len(pdf)],
+                "slope": [round(slope, 4) + 0.0],
+                "intercept": [round(intercept, 4) + 0.0],
+            }
+        )
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(
+            fit, "event_type string, n_hours long, slope double, intercept double"
+        )
+        .orderBy("event_type")
+    )

@@ -1054,11 +1054,19 @@ class LocalTable:
                 os.path.join(d, "**", "*.parquet"), recursive=True
             ):
                 rel = os.path.relpath(path, d)
-                vals = dict(
-                    seg.split("=", 1)
-                    for seg in rel.split(os.sep)[:-1]
-                    if "=" in seg
-                )
+                # Spark writes Hive-escaped partition dirs (e.g. '#' ->
+                # '%23'); unquote so file stats join the scan-side values
+                # instead of splitting into phantom encoded partitions
+                from urllib.parse import unquote
+
+                vals = {
+                    k: unquote(v)
+                    for k, v in (
+                        seg.split("=", 1)
+                        for seg in rel.split(os.sep)[:-1]
+                        if "=" in seg
+                    )
+                }
                 key = tuple(vals.get(n, "") for n in names)
                 s = stats.setdefault(key, [0, 0])
                 s[0] += 1
