@@ -1,0 +1,192 @@
+"""Analytics breadth, round 2 batch 4: sketch-based quantiles with
+in-query validation, explicit shuffle-hash join strategy, and near-dup
+graph degree statistics.
+
+``d11`` is rows-only by design (sketch quantiles have no exact SQL twin)
+but self-validating against exact percentiles — the n50/n2c precedent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+
+@declare("d11_approx_quantiles_validated", oracle=None, tags=("ext", "sketch"))
+def d11_approx_quantiles_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (approx_percentile, Greenwald-Khanna) per
+    event type, validated in-query against exact percentiles: every
+    approximate p50/p95/p99 must land within 2% relative error of the
+    exact value or the query refuses to return.
+
+    This is the quantile path that survives 100 TB: the GK sketch is a
+    bounded-memory mergeable summary computed with map-side partials —
+    exact percentile needs the whole group sorted in one place. Sketch
+    merge order varies with partitioning, so the estimate is not
+    bit-stable across cluster layouts — hence rows-only + the in-query
+    tolerance assert instead of a hash oracle (n50 precedent).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    qs = [0.5, 0.95, 0.99]
+    lo = [max(q - 0.02, 0.0) for q in qs]
+    hi = [min(q + 0.02, 1.0) for q in qs]
+    both = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", qs, 10000).alias("approx"),
+            F.percentile("value", qs).alias("exact"),
+            F.percentile("value", lo).alias("exact_lo"),
+            F.percentile("value", hi).alias("exact_hi"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            *[F.col("approx")[i].alias(f"approx_p{int(q*100)}") for i, q in enumerate(qs)],
+            *[F.col("exact")[i].alias(f"exact_p{int(q*100)}") for i, q in enumerate(qs)],
+            *[F.col("exact_lo")[i].alias(f"lo_p{int(q*100)}") for i, q in enumerate(qs)],
+            *[F.col("exact_hi")[i].alias(f"hi_p{int(q*100)}") for i, q in enumerate(qs)],
+        )
+        .orderBy("event_type")
+    )
+    # GK's guarantee is on RANK, not value: the estimate is an actual
+    # element whose rank is within eps*n of the target, so the correct
+    # check is containment in the exact [q-2%, q+2%] quantile envelope
+    # (a value-relative tolerance falsely fails on interpolation gaps in
+    # small groups).
+    for row in both.collect():
+        for q in (50, 95, 99):
+            approx = row[f"approx_p{q}"]
+            lo_v, hi_v = row[f"lo_p{q}"], row[f"hi_p{q}"]
+            assert lo_v <= approx <= hi_v, (
+                f"{row.event_type} p{q}: approx {approx} outside exact "
+                f"rank envelope [{lo_v}, {hi_v}]"
+            )
+    return both.select(
+        "event_type",
+        "n_events",
+        *[c for q in (50, 95, 99) for c in (f"approx_p{q}", f"exact_p{q}")],
+    )
+
+
+_SHJ_ORACLE = """
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+@declare("k7_shuffle_hash_join", oracle=_SHJ_ORACLE, tags=("join", "scale"))
+def k7_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit SHUFFLE_HASH join strategy: when one side is too big to
+    broadcast but small enough to hash per-partition, a shuffled hash
+    join beats sort-merge by skipping both sorts (the build side's hash
+    table replaces them). The hint pins the strategy; the plan test
+    asserts ShuffledHashJoin with no Sort below it.
+
+    At 100 TB this is the middle tier of the join ladder — broadcast
+    (< ~100 MB) -> shuffle-hash (build side fits executor memory) ->
+    sort-merge (both sides unbounded) — and choosing it explicitly
+    saves two O(n log n) sorts on every fact join against a mid-size
+    dimension.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").hint("shuffle_hash").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_DEGREE_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+        FROM d, unnest(range(greatest(len(w) - 2, 0))) AS t(i)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    jac AS (
+        SELECT doc_a, doc_b
+        FROM pairs
+        JOIN sz za ON za.doc_id = doc_a
+        JOIN sz zb ON zb.doc_id = doc_b
+        WHERE common / (za.n + zb.n - common) >= 0.8),
+    deg AS (
+        SELECT doc_id, count(*) AS degree
+        FROM (SELECT doc_a AS doc_id FROM jac
+              UNION ALL SELECT doc_b FROM jac)
+        GROUP BY doc_id)
+    SELECT degree, count(*) AS n_docs
+    FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+@declare(
+    "n54_neardup_degree_histogram",
+    oracle=_DEGREE_ORACLE,
+    tags=("ext", "dedup", "graph"),
+)
+def n54_neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-duplicate graph (exact 3-gram
+    Jaccard >= 0.8 edges, n2b's pair machinery): how many documents have
+    1, 2, ... near-duplicates. Heavy right tails mean template families
+    — the signal that decides between pairwise dedup (n2f connected
+    components collapse whole families) and per-pair removal.
+
+    Same shingle-keyed candidate join as n2b (never all-pairs), then two
+    bounded rollups: degrees are per-doc counts, the histogram is
+    |distinct degrees| rows.
+    """
+    from iceberg_v2_to_v3_upgrade_spark.functions.hashing import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+    )
+    sh = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = (
+        pairs.join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n", "n_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .filter(
+            F.col("common") / (F.col("n_a") + F.col("n") - F.col("common"))
+            >= 0.8
+        )
+    )
+    deg = (
+        jac.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(jac.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )

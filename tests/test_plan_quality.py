@@ -437,3 +437,16 @@ def test_winnow_pairs_row_formulation_single_scan(spark, registry):
 
     p = plan(spark, registry, "n31_winnow_neardup_pairs")
     assert "ReusedExchange" in p or len(set(re.findall(r"Scan parquet", p))) == 1
+
+
+def test_shuffle_hash_join_strategy(spark, registry):
+    """k7: the hint must produce a ShuffledHashJoin with no Sort below
+    the join (skipping both sorts is the point of the strategy)."""
+    p = plan(spark, registry, "k7_shuffle_hash_join")
+    assert "ShuffledHashJoin" in p
+    below_join = p.split("ShuffledHashJoin")[-1]
+    # formatted explain lists operator details after the tree; check the
+    # tree section instead: no Sort between the scans and the join
+    tree = p.split("== Physical Plan ==")[-1].split("(1) Scan")[0]
+    join_pos = tree.find("ShuffledHashJoin")
+    assert "Sort" not in tree[join_pos:].split("Exchange")[0]
