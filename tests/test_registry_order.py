@@ -54,5 +54,7 @@ def test_every_query_has_fn_and_most_have_oracles():
     reg = load_all_operators()
     assert len(reg) >= 125
     no_oracle = [n for n, q in reg.items() if q.oracle is None]
-    # rows-only is the exception, not the rule (hash-based ops only)
-    assert len(no_oracle) <= 5, no_oracle
+    # rows-only is the exception, not the rule: hash-based (n2c/n2d),
+    # bucketed-ANN (n3c), and sketch estimates (n8, n50 HLL, d11 GK
+    # quantiles) — the sketch ones self-validate in-query against exact
+    assert len(no_oracle) <= 8, no_oracle
