@@ -1,0 +1,95 @@
+"""Fuzzy string matching: edit-distance functions and the blocked fuzzy
+join — entity-resolution shapes (name/title matching across sources) that
+every data-integration pipeline eventually needs.
+
+The join is BLOCKED (candidates share a cheap equi-key; the O(len^2)
+edit-distance only runs inside blocks) — the same never-all-pairs contract
+as the near-dup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+_EDIT_ORACLE = """
+    SELECT levenshtein(c_name, 'Customer#000000010') AS edit_dist,
+           count(*) AS n_customers,
+           min(c_name) AS example
+    FROM customer WHERE c_custkey <= 500
+    GROUP BY edit_dist ORDER BY edit_dist
+"""
+
+
+@declare("h15_edit_distance", oracle=_EDIT_ORACLE, tags=("functions", "fuzzy"))
+def h15_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit-distance histogram against a probe string —
+    the similarity primitive under fuzzy dedup/matching. Map-only; the
+    only shuffle is the distance-bucket rollup."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    return (
+        cust.select(
+            F.levenshtein("c_name", F.lit("Customer#000000010")).alias(
+                "edit_dist"
+            ),
+            "c_name",
+        )
+        .groupBy("edit_dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_name").alias("example"),
+        )
+        .orderBy("edit_dist")
+    )
+
+
+_FUZZY_JOIN_ORACLE = """
+    WITH a AS (
+        SELECT s_suppkey, s_name, substr(s_name, 10, 5) AS blk
+        FROM supplier),
+    b AS (
+        SELECT c_custkey, c_name, substr(c_name, 10, 5) AS blk
+        FROM customer WHERE c_custkey <= 2000),
+    cand AS (
+        SELECT a.s_suppkey, a.s_name, b.c_custkey, b.c_name,
+               levenshtein(substr(a.s_name, 15), substr(b.c_name, 15)) AS d
+        FROM a JOIN b ON a.blk = b.blk)
+    SELECT s_suppkey, s_name, c_custkey, c_name, d AS edit_dist
+    FROM cand WHERE d <= 1
+    ORDER BY s_suppkey, c_custkey
+"""
+
+
+@declare("n56_fuzzy_blocked_join", oracle=_FUZZY_JOIN_ORACLE, tags=("ext", "fuzzy", "join"))
+def n56_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (entity resolution): supplier and customer
+    records matched on their numeric id segments — candidates must share
+    the leading 5 id digits (the BLOCK), then the edit-distance kernel
+    runs only on the trailing digits within each block. The two-registry
+    same-entity-id shape of record linkage.
+
+    At 100 TB the block key is the whole game: prefix/phonetic/sorted-
+    neighborhood blocking bounds every bucket, and the expensive
+    quadratic kernel cost scales with true candidate counts (the
+    n2b/n31 contract, applied to entity matching).
+    """
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.substring("s_name", 10, 5).alias("blk")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 2000)
+        .select("c_custkey", "c_name", F.substring("c_name", 10, 5).alias("blk"))
+    )
+    cand = sup.join(cust, "blk").select(
+        "s_suppkey",
+        "s_name",
+        "c_custkey",
+        "c_name",
+        F.levenshtein(
+            F.expr("substr(s_name, 15)"), F.expr("substr(c_name, 15)")
+        ).alias("edit_dist"),
+    )
+    return cand.filter(F.col("edit_dist") <= 1).orderBy("s_suppkey", "c_custkey")

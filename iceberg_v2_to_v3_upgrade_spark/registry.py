@@ -198,6 +198,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         sources2,
         lifecycle3,
         analytics4,
+        fuzzy,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
