@@ -81,7 +81,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    except ValueError:
+        sf = -1.0  # non-standard dir name (e.g. a synthetic scale test)
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all_operators()
