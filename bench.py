@@ -76,6 +76,8 @@ HEADLINE = [
     "n45_knn_label_accuracy",
     "n46_tfidf_topk_terms",
     "n47_pagerank_transitions",
+    "l1_stream_tumbling_agg",
+    "l4_stream_attribution",
 ]
 
 

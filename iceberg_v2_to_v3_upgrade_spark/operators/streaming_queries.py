@@ -1,0 +1,271 @@
+"""[EXT] Driver-visible Structured Streaming queries (SURVEY.md §2.L).
+
+The reference is batch-only; this module puts the streaming surface behind
+the driver's hash gate. Each query here runs a REAL Structured Streaming
+job — file-source ``readStream`` over a staged landing zone, an
+``availableNow`` trigger, a memory sink — and returns the drained sink as
+its result DataFrame. Because Spark's unified model gives a streaming query
+the same logical plan as its batch twin, each has an exact DuckDB oracle:
+the oracle checks the batch semantics, the query proves the streaming
+machinery (state store, watermarks, micro-batching, sink modes) computes
+the same thing.
+
+Scale posture: all state is keyed (event_type/user) and watermark-bounded;
+the landing-zone stage writes N files so multi-batch triggers exercise real
+incremental state updates. Nothing here collects to the driver beyond the
+memory sink that IS the declared (small, aggregated) result.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+from iceberg_v2_to_v3_upgrade_spark.streaming.jobs import (
+    click_purchase_attribution,
+    dedup_events,
+    enrich_with_segment,
+    read_event_stream,
+    run_append_to_memory_sink,
+    run_to_memory_sink,
+    run_update_to_memory_sink,
+    sessionize,
+    tumbling_value_agg,
+    user_running_totals_stream,
+)
+
+#: One staged landing zone per (sf_dir, n_files) per process — the queries
+#: share it; re-staging per bench pass would bill parquet writes to the
+#: streaming operator being measured.
+_STAGE_CACHE: dict[tuple[str, int], str] = {}
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Write the (type-normalized) events fixture as an n_files landing zone
+    that the file stream source can tail — the upstream-writes-clean-files
+    pattern from streaming/jobs.py.
+
+    Files are TIME-ORDERED: ``repartitionByRange(ts)`` puts each ts range in
+    its own part file (one distributed write — no driver loop over buckets),
+    then part files get strictly increasing mtimes so the file source's
+    modification-time ordering replays them oldest-range first. That mirrors
+    real landing-zone arrival (upstream flushes chronologically) and keeps
+    every row inside the 2h watermark — with time-interleaved files, every
+    micro-batch after the second is entirely behind the watermark and gets
+    dropped (measured: 4 interleaved batches lose half the sessions)."""
+    import glob
+    import os
+    import time
+
+    key = (sf_dir, n_files)
+    if key not in _STAGE_CACHE:
+        stage = tempfile.mkdtemp(prefix="stream_stage_")
+        (
+            load_table(spark, sf_dir, "events")
+            .repartitionByRange(n_files, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        # part-0000N holds range-partition N (lowest ts range first);
+        # replay order = mtime order, so pin mtimes to the name order.
+        base = time.time() - 3600
+        for i, path in enumerate(sorted(glob.glob(f"{stage}/part-*"))):
+            os.utime(path, (base + i, base + i))
+        _STAGE_CACHE[key] = stage
+    return _STAGE_CACHE[key]
+
+
+def _drain(stream_df: DataFrame, mode: str, prefix: str) -> str:
+    """Run a stream to completion into a uniquely-named memory table (fresh
+    checkpoint per invocation so availableNow reprocesses from scratch) and
+    return the sink table name."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{prefix}_")
+    runner = {
+        "complete": run_to_memory_sink,
+        "append": run_append_to_memory_sink,
+        "update": run_update_to_memory_sink,
+    }[mode]
+    runner(stream_df, name, ckpt)
+    return name
+
+
+@declare(
+    "l1_stream_tumbling_agg",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("ext", "streaming"),
+)
+def l1_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling 1-hour window aggregate (complete mode, 4
+    micro-batches): the state store accumulates partial window aggregates
+    across triggers; the final sink table must equal the batch twin
+    (n6_tumbling_window's oracle, verbatim)."""
+    stage = _stage_events(spark, sf_dir)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=2)
+    name = _drain(
+        tumbling_value_agg(stream, streaming=True), "complete", "l1_tumbling"
+    )
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+@declare(
+    "l2_stream_sessionize",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events),
+        numbered AS (
+            SELECT user_id, ts, value,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM ordered)
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS n_events, round(sum(value), 2) AS session_value
+        FROM numbered GROUP BY user_id, session_no
+        ORDER BY user_id, session_start
+    """,
+    tags=("ext", "streaming"),
+)
+def l2_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (session_window state, complete mode):
+    sessions spanning micro-batch boundaries must merge in the state store —
+    the stateful behavior a batch gap-and-islands oracle pins down."""
+    stage = _stage_events(spark, sf_dir)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=2)
+    name = _drain(sessionize(stream, streaming=True), "complete", "l2_session")
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+@declare(
+    "l3_stream_dedup_counts",
+    oracle="""
+        SELECT event_type, count(DISTINCT event_id) AS n_unique
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("ext", "streaming"),
+)
+def l3_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark, append mode):
+    dedup keys live in the state store only until the watermark passes.
+    The drained sink is then rolled up per event type — count of unique
+    event_ids, which the oracle states directly."""
+    stage = _stage_events(spark, sf_dir)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=2)
+    name = _drain(
+        dedup_events(stream, streaming=True, watermark="3650 days"),
+        "append",
+        "l3_dedup",
+    )
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+@declare(
+    "l4_stream_attribution",
+    oracle="""
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               c.ts AS click_ts, p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM events c JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        ORDER BY click_id, purchase_id
+    """,
+    tags=("ext", "streaming"),
+)
+def l4_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click -> purchase within 1h, append
+    mode): the time-bounded condition is what lets the join state evict.
+    Run as a single availableNow batch (no maxFilesPerTrigger) so state
+    eviction order cannot depend on file arrival order — inner-join
+    emission is then exactly the batch join the oracle states."""
+    stage = _stage_events(spark, sf_dir)
+    clicks = read_event_stream(spark, stage, max_files_per_trigger=0).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, stage, max_files_per_trigger=0).filter(
+        F.col("event_type") == "purchase"
+    )
+    name = _drain(
+        click_purchase_attribution(clicks, purchases, streaming=True),
+        "append",
+        "l4_attr",
+    )
+    return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+@declare(
+    "l5_stream_running_totals",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("ext", "streaming"),
+)
+def l5_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState, update mode): the
+    sink receives one row per user per micro-batch with the running totals;
+    the FINAL state per user (selected via max on the monotone n_events,
+    not on the dollar total — partial sums need not be monotone) must equal
+    the batch per-user aggregate."""
+    stage = _stage_events(spark, sf_dir)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=2)
+    name = _drain(user_running_totals_stream(stream), "update", "l5_totals")
+    final = F.max(F.struct("n_events", "total_value")).alias("s")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@declare(
+    "l6_stream_enrich_segment",
+    oracle="""
+        SELECT date_trunc('hour', e.ts) AS window_start,
+               coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+               count(*) AS n_events, round(sum(e.value), 2) AS total_value
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("ext", "streaming"),
+)
+def l6_stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment join + windowed rollup (complete
+    mode): the static dim (customer) is re-broadcast per micro-batch — the
+    canonical enrich-the-stream shape; unmatched users must land in
+    'UNKNOWN', never be dropped."""
+    stage = _stage_events(spark, sf_dir)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=2)
+    dim = load_table(spark, sf_dir, "customer")
+    name = _drain(
+        enrich_with_segment(stream, dim, streaming=True),
+        "complete",
+        "l6_enrich",
+    )
+    return spark.table(name).orderBy("window_start", "segment")

@@ -38,6 +38,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-1 red, now fixed — need fresh driver evidence
     "c7_asof_join",
     "h5_array_agg",
+    # real Structured Streaming jobs behind the hash gate (§2.L was
+    # local-only evidence in round 1)
+    "l1_stream_tumbling_agg",
+    "l2_stream_sessionize",
+    "l3_stream_dedup_counts",
+    "l4_stream_attribution",
+    "l5_stream_running_totals",
+    "l6_stream_enrich_segment",
     # table lifecycle (the reference's core arc) — never driver-checked
     "i3_table_lifecycle",
     "i4_time_travel",
@@ -199,6 +207,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         lifecycle3,
         analytics4,
         fuzzy,
+        streaming_queries,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401

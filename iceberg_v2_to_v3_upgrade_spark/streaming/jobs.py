@@ -40,15 +40,17 @@ EVENTS_SCHEMA = StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 8
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = 8
 ) -> DataFrame:
     """File-source stream over a directory of (µs-timestamp) event parquet —
-    the landing-zone pattern: upstream writes clean files, we tail the dir."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
+    the landing-zone pattern: upstream writes clean files, we tail the dir.
+    ``max_files_per_trigger=None`` (or 0) omits the cap: availableNow then
+    processes everything in one micro-batch (deterministic single-batch
+    mode for stream-stream joins)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
 
 
 # ---------------------------------------------------------------- twins
@@ -163,28 +165,37 @@ USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 _STATE_SCHEMA = "n bigint, total double"
 
 
-def _update_user_totals(
-    key: tuple, batches: Iterator, state: GroupState
-) -> Iterator[Any]:
-    """Running per-user totals with explicit state — the
-    applyInPandasWithState escape hatch for semantics the built-in
-    windows can't express (Arrow-batched, state store backed)."""
-    import pandas as pd
-
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in batches:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
-    )
-
-
 def user_running_totals_stream(events: DataFrame) -> DataFrame:
-    """Custom stateful streaming aggregate: running (count, sum) per user."""
+    """Custom stateful streaming aggregate: running (count, sum) per user —
+    the applyInPandasWithState escape hatch for semantics the built-in
+    windows can't express (Arrow-batched, state store backed).
+
+    The update function is a nested closure ON PURPOSE: cloudpickle then
+    serializes it by value, so executor Python workers don't need this
+    package importable (a driver process launched outside the repo root
+    pickles module-level functions by reference and every task dies with
+    ModuleNotFoundError)."""
+
+    def update_user_totals(
+        key: tuple, batches: Iterator, state: GroupState
+    ) -> Iterator[Any]:
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_user_totals,
+        update_user_totals,
         USER_TOTALS_SCHEMA,
         _STATE_SCHEMA,
         "update",
