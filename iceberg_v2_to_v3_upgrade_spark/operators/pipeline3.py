@@ -1,0 +1,331 @@
+"""[EXT] Training-data pipeline operators, batch 3 (SURVEY.md §2.N).
+
+Tokenizer-induction statistics (BPE merge candidates, trigram LM),
+classifier-based quality scoring (hashed-feature linear model), substring
+decontamination, deterministic per-group sampling, and Matryoshka
+embedding-truncation diagnostics. All engine-portable (md5-derived hashes,
+double-precision array math) so every query is hash-checked against DuckDB.
+
+Scale posture: everything is explode -> hash-aggregate or broadcast-join
+shaped; per-doc state is bounded by document length, group keys are
+bounded vocabularies (char pairs, hash buckets, widths). No collects, no
+cartesian joins (the one crossJoin broadcasts a 3-row probe frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from iceberg_v2_to_v3_upgrade_spark.functions.arrays import as_double_array
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+#: lowercase-letters-and-spaces normalization shared by the tokenizer ops;
+#: matches the oracle's regexp_replace(text, '[^a-z ]', '', 'g').
+def _letters_only(col):
+    return F.lower(F.regexp_replace(col, "[^a-z ]", ""))
+
+
+@declare(
+    "n57_group_reservoir_sample",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY md5(doc_id::VARCHAR)) AS rk
+            FROM documents)
+        SELECT source, doc_id, rk FROM ranked WHERE rk <= 5
+        ORDER BY source, rk
+    """,
+    tags=("ext", "sampling"),
+)
+def n57_group_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (reservoir-sampling semantics,
+    reproducible): rank rows inside each source by md5(doc_id) and keep the
+    first k. Unlike rand()-based sampling the selection is identical across
+    engines, retries, and cluster sizes — the property a training-data
+    pipeline needs for auditable subsets.
+
+    Scale: one shuffle keyed by source; the per-group sort is on a
+    uniformly distributed hash. For k << group size a two-pass hash-
+    threshold prefilter can cut the sort input ~(k/|group|)x; at the
+    fixture's group sizes the single window is the faster plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("source", "rk")
+    )
+
+
+@declare(
+    "n58_bpe_merge_candidates",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(string_split(
+                       lower(regexp_replace(text, '[^a-z ]', '', 'g')), ' '))
+                   AS tok
+            FROM documents),
+        t2 AS (SELECT tok FROM toks WHERE length(tok) >= 2),
+        idx AS (SELECT tok, unnest(range(1, length(tok))) AS i FROM t2)
+        SELECT substr(tok, i::INT, 2) AS pair, count(*) AS freq
+        FROM idx GROUP BY pair
+        ORDER BY freq DESC, pair LIMIT 20
+    """,
+    tags=("ext", "text", "tokenizer"),
+)
+def n58_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary-induction scan: count every adjacent character pair
+    across the corpus and rank merge candidates — the inner statistic of a
+    BPE trainer's merge step (Sennrich et al. 2016).
+
+    explode(sequence) keeps the pair enumeration inside codegen (no UDF);
+    the grouped count is map-side partial on a key space bounded by the
+    alphabet squared, so the shuffle is tiny no matter the corpus size;
+    top-k is TakeOrdered, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(_letters_only(F.col("text")), " ")).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("i"), "tok"
+    ).select(F.expr("substr(tok, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@declare(
+    "n59_trigram_lm",
+    oracle="""
+        WITH toks AS (
+            SELECT string_split(
+                       lower(regexp_replace(text, '[^a-z ]', '', 'g')), ' ')
+                   AS ts
+            FROM documents),
+        tri AS (
+            SELECT ts[i::INT] AS w1, ts[(i+1)::INT] AS w2, ts[(i+2)::INT] AS w3
+            FROM (SELECT ts, unnest(range(1, len(ts)-1)) AS i
+                  FROM toks WHERE len(ts) >= 3)),
+        cnt AS (SELECT w1, w2, w3, count(*) AS freq FROM tri GROUP BY 1,2,3),
+        ctx AS (SELECT w1, w2, w3, freq,
+                       sum(freq) OVER (PARTITION BY w1, w2) AS ctx_freq
+                FROM cnt)
+        SELECT w1, w2, w3, freq, round(freq / ctx_freq, 6) AS prob
+        FROM ctx ORDER BY freq DESC, w1, w2, w3 LIMIT 25
+    """,
+    tags=("ext", "text", "tokenizer"),
+)
+def n59_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram language-model estimation: corpus trigram counts with the
+    conditional next-token probability P(w3 | w1 w2) — the count table an
+    n-gram LM (or contamination detector) is built from.
+
+    Token arrays stay un-exploded until the sequence index explode (one
+    row per trigram, linear in corpus size); trigram counts shuffle once on
+    (w1,w2,w3); the context total reuses a window over the counted (much
+    smaller) frame partitioned by (w1,w2) — no second pass over the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(_letters_only(F.col("text")), " ").alias("ts")
+    ).filter(F.size("ts") >= 3)
+    tri = toks.select(
+        F.explode(F.sequence(F.lit(1), F.size("ts") - 2)).alias("i"), "ts"
+    ).select(
+        F.element_at("ts", F.col("i")).alias("w1"),
+        F.element_at("ts", F.col("i") + 1).alias("w2"),
+        F.element_at("ts", F.col("i") + 2).alias("w3"),
+    )
+    cnt = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("freq"))
+    ctx = cnt.withColumn(
+        "ctx_freq", F.sum("freq").over(Window.partitionBy("w1", "w2"))
+    )
+    return (
+        ctx.select(
+            "w1",
+            "w2",
+            "w3",
+            "freq",
+            F.round(F.col("freq") / F.col("ctx_freq"), 6).alias("prob"),
+        )
+        .orderBy(F.desc("freq"), "w1", "w2", "w3")
+        .limit(25)
+    )
+
+
+@declare(
+    "n60_substring_decontamination",
+    oracle="""
+        WITH probes AS (
+            SELECT doc_id AS eval_id, substr(text, 20, 40) AS probe
+            FROM documents WHERE doc_id IN (3, 7, 11))
+        SELECT p.eval_id,
+               count(*) FILTER (WHERE position(p.probe IN d.text) > 0)
+                   AS n_contaminated
+        FROM probes p CROSS JOIN documents d
+        GROUP BY p.eval_id ORDER BY p.eval_id
+    """,
+    tags=("ext", "curation", "decontamination"),
+)
+def n60_substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (the strict complement of n16's
+    n-gram overlap): count training documents that contain an eval probe
+    string verbatim. Probes here are 40-char excerpts of three fixture
+    docs, so each is guaranteed >= 1 hit (its own source).
+
+    The probe frame is tiny and BROADCAST; the corpus side streams through
+    an instr() filter per probe — a map-only pass over the fact table, no
+    shuffle of the corpus, which is the only shape that survives when the
+    corpus is 100 TB and the eval suite is a few thousand strings.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id").isin(3, 7, 11)).select(
+        F.col("doc_id").alias("eval_id"),
+        F.substring("text", 20, 40).alias("probe"),
+    )
+    return (
+        docs.select("text")
+        .crossJoin(F.broadcast(probes))
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.when(F.instr("text", F.col("probe")) > 0, 1)).alias(
+                "n_contaminated"
+            )
+        )
+        .orderBy("eval_id")
+    )
+
+
+@declare(
+    "n64_matryoshka_truncation",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        w AS (SELECT unnest([8, 16, 32, 64]) AS width),
+        m AS (
+            SELECT width,
+                   sqrt(list_sum(list_transform(v[1:width], x -> x*x))
+                        / list_sum(list_transform(v, x -> x*x))) AS efrac
+            FROM e, w)
+        SELECT width, round(avg(efrac), 4) AS avg_energy_frac,
+               round(min(efrac), 4) AS min_energy_frac
+        FROM m GROUP BY width ORDER BY width
+    """,
+    tags=("ext", "embeddings"),
+)
+def n64_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation diagnostic (Kusupati et al. 2022): for
+    each prefix width, the fraction of each vector's L2 energy the prefix
+    retains (== cosine between the full vector and its zero-padded prefix).
+    Tells an index builder how small the stored dimension can go.
+
+    Pure higher-order array math in one codegen stage; the explode is x4
+    (widths), the aggregate keys on 4 widths — shuffle carries 4 rows per
+    task at any corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        as_double_array("embedding").alias("v")
+    )
+    sq_sum = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    per = emb.select(
+        F.explode(F.array(*[F.lit(w) for w in (8, 16, 32, 64)])).alias("width"),
+        "v",
+    ).select(
+        "width",
+        F.sqrt(
+            sq_sum(F.slice("v", F.lit(1), F.col("width"))) / sq_sum(F.col("v"))
+        ).alias("efrac"),
+    )
+    return (
+        per.groupBy("width")
+        .agg(
+            F.round(F.avg("efrac"), 4).alias("avg_energy_frac"),
+            F.round(F.min("efrac"), 4).alias("min_energy_frac"),
+        )
+        .orderBy("width")
+    )
+
+
+@declare(
+    "n66_hashed_linear_classifier",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+                   AS tok
+            FROM documents),
+        b AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INT % 64 AS bucket
+              FROM toks),
+        feat AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(c) AS n FROM feat GROUP BY 1),
+        scored AS (
+            SELECT f.doc_id,
+                   sum((f.c / t.n)
+                       * ((('0x' || substr(md5('w' || f.bucket::VARCHAR), 1, 4))::INT
+                           % 2001 - 1000) / 1000.0)) AS z
+            FROM feat f JOIN tot t USING (doc_id) GROUP BY f.doc_id)
+        SELECT CAST(floor((1.0 / (1.0 + exp(-10 * z))) * 10) AS INT) AS band,
+               count(*) AS n_docs, round(avg(z), 6) AS avg_z
+        FROM scored GROUP BY band ORDER BY band
+    """,
+    tags=("ext", "text", "quality"),
+)
+def n66_hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier: tokens hash into 64
+    feature buckets (md5-derived — engine-portable), per-doc normalized
+    bucket frequencies dot a fixed md5-derived weight vector, and the
+    logistic score is binned into 10 quality bands. This is the scoring
+    shape of classifier-based corpus filters (e.g. quality/ads/toxicity
+    models) with the learned weights replaced by a deterministic stand-in.
+
+    Plan: explode -> (doc,bucket) count (one shuffle, partial-agg) ->
+    per-doc totals via window-free second rollup on the same key prefix ->
+    per-doc weighted sum. The weight "vector" is an expression of the
+    bucket id, so there is no weights table to join at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("tok")
+    )
+    bucket = (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % 64)
+    feat = (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    weight = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 2001
+        - 1000
+    ) / 1000.0
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    scored = (
+        feat.withColumn("n", n)
+        .groupBy("doc_id")
+        .agg(F.sum((F.col("c") / F.col("n")) * weight).alias("z"))
+    )
+    band = F.floor((1.0 / (1.0 + F.exp(-10 * F.col("z")))) * 10).cast("int")
+    return (
+        scored.select(band.alias("band"), "z")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("z"), 6).alias("avg_z"),
+        )
+        .orderBy("band")
+    )

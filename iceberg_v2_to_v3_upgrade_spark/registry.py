@@ -208,6 +208,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         analytics4,
         fuzzy,
         streaming_queries,
+        pipeline3,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
