@@ -256,6 +256,86 @@ def n64_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "n67_pca_power_iteration",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        dims AS (SELECT unnest(range(1, 65)) AS dim),
+        d1 AS (SELECT vec_id, v,
+                      list_sum(list_transform(v, x -> x * 0.125)) AS d FROM e),
+        s1 AS (SELECT dim, sum(v[dim::INT] * d) AS s FROM d1, dims GROUP BY dim),
+        l1 AS (SELECT sqrt(sum(s * s)) AS lam FROM s1),
+        v1 AS (SELECT dim, s / lam AS w FROM s1, l1),
+        d2 AS (SELECT e.vec_id, e.v, sum(e.v[v1.dim::INT] * v1.w) AS d
+               FROM e, v1 GROUP BY e.vec_id, e.v),
+        s2 AS (SELECT dim, sum(v[dim::INT] * d) AS s FROM d2, dims GROUP BY dim),
+        l2 AS (SELECT sqrt(sum(s * s)) AS lam FROM s2),
+        v2 AS (SELECT dim, s / lam AS w FROM s2, l2),
+        d3 AS (SELECT e.vec_id, e.v, sum(e.v[v2.dim::INT] * v2.w) AS d
+               FROM e, v2 GROUP BY e.vec_id, e.v),
+        s3 AS (SELECT dim, sum(v[dim::INT] * d) AS s FROM d3, dims GROUP BY dim),
+        l3 AS (SELECT sqrt(sum(s * s)) AS lam FROM s3)
+        SELECT dim, round(s / lam, 6) AS component, round(lam, 4) AS lambda_est
+        FROM s3, l3 ORDER BY dim
+    """,
+    tags=("ext", "embeddings", "iterative"),
+)
+def n67_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA power iteration: three unrolled iterations of
+    v <- normalize((X^T X) v) over the (uncentered) embedding Gramian —
+    the top principal direction an embedding-whitening / index-rotation
+    step needs. Starts from the deterministic uniform unit vector so both
+    engines walk the identical trajectory (sign included).
+
+    Fully distributed — the 64-dim iterate stays a DataFrame end to end
+    (no vector ever collects to the driver): per iteration, projections
+    d = X v via a broadcast join on dim + vec-keyed sum, then the
+    back-projection X^T d via a dim-keyed sum. Each iterate (64 rows) is
+    persisted and materialized to cut the lineage, exactly like the
+    label-propagation loop in n2f — at 100 TB each iteration is two
+    linear passes and the state is 64 rows. The oracle unrolls the same
+    three iterations as CTEs.
+    """
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    flat = (
+        emb.select("vec_id", F.posexplode("v").alias("pos", "x"))
+        .select("vec_id", (F.col("pos") + 1).alias("dim"), "x")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    v_t: DataFrame | None = None  # None == uniform 1/8 start vector
+    s = lam = None
+    for _ in range(3):
+        if v_t is None:
+            d = flat.groupBy("vec_id").agg((F.sum("x") * 0.125).alias("d"))
+        else:
+            d = (
+                flat.join(F.broadcast(v_t), "dim")
+                .groupBy("vec_id")
+                .agg(F.sum(F.col("x") * F.col("w")).alias("d"))
+            )
+        s = (
+            flat.join(d, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("x") * F.col("d")).alias("s"))
+        )
+        lam = F.sqrt(F.sum(F.col("s") * F.col("s")).over(w_all))
+        v_t = (
+            s.select("dim", (F.col("s") / lam).alias("w"), lam.alias("lam"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        v_t.count()  # materialize: the next iteration must not replay this one
+    return v_t.select(
+        "dim",
+        F.round("w", 6).alias("component"),
+        F.round("lam", 4).alias("lambda_est"),
+    ).orderBy("dim")
+
+
+@declare(
     "n66_hashed_linear_classifier",
     oracle="""
         WITH toks AS (

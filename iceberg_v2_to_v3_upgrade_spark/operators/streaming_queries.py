@@ -245,6 +245,134 @@ def l5_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "l7_stream_upsert_table",
+    oracle="""
+        WITH latest AS (
+            SELECT user_id, ts, value, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC) AS rk
+            FROM events)
+        SELECT user_id, event_type AS last_event_type, value AS last_value
+        FROM latest WHERE rk = 1 ORDER BY user_id
+    """,
+    tags=("ext", "streaming", "dml"),
+)
+def l7_stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-upsert landing into the mutable-table module: the
+    event stream MERGEs into a snapshot-versioned MoR table per micro-batch
+    (foreachBatch, last-writer-wins by ts within a batch), then the table
+    is scanned. Because the landing zone replays in event-time order,
+    the final table state is exactly "each user's latest event" — which the
+    oracle states as one window over the raw fixture.
+
+    This is the reference's INSERT path upgraded to continuous ingestion:
+    exactly-once per batch via the checkpoint, one merge commit per batch
+    (history() shows every applied batch), full DML surface available on
+    the landed table afterwards."""
+    import tempfile as _tf
+
+    from iceberg_v2_to_v3_upgrade_spark.streaming.ingest import (
+        stream_upsert_into_table,
+    )
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    stage = _stage_events(spark, sf_dir)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=2).select(
+        "user_id", "ts", "event_type", "value"
+    )
+    catalog = LocalCatalog(spark, _tf.mkdtemp(prefix="l7_wh_"))
+    t = catalog.create_table(
+        "stream_db",
+        "user_latest",
+        "user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE",
+    )
+    stream_upsert_into_table(
+        stream,
+        t,
+        keys=["user_id"],
+        checkpoint_dir=_tf.mkdtemp(prefix="ckpt_l7_"),
+        order_col="ts",
+    )
+    assert (
+        t.history().count() >= 2
+    ), "expected one merge commit per micro-batch"
+    return (
+        t.scan()
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@declare(
+    "l8_stream_cdc_apply",
+    oracle="""
+        WITH latest AS (
+            SELECT user_id, ts, value, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC) AS rk
+            FROM events)
+        SELECT user_id, event_type AS last_event_type, value AS last_value
+        FROM latest WHERE rk = 1 AND event_type <> 'purchase'
+        ORDER BY user_id
+    """,
+    tags=("ext", "streaming", "dml"),
+)
+def l8_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op-aware streaming CDC apply (debezium-style I/U/D): 'purchase'
+    events are treated as the DELETE op for their user, everything else as
+    upsert. Deletes land as equality delete files (O(1) write, no table
+    scan); upserts as one MERGE per batch. With event-time-ordered replay,
+    the final state is "each user's latest event, unless it was a delete" —
+    stated directly by the oracle.
+
+    The applied changelog is the table's commit history: up to two
+    snapshot commits per batch (delete + merge), time-travelable."""
+    import tempfile as _tf
+
+    from iceberg_v2_to_v3_upgrade_spark.streaming.ingest import (
+        stream_cdc_into_table,
+    )
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    stage = _stage_events(spark, sf_dir)
+    stream = (
+        read_event_stream(spark, stage, max_files_per_trigger=2)
+        .select("user_id", "ts", "event_type", "value")
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "purchase", "D").otherwise("U"),
+        )
+    )
+    catalog = LocalCatalog(spark, _tf.mkdtemp(prefix="l8_wh_"))
+    t = catalog.create_table(
+        "stream_db",
+        "user_state",
+        "user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE",
+    )
+    stream_cdc_into_table(
+        stream,
+        t,
+        keys=["user_id"],
+        checkpoint_dir=_tf.mkdtemp(prefix="ckpt_l8_"),
+        op_col="op",
+        order_col="ts",
+    )
+    return (
+        t.scan()
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@declare(
     "l6_stream_enrich_segment",
     oracle="""
         SELECT date_trunc('hour', e.ts) AS window_start,
