@@ -791,6 +791,59 @@ def n2g_simhash_md5_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_SEEDS, _MH_BANDS, _MH_ROWS = 32, 8, 4
 
 
+def md5_minhash_sig(shingles) -> "F.Column":
+    """Per-row MinHash signature with the engine-portable md5 hash family:
+    sig[s] = min over shingles of int32(md5('<s>:<shingle>')[:8]).
+
+    Pure higher-order functions — NO explode, NO shuffle — so it works on a
+    STREAMING DataFrame (stateless per row). For batch corpus-scale
+    signature builds prefer the explode -> grouped-min path in n2h (each
+    shingle hashed once per seed; this formulation re-evaluates the shingle
+    array per seed, measured 15x slower) — the two produce identical
+    signatures."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda sh: F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.lit(str(s)), sh)), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                )
+            )
+            for s in range(_MH_SEEDS)
+        ]
+    )
+
+
+def md5_band_keys(sig) -> "F.Column":
+    """Banded LSH keys over an md5-family signature:
+    array<struct<band:int, bkey:string>> with bkey = md5 of the band's
+    comma-joined rows — the single shared band-key definition for n2h and
+    the streaming ingest twin (l9), so the two can never drift."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig, b * _MH_ROWS + 1, _MH_ROWS),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(_MH_BANDS)
+        ]
+    )
+
+
 @declare(
     "n2h_minhash_md5_neardup",
     oracle=f"""
@@ -871,25 +924,8 @@ def n2h_minhash_md5_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array(*[F.col(f"_h{s}") for s in range(_MH_SEEDS)]).alias("sig"),
     )
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), b * _MH_ROWS + 1, _MH_ROWS),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                ).alias("bkey"),
-            )
-            for b in range(_MH_BANDS)
-        ]
-    )
     banded = sig.select(
-        "doc_id", "sig", F.explode(band_keys).alias("bk")
+        "doc_id", "sig", F.explode(md5_band_keys(F.col("sig"))).alias("bk")
     ).select("doc_id", "sig", "bk.band", "bk.bkey")
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (

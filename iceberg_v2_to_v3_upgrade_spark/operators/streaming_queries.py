@@ -44,6 +44,36 @@ from iceberg_v2_to_v3_upgrade_spark.streaming.jobs import (
 _STAGE_CACHE: dict[tuple[str, int], str] = {}
 
 
+def _stage_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    order_col: str,
+    n_files: int = 8,
+) -> str:
+    """Stage any fixture table as an n_files landing zone ordered by
+    ``order_col`` (see _stage_events for why ordering matters)."""
+    import glob
+    import os
+    import time
+
+    key = (sf_dir, table, n_files)
+    if key not in _STAGE_CACHE:
+        stage = tempfile.mkdtemp(prefix=f"stream_stage_{table}_")
+        (
+            load_table(spark, sf_dir, table)
+            .repartitionByRange(n_files, order_col)
+            .sortWithinPartitions(order_col)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        base = time.time() - 3600
+        for i, path in enumerate(sorted(glob.glob(f"{stage}/part-*"))):
+            os.utime(path, (base + i, base + i))
+        _STAGE_CACHE[key] = stage
+    return _STAGE_CACHE[key]
+
+
 def _stage_events(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     """Write the (type-normalized) events fixture as an n_files landing zone
     that the file stream source can tail — the upstream-writes-clean-files
@@ -57,27 +87,9 @@ def _stage_events(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     every row inside the 2h watermark — with time-interleaved files, every
     micro-batch after the second is entirely behind the watermark and gets
     dropped (measured: 4 interleaved batches lose half the sessions)."""
-    import glob
-    import os
-    import time
-
-    key = (sf_dir, n_files)
-    if key not in _STAGE_CACHE:
-        stage = tempfile.mkdtemp(prefix="stream_stage_")
-        (
-            load_table(spark, sf_dir, "events")
-            .repartitionByRange(n_files, "ts")
-            .sortWithinPartitions("ts")
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        # part-0000N holds range-partition N (lowest ts range first);
-        # replay order = mtime order, so pin mtimes to the name order.
-        base = time.time() - 3600
-        for i, path in enumerate(sorted(glob.glob(f"{stage}/part-*"))):
-            os.utime(path, (base + i, base + i))
-        _STAGE_CACHE[key] = stage
-    return _STAGE_CACHE[key]
+    # part-0000N holds range-partition N (lowest ts range first); replay
+    # order = mtime order, so _stage_table pins mtimes to the name order.
+    return _stage_table(spark, sf_dir, "events", "ts", n_files)
 
 
 def _drain(stream_df: DataFrame, mode: str, prefix: str) -> str:
@@ -369,6 +381,141 @@ def l8_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
         .orderBy("user_id")
+    )
+
+
+_MH_SEEDS = 32  # keep in sync with operators/dedup.py (_MH_SEEDS)
+
+
+@declare(
+    "l9_stream_neardup_ingest",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+            FROM d, unnest(range(greatest(len(w) - 2, 0))) AS t(i)),
+        h AS (
+            SELECT doc_id, s.seed,
+                   min(('0x' || substr(
+                       md5(s.seed::VARCHAR || ':' || shingle), 1, 8))::BIGINT)
+                       AS mh
+            FROM sh, unnest(range({_MH_SEEDS})) AS s(seed)
+            GROUP BY doc_id, s.seed),
+        sig AS (
+            SELECT doc_id, list(mh ORDER BY seed) AS sig
+            FROM h GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, sig, b.band,
+                   md5(array_to_string(
+                       sig[b.band * 4 + 1 : (b.band + 1) * 4], ',')) AS bkey
+            FROM sig, unnest(range(8)) AS b(band)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sig AS sig_a, b.sig AS sig_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.doc_id <> b.doc_id)
+        SELECT doc_a, doc_b,
+               round(len(list_filter(generate_series(1, {_MH_SEEDS}),
+                         i -> sig_a[i] = sig_b[i])) / {_MH_SEEDS}.0, 6)
+                   AS est_jaccard
+        FROM cand
+        WHERE len(list_filter(generate_series(1, {_MH_SEEDS}),
+                  i -> sig_a[i] = sig_b[i])) / {_MH_SEEDS}.0 >= 0.8
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("ext", "streaming", "dedup"),
+)
+def l9_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest: streamed documents are MinHash-signed PER ROW
+    (pure higher-order functions — no stateful aggregation, so the stream
+    needs no watermark) and LSH-band-joined against a static corpus index
+    (stream-static inner join, re-planned per micro-batch). Every incoming
+    doc is flagged with its near-duplicate partners before it ever lands —
+    the shape a 100 TB training-data pipeline runs at the ingest boundary
+    instead of re-deduping the whole corpus per crawl.
+
+    The static index here is built with the same per-row signature helper
+    (`md5_minhash_sig`) so stream and index share one hash definition; a
+    production index build would use n2h's explode->grouped-min path and
+    persist the banded frame. Duplicate band collisions are collapsed and
+    the >= 0.8 estimated-Jaccard verify applied after the drain (batch,
+    on the tiny candidate set). Oracle = both directions of n2h's pair
+    set (streamed doc x corpus partner, self excluded)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iceberg_v2_to_v3_upgrade_spark.functions.hashing import word_shingles
+    from iceberg_v2_to_v3_upgrade_spark.operators.dedup import (
+        md5_band_keys,
+        md5_minhash_sig,
+    )
+
+    stage = _stage_table(spark, sf_dir, "documents", "doc_id")
+    docs_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+
+    def sign_and_band(df: DataFrame) -> DataFrame:
+        sig = md5_minhash_sig(word_shingles(F.col("text"), 3))
+        return (
+            df.select("doc_id", sig.alias("sig"))
+            .select(
+                "doc_id", "sig", F.explode(md5_band_keys(F.col("sig"))).alias("bk")
+            )
+            .select("doc_id", "sig", "bk.band", "bk.bkey")
+        )
+
+    static_index = sign_and_band(load_table(spark, sf_dir, "documents"))
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage)
+    )
+    flagged = (
+        sign_and_band(stream)
+        .alias("a")
+        .join(
+            static_index.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+    )
+    name = _drain(flagged, "append", "l9_neardup")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(_MH_SEEDS))
+    )
+    return (
+        spark.table(name)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
     )
 
 
