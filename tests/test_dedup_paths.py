@@ -41,3 +41,46 @@ def test_broadcast_guard_threshold_is_bounded():
     # the guard must stay a real bound (not float("inf") snuck in later):
     # 500k rows x 64 dims x 8 bytes = 256 MB broadcast, the documented cap
     assert _NEARDUP_BROADCAST_MAX_ROWS <= 1_000_000
+
+
+def test_per_row_minhash_sig_matches_grouped_formulation(spark):
+    """The stateless per-row HOF signature (streaming ingest path, l9) and
+    the explode->grouped-min signature (batch corpus path, n2h) must
+    produce bit-identical signatures — one hash definition, two physical
+    strategies."""
+    from pyspark.sql import functions as F
+
+    from iceberg_v2_to_v3_upgrade_spark.functions.hashing import word_shingles
+    from iceberg_v2_to_v3_upgrade_spark.operators.dedup import (
+        _MH_SEEDS,
+        md5_minhash_sig,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    per_row = docs.select(
+        "doc_id", md5_minhash_sig(word_shingles(F.col("text"), 3)).alias("sig")
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    grouped = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(s)), F.col("sh"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+            ).alias(f"_h{s}")
+            for s in range(_MH_SEEDS)
+        ]
+    )
+    grouped_sig = grouped.select(
+        "doc_id",
+        F.array(*[F.col(f"_h{s}") for s in range(_MH_SEEDS)]).alias("sig"),
+    )
+    a = {r.doc_id: list(r.sig) for r in per_row.collect()}
+    b = {r.doc_id: list(r.sig) for r in grouped_sig.collect()}
+    assert a == b
