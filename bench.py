@@ -78,6 +78,12 @@ HEADLINE = [
     "n47_pagerank_transitions",
     "l1_stream_tumbling_agg",
     "l4_stream_attribution",
+    "l7_stream_upsert_table",
+    "l9_stream_neardup_ingest",
+    "n58_bpe_merge_candidates",
+    "n59_trigram_lm",
+    "n66_hashed_linear_classifier",
+    "n67_pca_power_iteration",
 ]
 
 

