@@ -95,6 +95,42 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+#: Memoized in-query recall audits for the rows-only ANN path (one per
+#: sf_dir per process; same pattern as dedup._audit_neardup_recall).
+_IVF_RECALL_AUDITS: set[str] = set()
+
+
+def _audit_ivf_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    result: DataFrame,
+    min_avg_recall: float = 0.3,
+) -> None:
+    """Rows-only self-check: n3c's approximate neighbors must recall on
+    average >= ``min_avg_recall`` of the exact top-k (n3_topk_cosine) —
+    so the driver's 'no_oracle' row still proves the index works. The
+    bound matches tests/test_similarity_recall.py (measured 0.96 at
+    sf0.1; the floor is loose because nprobe/k geometry, not corpus
+    size, sets recall). Both frames are queries x k rows — tiny."""
+    if sf_dir in _IVF_RECALL_AUDITS:
+        return
+    got: dict[int, set[int]] = {}
+    for r in result.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    exact: dict[int, set[int]] = {}
+    for r in n3_topk_cosine(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(got.get(q, set()) & nbrs) / len(nbrs) for q, nbrs in exact.items()
+    ]
+    avg = sum(recalls) / max(len(recalls), 1)
+    if avg < min_avg_recall:
+        raise AssertionError(
+            f"IVF avg recall {avg:.2f} < {min_avg_recall} vs exact top-k at {sf_dir}"
+        )
+    _IVF_RECALL_AUDITS.add(sf_dir)
+
+
 @declare("n3c_ivf_ann", oracle=None, tags=("ext", "similarity", "ann", "ivf"))
 def n3c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization.
@@ -181,12 +217,14 @@ def n3c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
+    out = (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
         .orderBy("query_id", "rank")
     )
+    _audit_ivf_recall(spark, sf_dir, out)
+    return out
 
 
 _N_CELLS = 8
