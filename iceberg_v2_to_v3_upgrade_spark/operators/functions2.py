@@ -191,3 +191,46 @@ def n49_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("survivor_doc_id")
     )
+
+
+@declare(
+    "h16_regexp_extract_all",
+    oracle=r"""
+        SELECT source,
+               round(avg(len(regexp_extract_all(text, '\b[a-z]{6,}\b'))), 4)
+                   AS avg_long_words,
+               round(avg(len(regexp_extract_all(text, '\bs[a-z]+'))), 4)
+                   AS avg_s_words,
+               max(len(regexp_extract_all(text, 'er\b'))) AS max_er_suffixes
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("functions", "regex"),
+)
+def h16_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all battery: multi-match extraction per document
+    (long words, s-initial words, -er suffixes) rolled up per source —
+    the all-occurrences complement of h9's single-match regexp_extract.
+    Patterns stay in the Java/RE2 common subset (no backreferences, no
+    lookaround) so Spark and DuckDB tokenize identically. Map-only until
+    a source-keyed partial aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    # idx=0 = whole-match mode: Spark's default group index is 1 and
+    # errors on patterns without capture groups (DuckDB defaults to 0)
+    n_matches = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+    )
+    return (
+        docs.select(
+            "source",
+            n_matches(r"\b[a-z]{6,}\b").alias("n_long"),
+            n_matches(r"\bs[a-z]+").alias("n_s"),
+            n_matches(r"er\b").alias("n_er"),
+        )
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("n_long"), 4).alias("avg_long_words"),
+            F.round(F.avg("n_s"), 4).alias("avg_s_words"),
+            F.max("n_er").alias("max_er_suffixes"),
+        )
+        .orderBy("source")
+    )

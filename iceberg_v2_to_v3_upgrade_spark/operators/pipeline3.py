@@ -409,3 +409,60 @@ def n66_hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@declare(
+    "n68_embedding_standardization",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        f AS (SELECT vec_id, i, v[i::INT] AS x
+              FROM e, unnest(range(1, 65)) AS t(i)),
+        st AS (SELECT i AS dim, avg(x) AS mu, stddev_pop(x) AS sigma
+               FROM f GROUP BY i),
+        z AS (SELECT f.i AS dim, (f.x - st.mu) / st.sigma AS zx
+              FROM f JOIN st ON st.dim = f.i)
+        SELECT z.dim, round(st.mu, 4) AS mu, round(st.sigma, 4) AS sigma,
+               round(min(zx), 4) AS z_min, round(max(zx), 4) AS z_max
+        FROM z JOIN st ON st.dim = z.dim
+        GROUP BY z.dim, st.mu, st.sigma ORDER BY z.dim
+    """,
+    tags=("ext", "embeddings"),
+)
+def n68_embedding_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature standardization (z-score), the index/model
+    preprocessing twin of n5's per-vector stats: one posexplode pass
+    computes per-dim mean and population stddev (64-key aggregate —
+    map-side partial, shuffle carries 64 rows), the stats broadcast back
+    onto the exploded frame, and the standardized extrema per dim verify
+    the transform. The exploded frame is persisted — it feeds both the
+    stats pass and the normalize pass, and Spark shares no subplans
+    across branches (SCALING.md pitfall #3).
+    """
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        as_double_array("embedding").alias("v")
+    )
+    flat = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .select((F.col("pos") + 1).alias("dim"), "x")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats = flat.groupBy("dim").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sigma")
+    )
+    z = flat.join(F.broadcast(stats), "dim").select(
+        "dim", "mu", "sigma", ((F.col("x") - F.col("mu")) / F.col("sigma")).alias("zx")
+    )
+    return (
+        z.groupBy("dim", "mu", "sigma")
+        .agg(F.min("zx").alias("z_min"), F.max("zx").alias("z_max"))
+        .select(
+            "dim",
+            F.round("mu", 4).alias("mu"),
+            F.round("sigma", 4).alias("sigma"),
+            F.round("z_min", 4).alias("z_min"),
+            F.round("z_max", 4).alias("z_max"),
+        )
+        .orderBy("dim")
+    )
