@@ -141,3 +141,124 @@ def c11_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version_id")
     )
+
+
+@declare(
+    "a8_python_datasource",
+    oracle="""
+        WITH s AS (
+            SELECT i AS id,
+                   substr(md5(i::VARCHAR), 1, 8) AS h,
+                   ('0x' || substr(md5(i::VARCHAR), 1, 4))::INT % 64 AS bucket
+            FROM range(0, 1000) t(i))
+        SELECT bucket, count(*) AS n, min(id) AS min_id, max(id) AS max_id
+        FROM s GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("sources", "datasource-api"),
+)
+def a8_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 DataSource API, SURVEY §2.A5
+    extension): a registered source that generates deterministic md5-keyed
+    rows across N real input partitions — the integration shape for
+    connecting any Python-reachable system (feature stores, REST-paged
+    APIs, bespoke formats) as a first-class parallel Spark source with
+    schema, options, and partition planning.
+
+    The reader classes are defined INSIDE this function on purpose:
+    cloudpickle then ships them by value, so executor Python workers need
+    no package import (same ModuleNotFoundError trap as UDF closures —
+    SCALING.md). The oracle recomputes the generated rows from DuckDB's
+    range() + md5, proving source determinism cross-engine."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _Range(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", "1000"))
+            self.parts = int(options.get("parts", "8"))
+
+        def partitions(self):
+            step = max(1, -(-self.n // self.parts))
+            return [
+                _Range(lo, min(lo + step, self.n))
+                for lo in range(0, self.n, step)
+            ]
+
+        def read(self, partition):
+            import hashlib
+
+            for i in range(partition.start, partition.end):
+                h = hashlib.md5(str(i).encode()).hexdigest()
+                yield (i, h[:8], int(h[:4], 16) % 64)
+
+    class _SyntheticSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_md5"
+
+        def schema(self):
+            return "id bigint, h string, bucket int"
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    spark.dataSource.register(_SyntheticSource)
+    df = spark.read.format("synthetic_md5").option("n", "1000").load()
+    assert len(df.inputFiles()) == 0  # not file-backed: a true custom source
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@declare(
+    "h17_variant_semistructured",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+                   AS avg_k,
+               round(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                              THEN value END), 2) AS high_k_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("functions", "variant", "json"),
+)
+def h17_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): props parses once into the
+    binary variant encoding (parse_json) and typed paths are read with
+    variant_get — the open-table-format answer to schemaless columns,
+    strictly faster than per-access get_json_object re-parsing when
+    several paths are read. The oracle states the same semantics over
+    DuckDB's JSON functions."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", "value", F.parse_json("props").alias("pv")
+    ).select(
+        "event_type",
+        "value",
+        F.try_variant_get(F.col("pv"), "$.k", "int").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.round(
+                F.sum(F.when(F.col("k") > 50, F.col("value"))), 2
+            ).alias("high_k_value"),
+        )
+        .orderBy("event_type")
+    )
