@@ -190,3 +190,94 @@ def n54_neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("degree")
     )
+
+
+@declare(
+    "d13_data_quality_audit",
+    oracle="""
+        SELECT 'lineitem_rows' AS metric, count(*)::DOUBLE AS value FROM lineitem
+        UNION ALL
+        SELECT 'pk_duplicates',
+               (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::DOUBLE
+        FROM lineitem
+        UNION ALL
+        SELECT 'null_shipdate_frac',
+               round(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                     / count(*), 6)
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_range_violations',
+               sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                        THEN 1 ELSE 0 END)::DOUBLE
+        FROM lineitem
+        UNION ALL
+        SELECT 'orphan_orders', count(*)::DOUBLE FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'orphan_lineitems', count(*)::DOUBLE FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+        ORDER BY metric
+    """,
+    tags=("audit", "quality"),
+)
+def d13_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality audit: completeness (null
+    fraction), key uniqueness (PK duplicate count — the fixture genuinely
+    contains duplicate (orderkey, linenumber) pairs, which this surfaces),
+    domain constraints (discount range), and referential integrity
+    (orphan FK rows via anti joins) — the validation gate a pipeline runs
+    before promoting a landed batch.
+
+    Shape: all scalar metrics over one table collapse into a SINGLE
+    aggregate pass (one Project + one partial agg, no shuffle of the fact
+    table); each referential check is one broadcast anti join that reduces
+    to a count. Unioned result is 6 rows at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+
+    one_pass = li.agg(
+        F.count(F.lit(1)).cast("double").alias("lineitem_rows"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        )
+        .cast("double")
+        .alias("pk_duplicates"),
+        F.round(
+            F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("null_shipdate_frac"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("discount_range_violations"),
+    )
+    melted = one_pass.unpivot(
+        [],
+        [
+            "lineitem_rows",
+            "pk_duplicates",
+            "null_shipdate_frac",
+            "discount_range_violations",
+        ],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    orphan_orders = (
+        od.join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(F.lit("orphan_orders").alias("metric"), "value")
+    )
+    orphan_li = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(F.lit("orphan_lineitems").alias("metric"), "value")
+    )
+    return melted.unionAll(orphan_orders).unionAll(orphan_li).orderBy("metric")
