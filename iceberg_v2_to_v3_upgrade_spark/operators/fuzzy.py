@@ -93,3 +93,76 @@ def n56_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("edit_dist"),
     )
     return cand.filter(F.col("edit_dist") <= 1).orderBy("s_suppkey", "c_custkey")
+
+
+_ASOF_TOL_ORACLE = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           CASE WHEN v.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+                THEN epoch_us(p.ts) - epoch_us(v.ts) END AS gap_us,
+           CASE WHEN v.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+                THEN 1 ELSE 0 END AS matched
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
+"""
+
+
+@declare(
+    "c12_asof_tolerance_join",
+    oracle=_ASOF_TOL_ORACLE,
+    tags=("join", "asof", "feature-store"),
+)
+def c12_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of join (feature-store point-in-time lookup):
+    every purchase keeps the user's most recent view ONLY if it is at most
+    1 hour stale, else the feature is null — the max-staleness contract a
+    feature store enforces so models never train on expired features.
+    LEFT semantics: unmatched purchases survive with matched=0.
+
+    Same linear union + window composition as c7 (one user_id-keyed
+    shuffle); the tolerance is a post-window predicate, not a range join —
+    the naive interval-join formulation is quadratic per user. Oracle:
+    DuckDB's native ASOF LEFT JOIN with the staleness CASE applied on top.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_purchase"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id"),
+        F.lit(1).alias("is_purchase"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(purchases).withColumn(
+        "last_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("last_view_ts")
+    fresh = F.col("last_view_ts").isNotNull() & (gap <= 3_600_000_000)
+    return (
+        merged.filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(fresh, gap).alias("gap_us"),
+            F.when(fresh, 1).otherwise(0).alias("matched"),
+        )
+        .orderBy("event_id")
+    )
