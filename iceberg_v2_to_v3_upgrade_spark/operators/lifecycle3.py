@@ -180,3 +180,120 @@ def m6_grouped_arrow_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_INC_NEARDUP_ORACLE = """
+    WITH cutoff AS (
+        SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS c FROM documents),
+    d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+        FROM d, unnest(range(greatest(len(w) - 2, 0))) AS t(i)),
+    h AS (
+        SELECT doc_id, s.seed,
+               min(('0x' || substr(
+                   md5(s.seed::VARCHAR || ':' || shingle), 1, 8))::BIGINT) AS mh
+        FROM sh, unnest(range(32)) AS s(seed)
+        GROUP BY doc_id, s.seed),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM h GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, sig, b.band,
+               md5(array_to_string(
+                   sig[b.band * 4 + 1 : (b.band + 1) * 4], ',')) AS bkey
+        FROM sig, unnest(range(8)) AS b(band)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+        WHERE a.doc_id >= (SELECT c FROM cutoff))
+    SELECT doc_a, doc_b,
+           round(len(list_filter(generate_series(1, 32),
+                     i -> sig_a[i] = sig_b[i])) / 32.0, 6) AS est_jaccard
+    FROM cand
+    WHERE len(list_filter(generate_series(1, 32),
+              i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.8
+    ORDER BY doc_a, doc_b
+"""
+
+
+@declare(
+    "i13_incremental_neardup",
+    oracle=_INC_NEARDUP_ORACLE,
+    tags=("dml", "incremental", "dedup"),
+)
+def i13_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup maintenance over table CDC: documents land in the
+    snapshot-versioned table in two commits; the second batch is read back
+    as the CHANGELOG (LocalTable.changes — O(changed rows), not O(table))
+    and only those delta docs are MinHash-signed and band-joined against
+    the corpus index. This is the process-only-the-delta pattern that
+    keeps dedup affordable at 100 TB: per crawl drop, signature work is
+    |delta|, not |corpus|, and the banded index itself would be a
+    maintained table updated by the same commit.
+
+    The 80%-of-max-doc_id cutoff is computed from the data on both sides,
+    so the oracle replays the identical split. Candidate pairs keep LEFT =
+    new doc; est-Jaccard >= 0.8 verified exactly like n2h."""
+    from iceberg_v2_to_v3_upgrade_spark.operators.dedup import (
+        md5_band_keys,
+        md5_minhash_sig_grouped,
+    )
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = int(
+        docs.agg(F.floor(F.max("doc_id") * 0.8).cast("bigint")).collect()[0][0]
+    )
+    catalog = LocalCatalog(spark, tempfile.mkdtemp(prefix="incdedup_wh_"))
+    t = catalog.create_table(
+        "inc_db",
+        "docs",
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    t.insert(docs.filter(F.col("doc_id") < cutoff))
+    base_snap = t.current_snapshot().id
+    t.insert(docs.filter(F.col("doc_id") >= cutoff))
+
+    delta = t.changes(base_snap).filter(
+        F.col("_change_type") == "insert"
+    ).select("doc_id", "text")
+
+    def band_explode(sig_df: DataFrame) -> DataFrame:
+        return sig_df.select(
+            "doc_id", "sig", F.explode(md5_band_keys(F.col("sig"))).alias("bk")
+        ).select("doc_id", "sig", "bk.band", "bk.bkey")
+
+    new_banded = band_explode(md5_minhash_sig_grouped(delta))
+    corpus_banded = band_explode(
+        md5_minhash_sig_grouped(t.scan().select("doc_id", "text"))
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(32.0)
+    )
+    return (
+        new_banded.alias("a")
+        .join(
+            corpus_banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
