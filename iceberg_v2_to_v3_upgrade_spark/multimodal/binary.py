@@ -592,3 +592,68 @@ try:  # pyspark bundles cloudpickle >= 2.0 (has register_pickle_by_value)
     _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # pragma: no cover — older cloudpickle: importable path only
     pass
+
+
+@declare(
+    "m7_audio_energy_windows",
+    oracle="""
+        WITH a AS (SELECT doc_id, text, length(text) AS n
+                   FROM documents WHERE doc_id % 2 = 1),
+        s AS (SELECT doc_id, text, n, n // 2 + n % 2 AS ns FROM a),
+        w AS (SELECT doc_id, text, n, ns // 64 AS nw FROM s WHERE ns >= 64),
+        samp AS (
+            SELECT doc_id, (i // 64)::INT AS win,
+                   CASE WHEN 2 * i + 2 <= n
+                        THEN ascii(substr(text, (2 * i + 1)::INT, 1))
+                             + 256 * ascii(substr(text, (2 * i + 2)::INT, 1))
+                        ELSE ascii(substr(text, (2 * i + 1)::INT, 1))
+                   END AS sample
+            FROM w, unnest(range(nw * 64)) AS t(i))
+        SELECT doc_id, win,
+               round(sqrt(avg(sample::DOUBLE * sample)), 4) AS rms
+        FROM samp GROUP BY doc_id, win ORDER BY doc_id, win
+    """,
+    tags=("ext", "multimodal", "audio", "pandas-udf"),
+)
+def m7_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over REAL WAV containers: the odd-doc
+    assets (16-bit mono PCM built by build_real_assets) are parsed past
+    the 44-byte RIFF header, their samples windowed into 64-sample frames,
+    and per-frame RMS energy computed — the framing step of any audio
+    featurizer (VAD, loudness normalization, spectrogram prep).
+
+    Arrow-batched mapInPandas; per-row work is bounded by payload size and
+    partition-parallel (no shuffle until the final orderBy). The frame sum
+    is an explicit sequential fold so the float association order matches
+    the oracle, which independently reconstructs the PCM samples from the
+    source text's character codes (the payload IS the utf-8 text, and the
+    corpus is verified ASCII) — a mis-parsed header offset or sample width
+    shifts every byte pair and breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    audio = build_real_assets(docs).filter(F.col("doc_id") % 2 == 1)
+
+    def _energy(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc, out_win, out_rms = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload)[44:], dtype="<i2")
+                for wi in range(len(samples) // 64):
+                    seg = samples[wi * 64 : (wi + 1) * 64]
+                    total = 0.0
+                    for v in seg:  # sequential fold == oracle's sum order
+                        fv = float(v)
+                        total += fv * fv
+                    out_doc.append(doc_id)
+                    out_win.append(wi)
+                    out_rms.append(round((total / 64.0) ** 0.5, 4))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "win": out_win, "rms": out_rms}
+            )
+
+    return (
+        audio.mapInPandas(_energy, "doc_id long, win int, rms double")
+        .orderBy("doc_id", "win")
+    )
