@@ -31,11 +31,15 @@ def test_front_slots_hold_unevidenced_queries():
 
 
 def test_round1_failures_lead():
-    # the two round-1 red queries were fixed this round and must be
-    # re-checked before anything else
+    # the two round-1 red queries were fixed in round 2 and must be
+    # re-checked before anything else — UNTIL a later CORRECTNESS file
+    # records them green, after which the rotation retires them to the
+    # back like any other evidenced query
+    evidenced = _driver_evidenced()
     names = list(load_all_operators())
-    assert names[0] == "c7_asof_join"
-    assert names[1] == "h5_array_agg"
+    for i, name in enumerate(["c7_asof_join", "h5_array_agg"]):
+        if name not in evidenced:
+            assert names[i] == name
 
 
 def test_evidenced_set_reads_correctness_files():
@@ -45,9 +49,26 @@ def test_evidenced_set_reads_correctness_files():
     for name, row in r01.items():
         if row.get("hash_match"):
             assert name in evidenced, name
-    # the round-1 failures are NOT evidenced (they errored)
-    assert "c7_asof_join" not in evidenced
-    assert "h5_array_agg" not in evidenced
+    # the round-1 failures are not evidenced BY r01 (they errored there);
+    # later CORRECTNESS files may legitimately green them
+    import glob
+
+    later = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))[1:]
+    greened: set[str] = set()
+    for path in later:
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        greened |= {
+            n
+            for n, row in rows.items()
+            if isinstance(row, dict) and row.get("hash_match")
+        }
+    for name in ("c7_asof_join", "h5_array_agg"):
+        if name not in greened:
+            assert name not in evidenced
 
 
 def test_every_query_has_fn_and_most_have_oracles():
