@@ -84,6 +84,10 @@ HEADLINE = [
     "n59_trigram_lm",
     "n66_hashed_linear_classifier",
     "n67_pca_power_iteration",
+    "i13_incremental_neardup",
+    "d13_data_quality_audit",
+    "m7_audio_energy_windows",
+    "c12_asof_tolerance_join",
 ]
 
 

@@ -136,13 +136,20 @@ def n7_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Memoized HLL error audits (one per sf_dir per process).
+_HLL_AUDITS: set[str] = set()
+
+
 @declare("n8_approx_distinct_users", oracle=None, tags=("ext", "events", "approx"))
 def n8_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) of users per event type —
     the constant-memory distinct at 100 TB. Approximate by construction,
-    so declared rows-only; tests bound its error against the exact count."""
+    so declared rows-only; SELF-VALIDATING: on first invocation per
+    sf_dir the estimates are checked against the exact distinct counts
+    (±5% — generous vs the rsd=1% sketch) so the driver's rows-only row
+    still proves the sketch works, same pattern as n2c/n3c/d11/n50."""
     ev = load_table(spark, sf_dir, "events")
-    return (
+    out = (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
@@ -150,6 +157,22 @@ def n8_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    if sf_dir not in _HLL_AUDITS:
+        exact = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+        for r in out.collect():
+            n = exact[r.event_type]
+            if abs(r.approx_users - n) > max(1, 0.05 * n):
+                raise AssertionError(
+                    f"HLL estimate {r.approx_users} vs exact {n} for "
+                    f"{r.event_type} exceeds 5% at {sf_dir}"
+                )
+        _HLL_AUDITS.add(sf_dir)
+    return out
 
 
 @declare(
