@@ -466,3 +466,132 @@ def n68_embedding_standardization(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("dim")
     )
+
+
+@declare(
+    "n69_hard_negative_mining",
+    oracle="""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+              FROM e WHERE vec_id < 5),
+        sims AS (
+            SELECT q.query_id, e.vec_id AS negative_id, e.label AS neg_label,
+                   list_dot_product(q.qv, e.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(e.v, e.v))) AS sim
+            FROM q CROSS JOIN e
+            WHERE e.label <> q.q_label),
+        ranked AS (
+            SELECT query_id, negative_id, neg_label, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, negative_id) AS rank
+            FROM sims)
+        SELECT query_id, negative_id, neg_label, rank, round(sim, 4) AS sim
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank
+    """,
+    tags=("ext", "embeddings", "training-data"),
+)
+def n69_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the highest-cosine corpus vectors with a DIFFERENT label —
+    the near-miss negatives that make embedding models learn boundaries
+    (vs easy random negatives). Same broadcast-queries x streamed-corpus
+    shape as n3_topk_cosine with a label-inequality predicate; at 100 TB
+    the candidate set would be pre-pruned by the ANN index (n3b/n3c)
+    before the exact rerank here."""
+    from iceberg_v2_to_v3_upgrade_spark.functions.arrays import (
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    sims = emb.join(
+        F.broadcast(queries), F.col("label") != F.col("q_label")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        cosine_similarity(F.col("qv"), F.col("v")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("negative_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "negative_id",
+            "neg_label",
+            "rank",
+            F.round("sim", 4).alias("sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@declare(
+    "n70_epoch_shuffle",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, e.epoch,
+                   ('0x' || substr(md5(e.epoch::VARCHAR || ':'
+                                       || doc_id::VARCHAR), 1, 2))::INT % 8
+                       AS shard,
+                   md5(e.epoch::VARCHAR || ':' || doc_id::VARCHAR) AS ord
+            FROM documents, unnest([0, 1]) AS e(epoch)),
+        ranked AS (
+            SELECT epoch, shard, doc_id,
+                   row_number() OVER (PARTITION BY epoch, shard
+                                      ORDER BY ord) AS pos
+            FROM keyed)
+        SELECT epoch, shard, doc_id, pos FROM ranked
+        WHERE pos <= 5 ORDER BY epoch, shard, pos
+    """,
+    tags=("ext", "sampling", "training-data"),
+)
+def n70_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch data shuffling, the distributed way: each
+    epoch assigns every doc an md5(epoch:doc_id) order key, docs hash into
+    shards, and position is ranked WITHIN the shard — shard-then-local-
+    order is how epoch shuffles actually run at scale (a global
+    row_number would be a single-task sort; per-shard windows are
+    embarrassingly parallel). Different epochs produce provably different
+    but exactly reproducible orders — the audit trail for "which sample
+    did the model see at step N"."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    ).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("ord"),
+    ).select(
+        "epoch",
+        "doc_id",
+        "ord",
+        (F.conv(F.substring("ord", 1, 2), 16, 10).cast("int") % 8).alias(
+            "shard"
+        ),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("ord")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 5)
+        .select("epoch", "shard", "doc_id", "pos")
+        .orderBy("epoch", "shard", "pos")
+    )
