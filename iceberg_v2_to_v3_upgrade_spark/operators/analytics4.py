@@ -281,3 +281,56 @@ def d13_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("orphan_lineitems").alias("metric"), "value")
     )
     return melted.unionAll(orphan_orders).unionAll(orphan_li).orderBy("metric")
+
+
+@declare(
+    "d14_skyline_pareto",
+    oracle="""
+        WITH pts AS (SELECT p_retailprice AS price, p_size AS size,
+                            count(*) AS n_parts
+                     FROM part GROUP BY 1, 2)
+        SELECT price, size, n_parts FROM pts p1
+        WHERE NOT EXISTS (SELECT 1 FROM pts p2
+                          WHERE p2.price <= p1.price AND p2.size >= p1.size
+                            AND (p2.price < p1.price OR p2.size > p1.size))
+        ORDER BY price, size
+    """,
+    tags=("analytics", "skyline"),
+)
+def d14_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (minimize price, maximize size —
+    "cheapest part for its size class"; cf. skyline-in-Spark-SQL, EDBT
+    2023): a point survives iff nothing is both cheaper-or-equal and
+    larger-or-equal with one strict.
+
+    Spark-first 2D formulation in O(n log n), NOT the definitional O(n^2)
+    self-join: (1) same-price points collapse to the per-price max size
+    (anything smaller is dominated at equal price), (2) over distinct
+    prices ascending, a point survives iff its size strictly exceeds the
+    running max over all cheaper prices — one groupBy + one window on the
+    already price-distinct (tiny) frame. At 100 TB you'd add a
+    partition-local skyline pass first (local frontiers are tiny) before
+    this global step. The ORACLE is the definitional NOT EXISTS — a
+    different formulation entirely, so a dominance edge-case bug in
+    either one breaks the hash."""
+    from pyspark.sql.window import Window
+
+    part = load_table(spark, sf_dir, "part")
+    pts = part.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    per_price = pts.groupBy("price").agg(F.max("size").alias("size"))
+    w_prev = (
+        Window.orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_price.withColumn("prev_max", F.max("size").over(w_prev))
+        .filter(F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max")))
+        .select("price", "size")
+    )
+    return (
+        frontier.join(pts, ["price", "size"])
+        .select("price", "size", "n_parts")
+        .orderBy("price", "size")
+    )
