@@ -10,6 +10,7 @@ as the near-dup family.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from iceberg_v2_to_v3_upgrade_spark.io import load_table
 from iceberg_v2_to_v3_upgrade_spark.registry import declare
@@ -165,4 +166,84 @@ def c12_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, 1).otherwise(0).alias("matched"),
         )
         .orderBy("event_id")
+    )
+
+
+_TRAJ_ORACLE = """
+    WITH seq AS (
+        SELECT user_id,
+               substr(string_agg(substr(event_type, 1, 1), ''
+                                 ORDER BY ts, event_id), 1, 20) AS seq
+        FROM events GROUP BY user_id),
+    p AS (SELECT user_id AS probe_id, seq AS pseq FROM seq WHERE user_id < 3),
+    d AS (SELECT p.probe_id, s.user_id, levenshtein(p.pseq, s.seq) AS dist
+          FROM p CROSS JOIN seq s WHERE s.user_id <> p.probe_id),
+    r AS (SELECT probe_id, user_id, dist,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY dist, user_id) AS rk
+          FROM d)
+    SELECT probe_id, user_id, dist, rk FROM r WHERE rk <= 5
+    ORDER BY probe_id, rk
+"""
+
+
+@declare(
+    "n71_trajectory_similarity",
+    oracle=_TRAJ_ORACLE,
+    tags=("ext", "events", "similarity", "trajectory"),
+)
+def n71_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k behavioral-trajectory similarity (cf. distributed top-k
+    trajectory search, ICDE 2021): each user's event-type sequence
+    (ts-ordered, encoded one char per event, truncated to 20) is compared
+    by edit distance against 3 probe users; the 5 nearest users per probe
+    survive.
+
+    Shape: one user-keyed shuffle builds every sequence
+    (collect_list -> array_sort keeps ordering inside the aggregate — no
+    per-user sort pass); probes broadcast, so the distance scan is
+    map-only over user-cardinality rows with O(len^2 = 400)-bounded
+    per-row work; top-k per probe is a window over a 3-probe-keyed frame.
+    At 100 TB a length-difference / q-gram prefilter would prune the
+    scan, as in the banding ops."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.collect_list(
+                F.struct("ts", "event_id", "event_type")
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.substring(
+                F.array_join(
+                    F.transform(
+                        F.array_sort("evs"),
+                        lambda s: F.substring(s["event_type"], 1, 1),
+                    ),
+                    "",
+                ),
+                1,
+                20,
+            ).alias("seq"),
+        )
+    )
+    probes = seq.filter(F.col("user_id") < 3).select(
+        F.col("user_id").alias("probe_id"), F.col("seq").alias("pseq")
+    )
+    d = (
+        seq.crossJoin(F.broadcast(probes))
+        .filter(F.col("user_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "user_id",
+            F.levenshtein("pseq", "seq").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist", "user_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .orderBy("probe_id", "rk")
     )
