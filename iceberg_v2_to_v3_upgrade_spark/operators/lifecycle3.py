@@ -297,3 +297,54 @@ def i13_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@declare(
+    "i14_stats_file_skipping",
+    oracle="""
+        WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                   FROM orders)
+        SELECT o_orderkey, o_totalprice FROM orders, b
+        WHERE o_totalprice > b.lo + (b.hi - b.lo) * 0.8
+        ORDER BY o_orderkey
+    """,
+    tags=("dml", "scan", "pruning"),
+)
+def i14_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file skipping end-to-end: orders land in 4 commits
+    covering disjoint price ranges (per-dir min/max recorded at write
+    time), then a selective scan proves that dirs whose range excludes
+    the predicate are never read — the Iceberg data-skipping behavior
+    that turns a 100 TB scan into a read of the few matching files. The
+    query ASSERTS pruning happened (3 of 4 dirs skipped) before
+    returning; the oracle recomputes the same selection from the raw
+    fixture."""
+    from pyspark.sql import functions as F2
+
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lo, hi = od.agg(
+        F2.min("o_totalprice"), F2.max("o_totalprice")
+    ).collect()[0]
+    catalog = LocalCatalog(spark, tempfile.mkdtemp(prefix="skip_wh_"))
+    t = catalog.create_table(
+        "skip_db", "orders_ranged", "o_orderkey BIGINT, o_totalprice DOUBLE"
+    )
+    step = (hi - lo) / 4
+    for i in range(4):
+        a = lo + i * step
+        b = hi + 1 if i == 3 else lo + (i + 1) * step
+        t.insert(
+            od.filter(
+                (F2.col("o_totalprice") >= a) & (F2.col("o_totalprice") < b)
+            )
+        )
+    cut = lo + (hi - lo) * 0.8
+    out = t.scan(data_filter=f"o_totalprice > {cut!r}").orderBy("o_orderkey")
+    assert t.last_scan_pruning == {"candidate_dirs": 4, "read_dirs": 1}, (
+        f"expected 3 of 4 dirs skipped, got {t.last_scan_pruning}"
+    )
+    return out

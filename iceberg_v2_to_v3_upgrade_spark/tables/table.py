@@ -362,6 +362,86 @@ class LocalTable:
         if spec:
             writer = writer.partitionBy(*[name for name, _ in spec])
         writer.parquet(path)
+        self._record_dir_stats(path)
+
+    def _record_dir_stats(self, path: str) -> None:
+        """Iceberg manifest-stats analog: per-data-dir min/max for numeric
+        columns, persisted in table metadata at write time (O(changed
+        rows) — one aggregate over the just-written dir). Scans consult
+        these to skip whole dirs whose range excludes a predicate, before
+        any file is listed. Stored under the CURRENT column names; after a
+        rename, old stats simply stop matching and pruning degrades to
+        conservative (read everything), never to wrong answers."""
+        declared = self.spark.createDataFrame([], self.schema_ddl).schema
+        numeric = [
+            f.name
+            for f in declared
+            if f.dataType.typeName()
+            in ("integer", "long", "short", "double", "float", "decimal")
+        ]
+        if not numeric:
+            return
+        try:
+            df = self._read_one_dir(path, self.schema_ddl + f", {_ROW_ID} long")
+        except Exception:
+            return
+        row = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in numeric],
+            *[F.max(c).alias(f"hi_{c}") for c in numeric],
+        ).collect()[0]
+        stats = {}
+        for c in numeric:
+            lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+            if lo is not None:
+                stats[c] = [float(lo), float(hi)]
+        self._meta.setdefault("dir_stats", {})[path] = stats
+
+    _SIMPLE_PRED = None  # compiled lazily below
+
+    def _prune_dirs_by_stats(
+        self, dirs: list[str], data_filter: str
+    ) -> list[str]:
+        """Drop dirs whose recorded min/max provably exclude the filter.
+        Only simple AND-ed numeric comparisons (`col <op> literal`) prune;
+        anything else (ORs, expressions, strings) is conservatively kept —
+        the same residual-evaluation posture as Iceberg manifest pruning."""
+        import re
+
+        if LocalTable._SIMPLE_PRED is None:
+            LocalTable._SIMPLE_PRED = re.compile(
+                r"^\s*(\w+)\s*(<=|>=|<|>|==|=)\s*(-?\d+(?:\.\d+)?)\s*$"
+            )
+        if re.search(r"\bOR\b", data_filter, re.IGNORECASE):
+            return dirs
+        conjuncts = []
+        for part in re.split(r"\bAND\b", data_filter, flags=re.IGNORECASE):
+            m = LocalTable._SIMPLE_PRED.match(part)
+            if m:
+                conjuncts.append((m.group(1), m.group(2), float(m.group(3))))
+        if not conjuncts:
+            return dirs
+        all_stats = self._meta.get("dir_stats", {})
+        kept = []
+        for d in dirs:
+            stats = all_stats.get(d)
+            skip = False
+            if stats:
+                for col, op, val in conjuncts:
+                    if col not in stats:
+                        continue
+                    lo, hi = stats[col]
+                    if (
+                        (op == ">" and hi <= val)
+                        or (op == ">=" and hi < val)
+                        or (op == "<" and lo >= val)
+                        or (op == "<=" and lo > val)
+                        or (op in ("=", "==") and not (lo <= val <= hi))
+                    ):
+                        skip = True
+                        break
+            if not skip:
+                kept.append(d)
+        return kept
 
     def _align_to_schema(self, df: DataFrame) -> DataFrame:
         """Project/cast incoming rows to the declared schema (missing
@@ -852,6 +932,7 @@ class LocalTable:
         self,
         snap: Snapshot | None = None,
         partition_filter: str | None = None,
+        data_filter: str | None = None,
     ) -> DataFrame:
         """Merged scan WITH _row_id (MoR anti-join applied), projected to
         the table's CURRENT declared schema (schema evolution: added
@@ -862,18 +943,31 @@ class LocalTable:
         anti-join, it reaches the file index as partition pruning, so
         non-matching directories are never listed or read."""
         snap = snap or self.current_snapshot()
+        self.last_scan_pruning = None
         if snap.eq_deletes:
             # per-dir reads tagged with their commit sequence so each
-            # equality delete can scope to older data only
+            # equality delete can scope to older data only (stats pruning
+            # is skipped here — conservative, sequences must stay aligned)
             data = self._read_data_with_seq(snap)
         else:
-            data = self._read_dirs(snap.data_dirs, self._data_read_schema())
+            dirs = snap.data_dirs
+            if data_filter:
+                dirs = self._prune_dirs_by_stats(dirs, data_filter)
+                self.last_scan_pruning = {
+                    "candidate_dirs": len(snap.data_dirs),
+                    "read_dirs": len(dirs),
+                }
+            data = self._read_dirs(dirs, self._data_read_schema())
         if data is None:
             return self.spark.createDataFrame(
                 [], self.schema_ddl + f", {_ROW_ID} long"
             )
         if partition_filter:
             data = data.filter(partition_filter)
+        if data_filter:
+            # residual: stats pruning only skips whole dirs; the row-level
+            # predicate still applies (and commutes with the MoR anti-join)
+            data = data.filter(data_filter)
         if snap.eq_deletes:
             data = self._apply_eq_deletes(snap, data)
         deletes = self._read_dirs(snap.delete_dirs, f"{_ROW_ID} long")
@@ -895,6 +989,7 @@ class LocalTable:
         snapshot_id: int | str | None = None,
         with_row_lineage: bool = False,
         partition_filter: str | None = None,
+        data_filter: str | None = None,
     ) -> DataFrame:
         """SELECT * — full MoR-merged read (create_demo_table.py:137).
 
@@ -905,6 +1000,11 @@ class LocalTable:
         refused on V2 tables exactly as Iceberg gates it on format-version.
         ``partition_filter`` prunes transform-partitioned directories
         (hidden partitioning) before any file is read.
+        ``data_filter`` additionally consults the per-dir min/max stats
+        recorded at write time (Iceberg manifest-stats analog): data dirs
+        whose range provably excludes a simple numeric conjunct are never
+        listed or read; the predicate still applies row-level as the
+        residual. ``last_scan_pruning`` reports candidate vs read dirs.
         """
         snap = None
         if isinstance(snapshot_id, str):  # tag/branch name -> snapshot
@@ -928,8 +1028,10 @@ class LocalTable:
                     "row lineage requires format-version 3 "
                     f"(table is V{self.format_version}); upgrade first"
                 )
-            return self._scan_raw(snap, partition_filter)
-        return self._scan_raw(snap, partition_filter).drop(_ROW_ID)
+            return self._scan_raw(snap, partition_filter, data_filter)
+        return self._scan_raw(snap, partition_filter, data_filter).drop(
+            _ROW_ID
+        )
 
     # ------------------------------------------------------ refs / rollback
 

@@ -1,0 +1,71 @@
+"""Manifest-stats file skipping: per-dir min/max recorded at write time,
+consulted by scan(data_filter=...) to skip whole dirs (Iceberg manifest
+pruning analog)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+from tests.conftest import SF_SMALL
+
+
+def _build(spark, tmp_path, n_chunks=4):
+    catalog = LocalCatalog(spark, str(tmp_path / "wh"))
+    t = catalog.create_table(
+        "skip_db",
+        "orders_ranged",
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE",
+    )
+    od = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lo, hi = od.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    step = (hi - lo) / n_chunks
+    for i in range(n_chunks):  # each commit covers one disjoint price range
+        a = lo + i * step
+        b = hi + 1 if i == n_chunks - 1 else lo + (i + 1) * step
+        t.insert(od.filter((F.col("o_totalprice") >= a) & (F.col("o_totalprice") < b)))
+    return t, od, lo, hi
+
+
+def test_scan_skips_dirs_outside_predicate_range(spark, tmp_path):
+    t, od, lo, hi = _build(spark, tmp_path)
+    cut = lo + (hi - lo) * 0.8  # inside the last chunk's range
+    got = t.scan(data_filter=f"o_totalprice > {cut}")
+    rows = sorted(r.o_orderkey for r in got.collect())
+    want = sorted(
+        r.o_orderkey
+        for r in od.filter(F.col("o_totalprice") > cut).collect()
+    )
+    assert rows == want
+    assert t.last_scan_pruning["candidate_dirs"] == 4
+    assert t.last_scan_pruning["read_dirs"] == 1  # only the last range chunk
+
+
+def test_pruned_scan_equals_unpruned_after_mor_delete(spark, tmp_path):
+    t, od, lo, hi = _build(spark, tmp_path)
+    t.delete_where("o_orderkey % 7 = 0")
+    cut = lo + (hi - lo) * 0.5
+    pred = f"o_totalprice >= {cut}"
+    pruned = sorted(r.o_orderkey for r in t.scan(data_filter=pred).collect())
+    assert t.last_scan_pruning["read_dirs"] < 4
+    unpruned = sorted(
+        r.o_orderkey for r in t.scan().filter(pred).collect()
+    )
+    assert pruned == unpruned
+
+
+def test_unparseable_or_renamed_predicates_are_conservative(spark, tmp_path):
+    t, od, lo, hi = _build(spark, tmp_path)
+    # OR predicates never prune
+    t.scan(data_filter=f"o_totalprice > {hi} OR o_custkey < 0").collect()
+    assert t.last_scan_pruning["read_dirs"] == 4
+    # rename: stats stored under the old name stop matching -> read all,
+    # but results stay correct
+    t.rename_column("o_totalprice", "price")
+    got = t.scan(data_filter=f"price > {lo + (hi - lo) * 0.8}")
+    assert got.count() > 0
+    assert t.last_scan_pruning["read_dirs"] == 4
