@@ -285,3 +285,37 @@ def n47_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.select("node", F.round("pr", 6).alias("pagerank")).orderBy("node")
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE orders.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+    WHERE c.c_custkey < 20
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+@declare(
+    "g7_lateral_topk_per_group",
+    oracle=_LATERAL_SQL,
+    tags=("sql", "lateral", "subquery"),
+)
+def g7_lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL:2016 lateral derived table): the
+    top-2 orders per customer expressed as a per-row subquery with ORDER
+    BY + LIMIT — the declarative form of the top-k-per-group pattern.
+    Catalyst decorrelates it into a window/rank plan rather than
+    executing per-row, so the shape stays one keyed shuffle at scale; the
+    SAME SQL text runs on DuckDB as the oracle (true cross-engine SQL
+    portability, not just semantic equivalence)."""
+    from iceberg_v2_to_v3_upgrade_spark.io import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)

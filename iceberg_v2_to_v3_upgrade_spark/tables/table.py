@@ -351,6 +351,20 @@ class LocalTable:
         for name, expr in spec:
             if expr is not None:
                 df = df.withColumn(name, expr)
+        sort_order = self._meta["properties"].get("write.sort-order")
+        if sort_order:
+            # Iceberg WRITE ORDERED BY analog: cluster rows inside each
+            # task's files so parquet row-group min/max (and the dir stats
+            # above) stay narrow — the write-side half of data skipping.
+            # "col [DESC][, col2 ...]" — task-local sort, no extra shuffle.
+            cols = []
+            for piece in sort_order.split(","):
+                toks = piece.split()
+                col = F.col(toks[0])
+                if len(toks) > 1 and toks[1].upper() == "DESC":
+                    col = col.desc()
+                cols.append(col)
+            df = df.sortWithinPartitions(*cols)
         writer = df.write.mode("overwrite")
         if max_records_per_file:
             # target-file-size-bytes analog: the writer splits oversized

@@ -69,3 +69,29 @@ def test_unparseable_or_renamed_predicates_are_conservative(spark, tmp_path):
     got = t.scan(data_filter=f"price > {lo + (hi - lo) * 0.8}")
     assert got.count() > 0
     assert t.last_scan_pruning["read_dirs"] == 4
+
+
+def test_write_sort_order_property_clusters_files(spark, tmp_path):
+    """Iceberg WRITE ORDERED BY analog: with write.sort-order set, each
+    written file is internally sorted on the declared key (narrow parquet
+    row-group stats — the write-side half of data skipping)."""
+    import glob
+
+    catalog = LocalCatalog(spark, str(tmp_path / "wh2"))
+    t = catalog.create_table(
+        "skip_db",
+        "orders_sorted",
+        "o_orderkey BIGINT, o_totalprice DOUBLE",
+        properties={"write.sort-order": "o_totalprice"},
+    )
+    od = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.insert(od.repartition(4))
+    files = glob.glob(f"{t.root}/data/snap-*/*.parquet")
+    assert len(files) >= 2
+    for f in files:
+        vals = [r.o_totalprice for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals), f"file {f} not sorted"
+    # scan still returns everything
+    assert t.scan().count() == od.count()
