@@ -555,11 +555,62 @@ class EngineSQL:
                     table.scan(snapshot_id=pin).createOrReplaceTempView(view)
                     rewritten = rewritten.replace(tm.group(0), view)
                 view = f"{db}_{name}"
-                table.scan().createOrReplaceTempView(view)
+                table.scan(
+                    data_filter=self._pruneable_where(sql, db, name, table)
+                ).createOrReplaceTempView(view)
+                if table.last_scan_pruning is not None:
+                    # observability: which statements actually skipped dirs
+                    self.last_scan_pruning = {
+                        f"{db}.{name}": table.last_scan_pruning
+                    }
                 rewritten = re.sub(
                     rf"(?:{_IDENT}\.)?{db}\.{name}\b", view, rewritten
                 )
         return StatementResult(sql, "select", df=self.spark.sql(rewritten))
+
+    def _pruneable_where(self, sql: str, db: str, name: str, table) -> str | None:
+        """Extract a WHERE clause safe to hand to the table's manifest-
+        stats pruning (scan(data_filter=...)): ONLY when this table is the
+        single catalog table in the statement and the whole WHERE is a
+        conjunction of simple `numeric_col <op> literal` comparisons.
+        Anything else — joins, ORs, expressions, subqueries — returns None
+        and the scan reads everything (Catalyst still filters rows). This
+        is what makes `SELECT ... WHERE price > X` on a MoR table skip
+        non-matching data dirs straight from SQL."""
+        mentions = set()
+        for d in self.catalog.list_databases():
+            for info in self.catalog.list_tables(d):
+                if re.search(
+                    rf"\b{d}\.{info['name']}\b", sql, re.IGNORECASE
+                ):
+                    mentions.add((d, info["name"]))
+        if mentions != {(db, name)}:
+            return None
+        m = re.search(
+            r"\bWHERE\b(?P<w>.+?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            return None
+        w = m.group("w").strip()
+        if re.search(r"\bOR\b", w, re.IGNORECASE):
+            return None
+        declared = self.spark.createDataFrame([], table.schema_ddl).schema
+        numeric = {
+            f.name
+            for f in declared
+            if f.dataType.typeName()
+            in ("integer", "long", "short", "double", "float", "decimal")
+        }
+        simple = re.compile(
+            r"^\s*(\w+)\s*(<=|>=|<|>|==|=)\s*(-?\d+(?:\.\d+)?)\s*$"
+        )
+        for part in re.split(r"\bAND\b", w, flags=re.IGNORECASE):
+            mm = simple.match(part)
+            if not mm or mm.group(1) not in numeric:
+                return None
+        return w
 
 
 # route table (class attribute referencing unbound methods)

@@ -95,3 +95,31 @@ def test_write_sort_order_property_clusters_files(spark, tmp_path):
         assert vals == sorted(vals), f"file {f} not sorted"
     # scan still returns everything
     assert t.scan().count() == od.count()
+
+
+def test_sql_router_select_prunes_dirs(spark, tmp_path):
+    """`SELECT ... WHERE price > X` through the SQL gateway consults the
+    manifest stats: non-matching data dirs are skipped before Catalyst
+    ever sees a row."""
+    from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+
+    t, od, lo, hi = _build(spark, tmp_path)
+    catalog = LocalCatalog(spark, str(tmp_path / "wh"))
+    router = EngineSQL(catalog)
+    cut = lo + (hi - lo) * 0.8
+    res = router.execute_one(
+        f"SELECT count(*) AS n FROM skip_db.orders_ranged "
+        f"WHERE o_totalprice > {cut}"
+    )
+    n = res.df.collect()[0].n
+    want = od.filter(F.col("o_totalprice") > cut).count()
+    assert n == want
+    assert router.last_scan_pruning == {
+        "skip_db.orders_ranged": {"candidate_dirs": 4, "read_dirs": 1}
+    }
+    # a join mentions two tables -> no pruning attempted, still correct
+    res2 = router.execute_one(
+        "SELECT count(*) AS n FROM skip_db.orders_ranged a "
+        "WHERE o_totalprice > 0 AND o_custkey >= 0"
+    )
+    assert res2.df.collect()[0].n == od.count()
