@@ -494,3 +494,28 @@ def test_runtime_bloom_filter_join_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round2_new_ops_plan_shapes(spark, registry):
+    """Plan pins for the round-2 additions: broadcasts where designed,
+    no sort-merge on the small sides, TakeOrdered for the top-ks."""
+    p = plan(spark, registry, "n69_hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    p = plan(spark, registry, "n60_substring_decontamination")
+    assert "BroadcastNestedLoopJoin" in p  # 3-row probe frame broadcast
+    assert "CartesianProduct" not in p
+
+    p = plan(spark, registry, "n58_bpe_merge_candidates")
+    assert "TakeOrderedAndProject" in p  # top-20 never global-sorts
+
+    p = plan(spark, registry, "n59_trigram_lm")
+    assert "TakeOrderedAndProject" in p
+
+    p = plan(spark, registry, "d14_skyline_pareto")
+    assert "CartesianProduct" not in p  # NOT the definitional self-join
+
+    p = plan(spark, registry, "n71_trajectory_similarity")
+    assert "BroadcastNestedLoopJoin" in p  # probes broadcast
+    assert "CartesianProduct" not in p
