@@ -334,3 +334,99 @@ def d14_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("price", "size", "n_parts")
         .orderBy("price", "size")
     )
+
+
+@declare(
+    "d15_aqp_sampled_estimates",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag, l_extendedprice
+            FROM lineitem
+            WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || ':'
+                       || l_linenumber::VARCHAR), 1, 4))::INT % 10 = 0),
+        est AS (
+            SELECT l_returnflag,
+                   count(*) AS n_sample,
+                   avg(l_extendedprice) AS est_avg,
+                   stddev_samp(l_extendedprice) / sqrt(count(*)) AS se
+            FROM s GROUP BY 1),
+        exact AS (
+            SELECT l_returnflag, avg(l_extendedprice) AS exact_avg,
+                   count(*) AS n_total
+            FROM lineitem GROUP BY 1)
+        SELECT e.l_returnflag, e.n_sample, x.n_total,
+               round(e.est_avg, 4) AS est_avg,
+               round(x.exact_avg, 4) AS exact_avg,
+               round(e.se, 4) AS std_err,
+               CASE WHEN abs(e.est_avg - x.exact_avg) <= 4 * e.se
+                    THEN 1 ELSE 0 END AS within_4se
+        FROM est e JOIN exact x USING (l_returnflag)
+        ORDER BY e.l_returnflag
+    """,
+    tags=("analytics", "aqp", "sampling"),
+)
+def d15_aqp_sampled_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing: grouped averages estimated from a
+    deterministic 10% md5-hash sample, with standard errors and an
+    in-result coverage check against the exact answer (within_4se). The
+    AQP contract at 100 TB: scan 10% of the data for a ±2·SE answer —
+    and because the sample is hash-deterministic (not rand()), the oracle
+    reproduces the estimate EXACTLY, so even the approximate path is
+    hash-checked cross-engine.
+
+    Both branches aggregate map-side; the sample filter is a pure
+    projection predicate that pushes to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 10
+    )
+    est = (
+        li.filter(bucket == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.avg("l_extendedprice").alias("est_avg"),
+            (
+                F.stddev_samp("l_extendedprice")
+                / F.sqrt(F.count(F.lit(1)))
+            ).alias("se"),
+        )
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("exact_avg"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_sample",
+            "n_total",
+            F.round("est_avg", 4).alias("est_avg"),
+            F.round("exact_avg", 4).alias("exact_avg"),
+            F.round("se", 4).alias("std_err"),
+            F.when(
+                F.abs(F.col("est_avg") - F.col("exact_avg"))
+                <= 4 * F.col("se"),
+                1,
+            )
+            .otherwise(0)
+            .alias("within_4se"),
+        )
+        .orderBy("l_returnflag")
+    )

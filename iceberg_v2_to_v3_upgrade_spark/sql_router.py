@@ -494,6 +494,8 @@ class EngineSQL:
             return t.history()
         if meta == "partitions":
             return t.partitions()
+        if meta == "position_deletes":
+            return t.position_deletes()
         snaps = t.snapshots()
         rows = [
             (
@@ -522,7 +524,7 @@ class EngineSQL:
         # otherwise consume the `db.t` prefix of `db.t.files`
         for tm in re.finditer(
             rf"(?:{_IDENT}\.)?(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})"
-            rf"\.(?P<meta>snapshots|history|files|partitions)\b",
+            rf"\.(?P<meta>snapshots|history|files|partitions|position_deletes)\b",
             rewritten,
             re.IGNORECASE,
         ):

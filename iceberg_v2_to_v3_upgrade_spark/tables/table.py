@@ -1148,6 +1148,28 @@ class LocalTable:
             rows or [], "content string, file_path string, file_size_bytes long"
         )
 
+    def position_deletes(self) -> DataFrame:
+        """Iceberg `table.position_deletes` metadata-table analog: every
+        live positional-delete entry of the current snapshot — the row ids
+        masked at read time, tagged with the commit that wrote them. A
+        metadata read of the delete side only (never touches data files);
+        its row count == rows the MoR anti-join will drop, which is how
+        compaction tooling decides when delete-file debt is worth
+        rewriting (delete-file-threshold)."""
+        snap = self.current_snapshot()
+        out = None
+        for d in snap.delete_dirs:
+            df = self._read_one_dir(d, f"{_ROW_ID} long").select(
+                F.lit(d).alias("delete_dir"),
+                F.col(_ROW_ID).alias("deleted_row_id"),
+            )
+            out = df if out is None else out.unionByName(df)
+        if out is None:
+            return self.spark.createDataFrame(
+                [], "delete_dir string, deleted_row_id long"
+            )
+        return out
+
     def partitions(self) -> DataFrame:
         """Iceberg `table.partitions` metadata-table analog: per-partition
         live record count plus data-file count and bytes.

@@ -123,3 +123,32 @@ def test_sql_router_select_prunes_dirs(spark, tmp_path):
         "WHERE o_totalprice > 0 AND o_custkey >= 0"
     )
     assert res2.df.collect()[0].n == od.count()
+
+
+def test_position_deletes_metadata_table(spark, tmp_path):
+    """table.position_deletes lists exactly the masked row ids; its count
+    equals scan-visible row loss, and the SQL metadata-table path serves
+    it; compaction clears it."""
+    from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+
+    catalog = LocalCatalog(spark, str(tmp_path / "wh3"))
+    t = catalog.create_table(
+        "pd_db", "orders_pd", "o_orderkey BIGINT, o_totalprice DOUBLE"
+    )
+    od = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.insert(od)
+    before = t.scan().count()
+    t.delete_where("o_orderkey % 5 = 0")
+    after = t.scan().count()
+    pd_rows = t.position_deletes().count()
+    assert pd_rows == before - after > 0
+    router = EngineSQL(catalog)
+    via_sql = router.execute_one(
+        "SELECT count(*) AS n FROM pd_db.orders_pd.position_deletes"
+    ).df.collect()[0].n
+    assert via_sql == pd_rows
+    t.rewrite_data_files()  # compaction folds deletes into data files
+    assert t.position_deletes().count() == 0
+    assert t.scan().count() == after
