@@ -234,3 +234,50 @@ def h16_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@declare(
+    "h18_try_arithmetic",
+    oracle="""
+        SELECT l_returnflag,
+               sum(CASE WHEN TRY_CAST(l_linenumber::VARCHAR || '0' AS INTEGER)
+                             IS NOT NULL THEN 1 ELSE 0 END) AS n_castable,
+               sum(CASE WHEN TRY_CAST(l_returnflag || l_linenumber::VARCHAR
+                                      AS INTEGER) IS NULL
+                        THEN 1 ELSE 0 END) AS n_uncastable,
+               round(sum(COALESCE(l_extendedprice / NULLIF(l_discount, 0), 0)),
+                     2) AS safe_div_sum
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    tags=("functions", "error-handling"),
+)
+def h18_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression battery: TRY_CAST returning NULL instead of
+    failing the job on malformed input, and NULLIF-guarded division — at
+    100 TB a single dirty row must never kill a 1000-executor stage, so
+    every ingest expression uses the try_/NULLIF forms. Both engines
+    agree NULL-for-failure semantics, so the battery hash-checks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    castable = F.expr(
+        "try_cast(concat(cast(l_linenumber as string), '0') as int)"
+    )
+    uncastable = F.expr(
+        "try_cast(concat(l_returnflag, cast(l_linenumber as string)) as int)"
+    )
+    safe_div = F.coalesce(
+        F.col("l_extendedprice") / F.nullif(F.col("l_discount"), F.lit(0)),
+        F.lit(0),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.when(castable.isNotNull(), 1).otherwise(0)
+            ).alias("n_castable"),
+            F.sum(F.when(uncastable.isNull(), 1).otherwise(0)).alias(
+                "n_uncastable"
+            ),
+            F.round(F.sum(safe_div), 2).alias("safe_div_sum"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -519,3 +519,22 @@ def test_round2_new_ops_plan_shapes(spark, registry):
     p = plan(spark, registry, "n71_trajectory_similarity")
     assert "BroadcastNestedLoopJoin" in p  # probes broadcast
     assert "CartesianProduct" not in p
+
+
+def test_aqe_coalesces_small_shuffles(spark, registry):
+    """Scale feature pinned: AQE shrinks the 64-partition shuffle of a
+    tiny aggregate to a handful of coalesced partitions at runtime — the
+    mechanism that makes one global shuffle_partitions setting safe from
+    sf0.001 to 100 TB (small stages coalesce, skewed stages split)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_v2_to_v3_upgrade_spark.io import load_table
+
+    df = (
+        load_table(spark, SF_SMALL, "orders")
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    df.collect()  # AQE re-plans during execution; inspect the final plan
+    plan_str = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan_str
