@@ -152,3 +152,58 @@ def test_position_deletes_metadata_table(spark, tmp_path):
     t.rewrite_data_files()  # compaction folds deletes into data files
     assert t.position_deletes().count() == 0
     assert t.scan().count() == after
+
+
+def test_pruning_never_changes_results_property(spark, tmp_path):
+    """Property: for ANY simple predicate over ANY chunking of the data,
+    scan(data_filter=pred) == scan().filter(pred). Hypothesis drives the
+    chunk boundaries and predicates (including ones the pruner refuses);
+    a pruning bug shows up as missing rows, not a flaky perf number."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    catalog = LocalCatalog(spark, str(tmp_path / "wh_prop"))
+    rows = [(i, float((i * 37) % 1000)) for i in range(300)]
+    base = spark.createDataFrame(rows, "k BIGINT, v DOUBLE")
+
+    tables = {}
+
+    def table_for(boundaries):
+        key = tuple(boundaries)
+        if key not in tables:
+            t = catalog.create_table(
+                "prop_db", f"t{len(tables)}", "k BIGINT, v DOUBLE"
+            )
+            lo = 0
+            for b in list(boundaries) + [1000]:
+                chunk = base.filter((F.col("v") >= lo) & (F.col("v") < b))
+                if chunk.count():
+                    t.insert(chunk)
+                lo = b
+            tables[key] = t
+        return tables[key]
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        boundaries=st.lists(
+            st.integers(min_value=1, max_value=999),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        ).map(sorted),
+        op=st.sampled_from([">", ">=", "<", "<=", "="]),
+        val=st.integers(min_value=-50, max_value=1050),
+        conj=st.sampled_from(["", " AND k >= 0", " OR k < 0"]),
+    )
+    def check(boundaries, op, val, conj):
+        t = table_for(boundaries)
+        pred = f"v {op} {val}{conj}"
+        pruned = sorted(r.k for r in t.scan(data_filter=pred).collect())
+        plain = sorted(r.k for r in t.scan().filter(pred).collect())
+        assert pruned == plain, (boundaries, pred)
+
+    check()
