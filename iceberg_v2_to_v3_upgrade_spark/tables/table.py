@@ -96,6 +96,10 @@ def _utcnow() -> str:
 class LocalTable:
     """One mutable table rooted at ``root`` (see module docstring)."""
 
+    #: set by the last scan(data_filter=...): {"candidate_dirs": n,
+    #: "read_dirs": m}; None when no stats pruning was attempted.
+    last_scan_pruning: dict | None = None
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
