@@ -348,3 +348,64 @@ def i14_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"expected 3 of 4 dirs skipped, got {t.last_scan_pruning}"
     )
     return out
+
+
+@declare(
+    "i16_compaction_advisor",
+    oracle="""
+        WITH del AS (SELECT count(*) AS n_deleted FROM orders
+                     WHERE o_orderkey % 5 = 0),
+             tot AS (SELECT count(*) AS n_total FROM orders)
+        SELECT 'adv_db.orders_mor' AS table_name,
+               del.n_deleted AS n_position_deletes,
+               round(del.n_deleted / tot.n_total, 6) AS deleted_fraction,
+               CASE WHEN del.n_deleted >= 1 THEN 1 ELSE 0 END
+                   AS needs_compaction,
+               0 AS n_position_deletes_after
+        FROM del, tot
+    """,
+    tags=("dml", "maintenance", "advisor"),
+)
+def i16_compaction_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction-debt advisor: measures MoR delete-file debt from the
+    position_deletes metadata table (never touching data files), applies
+    the reference's delete-file-threshold decision rule
+    (upgrade_table.py:124 / README.md:28 — any file with >= 1 delete
+    entry gets rewritten), runs the compaction, and proves the debt hits
+    zero. This is the reference's [OK]/[WARN] report upgraded to a
+    measurable, hash-checked maintenance decision.
+
+    The oracle recomputes every metric from the raw fixture (the delete
+    predicate determines the debt), so a miscounted delete entry or a
+    compaction that loses/keeps the wrong rows breaks the hash."""
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    catalog = LocalCatalog(spark, tempfile.mkdtemp(prefix="adv_wh_"))
+    t = catalog.create_table(
+        "adv_db", "orders_mor", "o_orderkey BIGINT, o_totalprice DOUBLE"
+    )
+    t.insert(od)
+    n_total = t.scan().count() + 0  # pre-delete cardinality
+    t.delete_where("o_orderkey % 5 = 0")
+    n_pos = t.position_deletes().count()
+    needs = 1 if n_pos >= 1 else 0
+    if needs:
+        t.rewrite_data_files()
+    n_after = t.position_deletes().count()
+    assert n_after == 0
+    return spark.createDataFrame(
+        [
+            (
+                "adv_db.orders_mor",
+                n_pos,
+                round(n_pos / n_total, 6),
+                needs,
+                n_after,
+            )
+        ],
+        "table_name string, n_position_deletes long, deleted_fraction double, "
+        "needs_compaction int, n_position_deletes_after int",
+    )
