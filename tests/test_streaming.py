@@ -253,3 +253,45 @@ def test_stream_static_enrichment_equals_batch(spark, landing_dir, tmp_path):
     # both matched and unmatched users must be represented
     segments = {r[1] for r in got}
     assert "UNKNOWN" in segments or len(segments) > 1
+
+
+def test_stream_upsert_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Re-starting the upsert stream against the SAME checkpoint with no
+    new files must apply nothing: no new table commits, identical rows —
+    the exactly-once-per-batch guarantee the checkpoint provides."""
+    from pyspark.sql import functions as F
+
+    from iceberg_v2_to_v3_upgrade_spark.streaming.ingest import (
+        stream_upsert_into_table,
+    )
+    from iceberg_v2_to_v3_upgrade_spark.streaming.jobs import (
+        read_event_stream,
+    )
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    d = tmp_path / "landing"
+    load_table(spark, SF_SMALL, "events").repartitionByRange(
+        4, "ts"
+    ).write.mode("overwrite").parquet(str(d))
+    catalog = LocalCatalog(spark, str(tmp_path / "wh"))
+    t = catalog.create_table(
+        "once_db",
+        "user_latest",
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = read_event_stream(
+            spark, str(d), max_files_per_trigger=2
+        ).select("user_id", "ts", "value")
+        stream_upsert_into_table(
+            stream, t, keys=["user_id"], checkpoint_dir=ckpt, order_col="ts"
+        )
+
+    run()
+    commits_after_first = t.history().count()
+    rows_after_first = sorted(map(tuple, t.scan().collect()))
+    run()  # same checkpoint, no new input: must be a no-op
+    assert t.history().count() == commits_after_first
+    assert sorted(map(tuple, t.scan().collect())) == rows_after_first
