@@ -595,3 +595,70 @@ def n70_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("epoch", "shard", "doc_id", "pos")
         .orderBy("epoch", "shard", "pos")
     )
+
+
+@declare(
+    "n72_ngram_novelty_rate",
+    oracle="""
+        WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                   FROM documents),
+        g AS (
+            SELECT DISTINCT doc_id, source,
+                   array_to_string(list_slice(w, i + 1, i + 3), ' ') AS gram
+            FROM d, unnest(range(greatest(len(w) - 2, 0))) AS t(i)),
+        first AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+        per_doc AS (
+            SELECT g.doc_id, g.source,
+                   count(*) AS n_grams,
+                   sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                       AS n_novel
+            FROM g JOIN first f ON f.gram = g.gram
+            GROUP BY g.doc_id, g.source)
+        SELECT source, count(*) AS n_docs,
+               round(avg(n_novel / n_grams), 6) AS avg_novelty,
+               round(min(n_novel / n_grams), 6) AS min_novelty
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tags=("ext", "dedup", "diagnostics"),
+)
+def n72_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: for each document (in doc_id = crawl order),
+    the fraction of its distinct 3-gram shingles never seen in any earlier
+    document — the marginal-information metric that tells a data pipeline
+    when additional crawl of a source stops adding content (novelty → 0
+    means the source is mined out; min_novelty == 0 flags pure rehashes).
+
+    Shape: one shingle explode (linear), a gram-keyed min to find first
+    occurrences (map-side partial on a high-entropy key), one gram-keyed
+    join back, and a doc-then-source rollup — no pair joins anywhere, so
+    unlike the near-dup ops this redundancy diagnostic costs O(corpus)
+    even when the corpus is pure duplicates."""
+    from iceberg_v2_to_v3_upgrade_spark.functions.hashing import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.col("text"), 3)).alias("gram"),
+    )
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        g.join(first, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    novelty = F.col("n_novel") / F.col("n_grams")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(novelty), 6).alias("avg_novelty"),
+            F.round(F.min(novelty), 6).alias("min_novelty"),
+        )
+        .orderBy("source")
+    )
