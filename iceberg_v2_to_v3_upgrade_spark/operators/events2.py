@@ -160,3 +160,71 @@ def n43_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev", "next")
     )
+
+
+@declare(
+    "e7_rolling_median_ewma",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+            FROM events GROUP BY 1, 2),
+        w AS (
+            SELECT event_type, h, n,
+                   round((median(n) OVER (PARTITION BY event_type ORDER BY h
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                         )::DOUBLE, 4) AS med7,
+                   round((n * 0.4
+                          + coalesce(lag(n, 1) OVER (PARTITION BY event_type
+                                                     ORDER BY h), 0)
+                            * 0.4 * 0.6
+                          + coalesce(lag(n, 2) OVER (PARTITION BY event_type
+                                                     ORDER BY h), 0)
+                            * 0.4 * 0.36
+                          + coalesce(lag(n, 3) OVER (PARTITION BY event_type
+                                                     ORDER BY h), 0)
+                            * 0.4 * 0.216)::DOUBLE, 4) AS ewma4
+            FROM hourly)
+        SELECT event_type, h, n, med7, ewma4 FROM w
+        ORDER BY event_type, h
+    """,
+    tags=("ext", "events", "window", "timeseries"),
+)
+def e7_rolling_median_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust time-series smoothing over hourly event rates: a 7-point
+    rolling MEDIAN (outlier-resistant trend — a single burst hour cannot
+    drag it, unlike a rolling mean) and a 4-term truncated EWMA (alpha
+    0.4, unrolled as lag terms so it stays a plain window expression —
+    the infinite-horizon recurrence is not window-expressible and the
+    truncation error is (1-alpha)^4 ≈ 13% of unit weight, fine for a
+    trend signal). Steps are per OBSERVED hour (both engines see the
+    same row sequence, so gap semantics agree).
+
+    Two-level shape: the corpus collapses to (type × hour) rows first;
+    every window runs over that tiny rollup, never the raw events."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_ord = W.partitionBy("event_type").orderBy("h")
+    w_frame = w_ord.rowsBetween(-6, 0)
+    ewma = (
+        F.col("n") * 0.4
+        + F.coalesce(F.lag("n", 1).over(w_ord), F.lit(0)) * 0.4 * 0.6
+        + F.coalesce(F.lag("n", 2).over(w_ord), F.lit(0)) * 0.4 * 0.36
+        + F.coalesce(F.lag("n", 3).over(w_ord), F.lit(0)) * 0.4 * 0.216
+    )
+    return (
+        hourly.select(
+            "event_type",
+            "h",
+            "n",
+            F.round(
+                F.percentile("n", F.lit(0.5)).over(w_frame).cast("double"), 4
+            ).alias("med7"),
+            F.round(ewma.cast("double"), 4).alias("ewma4"),
+        )
+        .orderBy("event_type", "h")
+    )
