@@ -662,3 +662,50 @@ def n72_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@declare(
+    "n73_weighted_sample",
+    oracle="""
+        WITH keyed AS (
+            SELECT source, doc_id, n_chars,
+                   -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                        + 1) / 4294967297.0) / n_chars AS k
+            FROM documents WHERE n_chars > 0),
+        r AS (SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source ORDER BY k) AS rk
+              FROM keyed)
+        SELECT source, doc_id, n_chars, rk FROM r WHERE rk <= 3
+        ORDER BY source, rk
+    """,
+    tags=("ext", "sampling", "training-data"),
+)
+def n73_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, one pass, no global state:
+    the Efraimidis-Spirakis exponential-key trick — each doc draws
+    u ~ U(0,1) (here md5-derived, so the draw is reproducible across
+    engines and cluster sizes) and the k smallest -ln(u)/weight keys per
+    group are exactly a weight-proportional sample. This is how a
+    training-data pipeline samples documents proportional to length (or
+    quality score) at 100 TB: a pure projection plus a top-k per group,
+    no rejection loops, no prefix sums, no second pass.
+
+    Key collisions are measure-zero; the only cross-engine hazard is a
+    final-ulp ln() difference flipping two nearly-equal keys, which the
+    continuous key distribution makes negligible."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1
+    ) / 4294967297.0
+    key = -F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(key.asc())
+    return (
+        docs.select(
+            "source", "doc_id", "n_chars", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("source", "rk")
+    )
