@@ -88,6 +88,12 @@ HEADLINE = [
     "d13_data_quality_audit",
     "m7_audio_energy_windows",
     "c12_asof_tolerance_join",
+    "i14_stats_file_skipping",
+    "i16_compaction_advisor",
+    "n72_ngram_novelty_rate",
+    "n73_weighted_sample",
+    "e7_rolling_median_ewma",
+    "d15_aqp_sampled_estimates",
 ]
 
 
