@@ -140,20 +140,51 @@ def main() -> None:
             cold.pop(name, None)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cold_run_total_sec": round(sum(cold.values()), 3),
-                "n_queries": len(timings),
-                "errors": errors,
-            }
-        )
-    )
+    # The driver stores only the last ~2000 chars of stdout and parses the
+    # JSON line from that tail (round-2 postmortem: 74 full-length query
+    # names made the line 2.1k chars -> parsed:null, zero perf credit).
+    # Emit COMPACT keys (unique id prefix before the first "_") and keep
+    # the line comfortably under the buffer; full names + cold timings go
+    # to BENCH_DETAIL.json next to this script.
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cold_run_total_sec": round(sum(cold.values()), 3),
+        "cold_queries": {k: round(v, 3) for k, v in cold.items()},
+        "n_queries": len(timings),
+        "errors": errors,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    short = {n.split("_")[0]: t for n, t in timings.items()}
+    assert len(short) == len(timings), "headline id prefixes must be unique"
+    line_obj = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": short,
+        "sf": sf,
+        "cold_run_total_sec": round(sum(cold.values()), 3),
+        "n_queries": len(timings),
+        "errors": {k.split("_")[0]: v[:60] for k, v in errors.items()},
+    }
+    line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > 1800:  # last-resort guard: drop error text, then queries
+        line_obj["errors"] = {"n_errors": len(errors)}
+        line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > 1800:
+        line_obj["queries"] = {}
+        line = json.dumps(line_obj, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -276,10 +276,10 @@ def build_real_assets(docs: DataFrame) -> DataFrame:
             FROM b)
         SELECT source,
                count(*) AS n_assets,
-               sum(CASE WHEN channels = 3 THEN 1 ELSE 0 END) AS n_images,
-               sum(CASE WHEN channels = 1 THEN 1 ELSE 0 END) AS n_audio,
-               sum(width * height * channels) AS total_pixels,
-               sum(n_bytes) AS total_bytes
+               CAST(sum(CASE WHEN channels = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+               CAST(sum(CASE WHEN channels = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+               CAST(sum(width * height * channels) AS BIGINT) AS total_pixels,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes
         FROM d GROUP BY source ORDER BY source
     """,
     tags=("ext", "multimodal", "codec", "pandas-udf"),
@@ -393,7 +393,7 @@ def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents)
         SELECT source,
                count(*) AS n_assets,
-               sum(n_bytes) AS total_bytes,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
                round(avg(n_bytes % 256), 4) AS avg_width,
                max(CAST((n_bytes // 256) % 256 + 1 AS INTEGER)) AS max_height
         FROM b GROUP BY source ORDER BY source
@@ -469,8 +469,8 @@ def resize_binary(assets: DataFrame, target_bytes: int = 4096) -> DataFrame:
             FROM documents)
         SELECT source,
                count(*) AS n_assets,
-               sum(least(n, 4096)) AS total_thumb_bytes,
-               sum(CASE WHEN n > 4096 THEN 1 ELSE 0 END) AS n_shrunk
+               CAST(sum(least(n, 4096)) AS BIGINT) AS total_thumb_bytes,
+               CAST(sum(CASE WHEN n > 4096 THEN 1 ELSE 0 END) AS BIGINT) AS n_shrunk
         FROM b GROUP BY source ORDER BY source
     """,
     tags=("ext", "multimodal", "pandas-udf"),

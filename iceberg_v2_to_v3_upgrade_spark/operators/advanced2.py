@@ -244,8 +244,8 @@ def n4f_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n,
                count(maybe_status) AS n_nonnull,
                count(*) - count(big_price) AS n_small,
-               sum(CASE WHEN maybe_status IS NOT DISTINCT FROM NULL
-                        THEN 1 ELSE 0 END) AS n_nullsafe_null
+               CAST(sum(CASE WHEN maybe_status IS NOT DISTINCT FROM NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_null
         FROM t GROUP BY status_norm ORDER BY status_norm
     """,
     tags=("scalar", "null"),

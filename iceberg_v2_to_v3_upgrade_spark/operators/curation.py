@@ -88,7 +88,7 @@ def n14_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, bigram, count(*) AS c
             FROM b GROUP BY doc_id, bigram)
         SELECT doc_id,
-               sum(c) AS n_bigrams,
+               CAST(sum(c) AS BIGINT) AS n_bigrams,
                count(*) AS distinct_bigrams,
                max(c) AS top_bigram_n,
                round(max(c)::DOUBLE / sum(c), 6) AS top_share,
@@ -149,10 +149,10 @@ def n4g_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*) AS n_events,
-               sum(len(regexp_extract_all(props, '[0-9]+'))) AS n_digit_runs,
+               CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_digit_runs,
                sum(list_sum(list_transform(
                    regexp_extract_all(props, '[0-9]+'),
-                   x -> x::BIGINT))) AS digit_value_sum,
+                   x -> x::BIGINT))) :: BIGINT AS digit_value_sum,
                count(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g'))
                    AS distinct_shapes
         FROM events GROUP BY event_type ORDER BY event_type
@@ -426,7 +426,7 @@ def e6_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM sized)
         SELECT lang, bucket,
                count(*) AS n_docs,
-               sum(n_tokens) AS total_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                round(avg(n_tokens), 2) AS avg_tokens
         FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
     """,
@@ -534,9 +534,9 @@ def n18_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM c)
         SELECT source,
                count(*) AS n_chunks,
-               sum(n_tok) AS n_tokens,
-               sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS dup_chunks,
-               sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS dup_tokens,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+               CAST(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tokens,
                round(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END)
                      / sum(n_tok), 6) AS savings_pct
         FROM r GROUP BY source ORDER BY source
@@ -617,9 +617,9 @@ def n26_chunk_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM q)
         SELECT source,
                count(*) AS n_docs,
-               sum(CASE WHEN u01 < quality THEN 1 ELSE 0 END) AS n_kept,
-               sum(CASE WHEN u01 < quality THEN n_tokens ELSE 0 END)
-                   AS kept_tokens,
+               CAST(sum(CASE WHEN u01 < quality THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN u01 < quality THEN n_tokens ELSE 0 END)
+                   AS BIGINT) AS kept_tokens,
                round(avg(quality), 6) AS target_rate,
                round(sum(CASE WHEN u01 < quality THEN 1 ELSE 0 END)
                      / count(*), 6) AS realized_rate

@@ -240,11 +240,11 @@ def h16_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h18_try_arithmetic",
     oracle="""
         SELECT l_returnflag,
-               sum(CASE WHEN TRY_CAST(l_linenumber::VARCHAR || '0' AS INTEGER)
-                             IS NOT NULL THEN 1 ELSE 0 END) AS n_castable,
-               sum(CASE WHEN TRY_CAST(l_returnflag || l_linenumber::VARCHAR
+               CAST(sum(CASE WHEN TRY_CAST(l_linenumber::VARCHAR || '0' AS INTEGER)
+                             IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_castable,
+               CAST(sum(CASE WHEN TRY_CAST(l_returnflag || l_linenumber::VARCHAR
                                       AS INTEGER) IS NULL
-                        THEN 1 ELSE 0 END) AS n_uncastable,
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable,
                round(sum(COALESCE(l_extendedprice / NULLIF(l_discount, 0), 0)),
                      2) AS safe_div_sum
         FROM lineitem GROUP BY 1 ORDER BY 1

@@ -223,7 +223,7 @@ _KL_ORACLE = """
     g AS (SELECT word, sum(c) AS gc FROM sw GROUP BY word),
     t AS (SELECT sum(c) AS gtot FROM sw)
     SELECT sw.source,
-           s.tot AS n_tokens,
+           CAST(s.tot AS BIGINT) AS n_tokens,
            count(*) AS vocab_size,
            round(sum((sw.c / s.tot) * ln((sw.c / s.tot) / (g.gc / t.gtot))),
                  6) AS kl_to_corpus

@@ -70,7 +70,7 @@ def n11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS split,
                lang,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY split, lang ORDER BY split, lang
     """,
@@ -116,7 +116,7 @@ def n12_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang,
                CAST(floor(start_offset / 4096.0) AS BIGINT) AS bin,
                count(*) AS n_docs,
-               sum(n_tokens) AS bin_tokens
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
         FROM offs
         GROUP BY lang, bin ORDER BY lang, bin
     """,

@@ -134,8 +134,11 @@ def l1_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH ordered AS (
             SELECT user_id, ts, value,
+                   -- '>=' matches Spark session_window's HALF-OPEN
+                   -- [start, last_ts + gap): an event exactly 30 min after
+                   -- the previous one starts a NEW session
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                             > INTERVAL 30 MINUTE
+                             >= INTERVAL 30 MINUTE
                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                         THEN 1 ELSE 0 END AS is_new
             FROM events),
@@ -498,9 +501,15 @@ def l9_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 2)
         .parquet(stage)
     )
-    stream_sigs = stream.select(
-        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
-    ).select("doc_id", md5_minhash_sig(F.col("sh")).alias("sig"))
+    stream_sigs = (
+        stream.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+        # a <3-word doc has NO shingles: the grouped static index omits it
+        # entirely, while the per-row path would emit an all-null signature
+        # whose band keys degenerate to md5('') — filter to keep the stream
+        # side symmetric with the index
+        .filter(F.size("sh") > 0)
+        .select("doc_id", md5_minhash_sig(F.col("sh")).alias("sig"))
+    )
     flagged = (
         band_explode(stream_sigs)
         .alias("a")

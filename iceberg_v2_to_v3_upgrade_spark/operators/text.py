@@ -200,8 +200,8 @@ def n4e_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n4d_token_counts",
     oracle="""
         SELECT source,
-               sum(len(string_split(text, ' '))) AS total_tokens,
-               sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS est_bpe_tokens,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS est_bpe_tokens,
                count(*) AS n_docs
         FROM documents GROUP BY source ORDER BY source
     """,
@@ -252,8 +252,8 @@ _CURATION_ORACLE = """
            count(DISTINCT k.doc_id) AS n_kept,
            round(count(DISTINCT k.doc_id) * 100.0
                  / count(DISTINCT s.doc_id), 2) AS retention_pct,
-           coalesce(sum(CASE WHEN k.doc_id IS NOT NULL
-                             THEN k.n_tokens END), 0) AS kept_tokens
+           CAST(coalesce(sum(CASE WHEN k.doc_id IS NOT NULL
+                             THEN k.n_tokens END), 0) AS BIGINT) AS kept_tokens
     FROM scored s
     LEFT JOIN pass p ON p.doc_id = s.doc_id
     LEFT JOIN kept k ON k.doc_id = s.doc_id
@@ -353,7 +353,7 @@ _BPE_PRETOKEN_RE = (
                    len(string_split(text, ' ')) AS n_ws_tokens
             FROM documents)
         SELECT source,
-               sum(n_pretokens) AS total_pretokens,
+               CAST(sum(n_pretokens) AS BIGINT) AS total_pretokens,
                round(avg(n_pretokens), 4) AS avg_pretokens,
                round(sum(n_pretokens) * 1.0 / sum(n_ws_tokens), 4)
                    AS pretoken_per_word

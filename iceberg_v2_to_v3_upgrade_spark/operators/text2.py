@@ -23,7 +23,7 @@ _TTR_ORACLE = """
         SELECT doc_id, lang, tok, count(*) AS c
         FROM tok GROUP BY doc_id, lang, tok),
     ds AS (
-        SELECT doc_id, lang, sum(c) AS n_tokens, count(*) AS n_types,
+        SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
                sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
         FROM per GROUP BY doc_id, lang)
     SELECT lang, count(*) AS n_docs,
@@ -87,11 +87,11 @@ _PII_ORACLE = f"""
                  AS chars_redacted
         FROM documents)
     SELECT source, count(*) AS n_docs,
-           sum(CASE WHEN n_emails + n_digit_runs > 0 THEN 1 ELSE 0 END)
-               AS docs_with_pii,
-           sum(n_emails) AS total_emails,
-           sum(n_digit_runs) AS total_digit_runs,
-           sum(chars_redacted) AS total_chars_redacted
+           CAST(sum(CASE WHEN n_emails + n_digit_runs > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS docs_with_pii,
+           CAST(sum(n_emails) AS BIGINT) AS total_emails,
+           CAST(sum(n_digit_runs) AS BIGINT) AS total_digit_runs,
+           CAST(sum(chars_redacted) AS BIGINT) AS total_chars_redacted
     FROM scrubbed GROUP BY source ORDER BY source
 """
 

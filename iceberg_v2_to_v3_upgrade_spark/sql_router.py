@@ -93,6 +93,10 @@ class EngineSQL:
         # later DML, so we can't pin the DataFrame at CREATE VIEW time)
         self._views: dict[str, str] = {}
         self._registering_views = False
+        # observability: {db.t: pruning-info} for the LAST _select only;
+        # None when the last statement pruned nothing (reset per-select so
+        # it never reports a stale statement's skips)
+        self.last_scan_pruning: dict[str, Any] | None = None
 
     # ------------------------------------------------------------ public
 
@@ -519,6 +523,7 @@ class EngineSQL:
         Spark SQL
         (full Catalyst path)."""
         self._register_views()
+        self.last_scan_pruning = None
         rewritten = sql
         # metadata tables first — the plain-name rewrite below would
         # otherwise consume the `db.t` prefix of `db.t.files`
@@ -578,7 +583,18 @@ class EngineSQL:
         Anything else — joins, ORs, expressions, subqueries — returns None
         and the scan reads everything (Catalyst still filters rows). This
         is what makes `SELECT ... WHERE price > X` on a MoR table skip
-        non-matching data dirs straight from SQL."""
+        non-matching data dirs straight from SQL.
+
+        Only a single FLAT query block qualifies: a CTE or derived subquery
+        can rebind a same-named column (`SELECT * FROM (SELECT p/100 AS p
+        FROM db.t) WHERE p > 5`), and pushing that WHERE to the BASE column
+        would drop rows — wrong results, not just missed pruning. Bail
+        whenever the statement starts with WITH or contains more than one
+        SELECT."""
+        if re.match(r"\s*WITH\b", sql, re.IGNORECASE):
+            return None
+        if len(re.findall(r"\bSELECT\b", sql, re.IGNORECASE)) != 1:
+            return None
         mentions = set()
         for d in self.catalog.list_databases():
             for info in self.catalog.list_tables(d):

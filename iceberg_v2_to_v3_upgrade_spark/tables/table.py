@@ -411,7 +411,21 @@ class LocalTable:
         for c in numeric:
             lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
             if lo is not None:
-                stats[c] = [float(lo), float(hi)]
+                # Keep integral stats EXACT (json ints are arbitrary
+                # precision): float coercion rounds values >2^53 and a
+                # rounded-down hi could wrongly satisfy `hi <= val`,
+                # skipping a dir that contains matching rows. Non-integral
+                # values (incl. Decimal) are widened OUTWARD so pruning
+                # stays conservative under any representation error.
+                if isinstance(lo, int) and isinstance(hi, int):
+                    stats[c] = [lo, hi]
+                else:
+                    import math as _math
+
+                    stats[c] = [
+                        _math.nextafter(float(lo), -_math.inf),
+                        _math.nextafter(float(hi), _math.inf),
+                    ]
         self._meta.setdefault("dir_stats", {})[path] = stats
 
     _SIMPLE_PRED = None  # compiled lazily below
@@ -435,7 +449,12 @@ class LocalTable:
         for part in re.split(r"\bAND\b", data_filter, flags=re.IGNORECASE):
             m = LocalTable._SIMPLE_PRED.match(part)
             if m:
-                conjuncts.append((m.group(1), m.group(2), float(m.group(3))))
+                lit = m.group(3)
+                # integer literals stay int: Python int/float comparisons
+                # are exact, so >2^53 literals don't round
+                conjuncts.append(
+                    (m.group(1), m.group(2), float(lit) if "." in lit else int(lit))
+                )
         if not conjuncts:
             return dirs
         all_stats = self._meta.get("dir_stats", {})
