@@ -46,6 +46,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l4_stream_attribution",
     "l5_stream_running_totals",
     "l6_stream_enrich_segment",
+    # round-3 additions: V3 deletion vectors + row lineage (the
+    # reference's headline features) and the sketch audits / pipeline ops
+    "i17_dv_consolidation",
+    "i18_row_lineage",
+    "n8b_hll_exact_audit",
+    "n3g_ivf_recall_audit",
+    "n75_triangle_count",
+    "n76_trigram_perplexity",
+    "n77_bloom_decontamination",
+    "d17_referential_integrity",
+    "m9_phash_neardup",
     # table lifecycle (the reference's core arc) — never driver-checked
     "i3_table_lifecycle",
     "i4_time_travel",
@@ -205,10 +216,12 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         analytics3,
         sources2,
         lifecycle3,
+        lifecycle4,
         analytics4,
         fuzzy,
         streaming_queries,
         pipeline3,
+        pipeline4,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401

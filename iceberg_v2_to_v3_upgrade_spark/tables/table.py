@@ -624,7 +624,29 @@ class LocalTable:
             del_path = self._next_dir("deletes", snap_id)
             matched.select(_ROW_ID).write.mode("overwrite").parquet(del_path)
             data_path = self._next_dir("data", snap_id)
-            with_ids = self._assign_row_ids(rewritten)
+            if self.format_version >= 3:
+                # V3 row lineage: the rewritten row KEEPS its _row_id
+                # (Iceberg V3 carried-over row ids — incremental consumers
+                # can track a logical row across updates). The tombstone
+                # above still hides the OLD position; the seq-scoped
+                # delete application (flagged here) keeps the carried copy
+                # visible. (rewritten above had _ROW_ID dropped — rebuild
+                # the SET projection from `matched` keeping the id.)
+                with_ids = matched
+                declared2 = {
+                    f.name: f.dataType
+                    for f in self.spark.createDataFrame(
+                        [], self.schema_ddl
+                    ).schema
+                }
+                for col, expr in assignments.items():
+                    value = F.expr(expr) if isinstance(expr, str) else expr
+                    if col in declared2:
+                        value = value.cast(declared2[col])
+                    with_ids = with_ids.withColumn(col, value)
+                self._meta["carried_row_ids"] = True
+            else:
+                with_ids = self._assign_row_ids(rewritten)
             self._write_data_dir(with_ids, data_path)
             self._bump_row_id_watermark(
                 self._read_dirs([data_path], self._data_read_schema())
@@ -965,6 +987,37 @@ class LocalTable:
             data = data.join(F.broadcast(keys), on=cond, how="left_anti")
         return data
 
+    def _apply_pos_deletes_seq_scoped(
+        self, snap: Snapshot, data: DataFrame
+    ) -> DataFrame:
+        """Positional tombstones scoped to data committed BEFORE them.
+
+        Under V3 row lineage an UPDATE's rewritten row carries its
+        original ``_row_id`` into a NEW data dir in the SAME commit, so a
+        global row-id anti-join would tombstone the replacement too. Real
+        Iceberg scopes positional delete files to the specific data files
+        they reference; the analog here is commit sequence — a delete dir
+        at seq N only hits rows from data dirs with seq < N. Deletes stay
+        broadcast; the data side never shuffles."""
+        dfs = []
+        for d in snap.delete_dirs:
+            m = re.search(r"snap-(\d+)", os.path.basename(d))
+            dseq = int(m.group(1)) if m else 10**9
+            dfs.append(
+                self._read_one_dir(d, f"{_ROW_ID} long")
+                .select(F.col(_ROW_ID).alias("_del_row_id"))
+                .withColumn("_dseq", F.lit(dseq))
+            )
+        if not dfs:
+            return data
+        deletes = dfs[0]
+        for df in dfs[1:]:
+            deletes = deletes.unionByName(df)
+        cond = (F.col(_ROW_ID) == F.col("_del_row_id")) & (
+            F.col("_seq") < F.col("_dseq")
+        )
+        return data.join(F.broadcast(deletes), on=cond, how="left_anti")
+
     def _scan_raw(
         self,
         snap: Snapshot | None = None,
@@ -981,10 +1034,11 @@ class LocalTable:
         non-matching directories are never listed or read."""
         snap = snap or self.current_snapshot()
         self.last_scan_pruning = None
-        if snap.eq_deletes:
+        if snap.eq_deletes or self._meta.get("carried_row_ids"):
             # per-dir reads tagged with their commit sequence so each
-            # equality delete can scope to older data only (stats pruning
-            # is skipped here — conservative, sequences must stay aligned)
+            # equality delete (and, under V3 row lineage, each positional
+            # tombstone) can scope to older data only (stats pruning is
+            # skipped here — conservative, sequences must stay aligned)
             data = self._read_data_with_seq(snap)
         else:
             dirs = snap.data_dirs
@@ -1007,11 +1061,20 @@ class LocalTable:
             data = data.filter(data_filter)
         if snap.eq_deletes:
             data = self._apply_eq_deletes(snap, data)
-        deletes = self._read_dirs(snap.delete_dirs, f"{_ROW_ID} long")
-        if deletes is not None:
-            # The C1 implicit MoR anti-join (README.md:7): delete files are
-            # O(deleted rows), broadcast them; data side never shuffles.
-            data = data.join(F.broadcast(deletes), _ROW_ID, "left_anti")
+        if self._meta.get("carried_row_ids"):
+            # V3 row lineage: an UPDATE re-appends the row with its
+            # ORIGINAL _row_id (Iceberg V3 carried-over row ids), so a
+            # positional tombstone must only hit rows committed BEFORE
+            # it — the per-(file,position) scoping Iceberg gets from
+            # file-referenced delete files, modeled here by commit seq.
+            data = self._apply_pos_deletes_seq_scoped(snap, data)
+        else:
+            deletes = self._read_dirs(snap.delete_dirs, f"{_ROW_ID} long")
+            if deletes is not None:
+                # The C1 implicit MoR anti-join (README.md:7): delete files
+                # are O(deleted rows), broadcast them; data side never
+                # shuffles.
+                data = data.join(F.broadcast(deletes), _ROW_ID, "left_anti")
         declared = self.spark.createDataFrame([], self.schema_ddl).schema
         projection = [
             F.col(f.name)
@@ -1437,6 +1500,48 @@ class LocalTable:
             merged, path, max_records_per_file=max_records_per_file
         )
         return self._commit("replace", [path], [])
+
+    def consolidate_deletes(self) -> Snapshot:
+        """V3 deletion-vector consolidation: merge ALL positional delete
+        files into ONE compact tombstone set — the maintenance move
+        Iceberg V3 performs when it converts accumulated positional delete
+        files into a single deletion vector per data file (the headline
+        read-amplification fix of the V2->V3 upgrade,
+        reference README.md:26-29 / internal/upgrade_table.py:124-129).
+
+        Unlike ``rewrite_data_files`` this touches NO data files — cost is
+        O(deleted rows), one distinct + one write, so it can run far more
+        often than full compaction. Scan results must be identical
+        before/after (asserted in tests and by the i17 oracle).
+
+        Refuses under carried row ids: a carried UPDATE re-appends a
+        tombstoned _row_id, and collapsing tombstones to one commit seq
+        would wrongly hide the carried copy (Iceberg keeps per-file DVs
+        for exactly this reason); those tables consolidate through
+        ``rewrite_data_files`` instead."""
+        if self._meta.get("carried_row_ids"):
+            raise TableError(
+                "consolidate_deletes on a row-lineage table would break "
+                "seq-scoped tombstones; use rewrite_data_files"
+            )
+        cur = self.current_snapshot()
+        if len(cur.delete_dirs) <= 1:
+            return cur
+        tombstones = self._read_dirs(
+            cur.delete_dirs, f"{_ROW_ID} long"
+        ).distinct()
+        snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
+        dv_path = os.path.join(
+            self.root, "deletes", f"snap-{snap_id:05d}-dv"
+        )
+        # single file: the whole point is one tombstone blob per scan
+        tombstones.coalesce(1).write.mode("overwrite").parquet(dv_path)
+        return self._commit(
+            "maintenance",
+            list(cur.data_dirs),
+            [dv_path],
+            eq_deletes=cur.eq_deletes,
+        )
 
     def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
         """CALL system.remove_orphan_files analog: delete data/delete dirs
