@@ -57,6 +57,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "n77_bloom_decontamination",
     "d17_referential_integrity",
     "m9_phash_neardup",
+    "i19_refs_metadata",
+    "i20_orphan_cleanup",
+    "i21_time_travel_timestamp",
+    "e8_cumulative_distinct",
+    "h19_url_extraction",
+    "n78_vocab_coverage",
     # table lifecycle (the reference's core arc) — never driver-checked
     "i3_table_lifecycle",
     "i4_time_travel",
@@ -222,6 +228,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         streaming_queries,
         pipeline3,
         pipeline4,
+        analytics5,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401

@@ -1090,11 +1090,15 @@ class LocalTable:
         with_row_lineage: bool = False,
         partition_filter: str | None = None,
         data_filter: str | None = None,
+        as_of: str | None = None,
     ) -> DataFrame:
         """SELECT * — full MoR-merged read (create_demo_table.py:137).
 
         ``snapshot_id`` gives time travel (Iceberg VERSION AS OF) — an int
         snapshot id or a tag name.
+        ``as_of`` gives Iceberg's other time-travel form (TIMESTAMP AS
+        OF): the latest snapshot whose commit timestamp is <= the given
+        ISO-8601 UTC instant (snapshot timestamps compare lexically).
         ``with_row_lineage`` exposes the stable ``_row_id`` column — the V3
         row-lineage feature the whole upgrade exists for (README.md:43-45);
         refused on V2 tables exactly as Iceberg gates it on format-version.
@@ -1107,6 +1111,13 @@ class LocalTable:
         residual. ``last_scan_pruning`` reports candidate vs read dirs.
         """
         snap = None
+        if as_of is not None:
+            if snapshot_id is not None:
+                raise TableError("pass snapshot_id or as_of, not both")
+            eligible = [s for s in self.snapshots() if s.timestamp <= as_of]
+            if not eligible:
+                raise TableError(f"no snapshot at or before {as_of!r}")
+            snapshot_id = max(eligible, key=lambda s: (s.timestamp, s.id)).id
         if isinstance(snapshot_id, str):  # tag/branch name -> snapshot
             refs = {
                 **self._meta.get("refs", {}),

@@ -538,3 +538,34 @@ def test_aqe_coalesces_small_shuffles(spark, registry):
     df.collect()  # AQE re-plans during execution; inspect the final plan
     plan_str = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in plan_str
+
+
+def test_round3_new_ops_plan_shapes(spark, registry):
+    """Plan pins for the round-3 additions: the bloom bit table and the
+    vocab must broadcast (the corpus side never shuffles for the probe),
+    the FK audits broadcast their parent key sets, the phash band join is
+    a keyed equi-join (not a cartesian), and the LM joins keep the small
+    side broadcast-or-hashed rather than sort-merging the trigram stream."""
+    p = plan(spark, registry, "n77_bloom_decontamination")
+    assert "BroadcastHashJoin" in p  # bit-position table + eval grams
+    assert "CartesianProduct" not in p
+
+    p = plan(spark, registry, "n78_vocab_coverage")
+    assert "BroadcastHashJoin" in p  # top-k vocab broadcast
+    assert "TakeOrderedAndProject" in p  # vocab top-k never global-sorts
+
+    p = plan(spark, registry, "d17_referential_integrity")
+    assert "BroadcastHashJoin" in p  # parent key sets broadcast
+    assert "CartesianProduct" not in p
+
+    p = plan(spark, registry, "m9_phash_neardup")
+    assert "CartesianProduct" not in p  # banded equi-join, not all-pairs
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p = plan(spark, registry, "n75_triangle_count")
+    assert "CartesianProduct" not in p  # oriented wedge join stays keyed
+
+    p = plan(spark, registry, "e8_cumulative_distinct")
+    # the corpus-wide shuffle is the per-user min; the running sum windows
+    # over the tiny daily frame — never a distinct-inside-window
+    assert "HashAggregate" in p
