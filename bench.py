@@ -94,9 +94,8 @@ HEADLINE = [
     "n73_weighted_sample",
     "e7_rolling_median_ewma",
     "d15_aqp_sampled_estimates",
-    # round-3 additions (n75_triangle_count measured 24.9 s at sf0.1 —
-    # within the 50 s budget but excluded here to keep bench wall time
-    # proportionate; its correctness row still lands via the driver gate)
+    # round-3 additions
+    "n75_triangle_count",
     "i17_dv_consolidation",
     "i18_row_lineage",
     "n76_trigram_perplexity",
@@ -105,6 +104,9 @@ HEADLINE = [
     "n78_vocab_coverage",
     "e8_cumulative_distinct",
     "d17_referential_integrity",
+    "i22_v3_post_upgrade_delete",
+    "n79_containment_dedup",
+    "d18_freq_items_sketch",
 ]
 
 

@@ -311,3 +311,189 @@ def n78_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------- i22
+
+
+_POST_UPGRADE_DELETE_ORACLE = """
+    SELECT p_brand,
+           count(*) AS n_live,
+           round(sum(CASE WHEN p_type = 'PROMO'
+                          THEN round(p_retailprice * 1.1, 2)
+                          ELSE p_retailprice END), 2) AS price_sum
+    FROM part
+    WHERE p_partkey NOT IN (2, 4, 6, 8, 10)
+    GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+@declare(
+    "i22_v3_post_upgrade_delete",
+    oracle=_POST_UPGRADE_DELETE_ORACLE,
+    tags=("dml", "lifecycle"),
+)
+def i22_v3_post_upgrade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's post-upgrade readability proof
+    (internal/test_v3_mor_deletes.py:42): after the V2->V3 upgrade and
+    full compaction, a NEW MoR DELETE must write V3-era delete state and
+    the table must stay fully readable — the exact failure mode the
+    upgrade's version gate exists to prevent (README.md:41-45). i3 stops
+    at compact+scan; this query runs the delete-AFTER-upgrade leg."""
+    from iceberg_v2_to_v3_upgrade_spark.plans.upgrade import execute_upgrade
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="pud_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "pud_db", "part_mor",
+        "p_partkey BIGINT, p_brand STRING, p_type STRING, "
+        "p_retailprice DOUBLE",
+    )
+    t.insert(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand", "p_type", "p_retailprice"
+        )
+    )
+    t.delete_where("p_partkey IN (2, 4, 6)")
+    t.update_set(
+        {"p_retailprice": "round(p_retailprice * 1.1, 2)"}, "p_type = 'PROMO'"
+    )
+    result = execute_upgrade(catalog, "pud_db", "part_mor")
+    assert result.ok, result.message
+    upgraded = catalog.load_table("pud_db", "part_mor")
+    assert upgraded.format_version == 3
+    assert not upgraded.current_snapshot().delete_dirs  # compacted clean
+    # the reference's post-upgrade MoR delete (test_v3_mor_deletes.py:42)
+    upgraded.delete_where("p_partkey IN (8, 10)")
+    assert len(upgraded.current_snapshot().delete_dirs) == 1  # V3-era MoR
+    return (
+        upgraded.scan()
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.round(F.sum("p_retailprice"), 2).alias("price_sum"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------- d18
+
+
+@declare(
+    "d18_freq_items_sketch",
+    oracle=None,
+    tags=("ext", "sketch", "approx"),
+)
+def d18_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (`DataFrame.stat.freqItems`, the
+    count-based Karp/FS sketch) over order priorities — constant-memory
+    frequent-item detection at any scale. Approximate by construction ->
+    rows-only; SELF-VALIDATING: the sketch's support guarantee (every
+    item with frequency > s appears) is asserted in-query against the
+    exact grouped counts, so the rows-only row still proves the sketch
+    honors its contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    support = 0.2
+    sketch_items = set(
+        orders.stat.freqItems(["o_orderpriority"], support=support).collect()[0][0]
+    )
+    total = orders.count()
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for item, n in exact.items():
+        if n > support * total and item not in sketch_items:
+            raise AssertionError(
+                f"freqItems missed {item!r} with freq {n}/{total}"
+            )
+    rows = [
+        (item, item in sketch_items, exact.get(item, 0))
+        for item in sorted(exact)
+    ]
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, in_sketch boolean, exact_n long"
+    ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------- n79
+
+
+_CONTAINMENT_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(string_split(text, ' ')) - 3),
+                   i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+                   AS gram
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 5),
+    gs AS (SELECT DISTINCT doc_id, gram FROM g),
+    sizes AS (SELECT doc_id, count(*) AS n FROM gs GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM gs a JOIN gs b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           round(i.common * 1.0 / sa.n, 6) AS containment
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+    WHERE i.common * 1.0 / sa.n >= 0.8
+    ORDER BY doc_a, doc_b
+"""
+
+
+@declare(
+    "n79_containment_dedup",
+    oracle=_CONTAINMENT_ORACLE,
+    tags=("ext", "dedup", "text"),
+)
+def n79_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection: doc A is (near-)contained in doc
+    B when >=80% of A's distinct 5-grams also occur in B — the
+    quote/excerpt/superset signal Jaccard misses (a short doc embedded in
+    a long one has low Jaccard but containment ~1). The directed pair
+    (A,B) and (B,A) score differently by design.
+
+    Gram-keyed equi-join (never all-pairs): only docs SHARING a gram meet,
+    the same prefix-filter shape as n2b; the denominator frame is
+    O(docs) and joins broadcast."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 5)
+    gs = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 4),
+                lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
+            )
+        ).alias("gram"),
+    ).distinct()
+    sizes = gs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        gs.alias("a")
+        .join(
+            gs.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("n").alias("na"))),
+            "doc_a",
+        )
+        .withColumn("containment", F.round(F.col("common") / F.col("na"), 6))
+        .filter(F.col("common") / F.col("na") >= 0.8)
+        .select("doc_a", "doc_b", "containment")
+    )
+    return out.orderBy("doc_a", "doc_b")

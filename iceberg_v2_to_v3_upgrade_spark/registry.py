@@ -63,6 +63,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "e8_cumulative_distinct",
     "h19_url_extraction",
     "n78_vocab_coverage",
+    "i22_v3_post_upgrade_delete",
+    "n79_containment_dedup",
+    "d18_freq_items_sketch",
     # table lifecycle (the reference's core arc) — never driver-checked
     "i3_table_lifecycle",
     "i4_time_travel",

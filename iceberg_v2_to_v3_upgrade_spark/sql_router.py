@@ -407,6 +407,18 @@ class EngineSQL:
             sql, "remove_orphan_files", message=f"removed {removed}"
         )
 
+    def _call_consolidate_deletes(
+        self, sql: str, m: re.Match
+    ) -> StatementResult:
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        snap = t.consolidate_deletes()
+        n = len(snap.delete_dirs)
+        return StatementResult(
+            sql,
+            "consolidate_deletes",
+            message=f"snapshot {snap.id}: {n} delete file(s)",
+        )
+
     def _call_expire(self, sql: str, m: re.Match) -> StatementResult:
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         older = datetime.datetime.fromisoformat(m.group("ts"))
@@ -560,6 +572,18 @@ class EngineSQL:
                     )
                     view = f"{db}_{name}_v{pin}"
                     table.scan(snapshot_id=pin).createOrReplaceTempView(view)
+                    rewritten = rewritten.replace(tm.group(0), view)
+                # time travel: db.t TIMESTAMP AS OF '<iso-instant>' ->
+                # latest snapshot at or before the instant
+                for tm in re.finditer(
+                    rf"(?:{_IDENT}\.)?{db}\.{name}\s+TIMESTAMP\s+AS\s+OF\s+"
+                    rf"'(?P<ts>[^']+)'",
+                    rewritten,
+                    re.IGNORECASE,
+                ):
+                    ts = tm.group("ts")
+                    view = f"{db}_{name}_t{re.sub(r'[^0-9]', '', ts)}"
+                    table.scan(as_of=ts).createOrReplaceTempView(view)
                     rewritten = rewritten.replace(tm.group(0), view)
                 view = f"{db}_{name}"
                 table.scan(
@@ -781,6 +805,14 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             re.IGNORECASE,
         ),
         EngineSQL._call_remove_orphans,
+    ),
+    (
+        re.compile(
+            rf"CALL system\.consolidate_deletes\s*\(\s*table\s*=>\s*'{_NAME}'"
+            rf"\s*\)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._call_consolidate_deletes,
     ),
     (
         re.compile(rf"DESCRIBE (?:TABLE )?{_NAME}\s*$", re.IGNORECASE),

@@ -402,3 +402,44 @@ def test_views_explain_show_create_show_partitions(engine):
     ).df
     assert "category" in parts.columns and "record_count" in parts.columns
     assert parts.count() == 3
+
+
+def test_consolidate_deletes_and_timestamp_as_of(engine):
+    """Round-3 SQL surface: CALL system.consolidate_deletes merges the
+    accumulated positional delete files into one (scan invariant), and
+    `TIMESTAMP AS OF '<iso>'` reads the latest snapshot at or before the
+    instant."""
+    engine.execute(
+        """
+        CREATE TABLE glue_catalog.r3_db.t (id INT, v DOUBLE) USING iceberg
+        TBLPROPERTIES ('format-version' = '2',
+                       'write.delete.mode' = 'merge-on-read',
+                       'write.update.mode' = 'merge-on-read');
+        INSERT INTO glue_catalog.r3_db.t VALUES
+            (1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 5.0);
+        DELETE FROM glue_catalog.r3_db.t WHERE id = 1;
+        DELETE FROM glue_catalog.r3_db.t WHERE id = 2;
+        """
+    )
+    t = engine.catalog.load_table("r3_db", "t")
+    assert len(t.current_snapshot().delete_dirs) == 2
+    post_delete_ts = max(s.timestamp for s in t.snapshots())
+
+    [res] = engine.execute(
+        "CALL system.consolidate_deletes(table => 'r3_db.t')"
+    )
+    assert res.kind == "consolidate_deletes"
+    t = engine.catalog.load_table("r3_db", "t")
+    assert len(t.current_snapshot().delete_dirs) == 1
+    [sel] = engine.execute("SELECT id FROM r3_db.t ORDER BY id")
+    assert [r.id for r in sel.df.collect()] == [3, 4, 5]
+
+    # one more delete AFTER the captured instant; TIMESTAMP AS OF must
+    # read the pre-delete state
+    engine.execute("DELETE FROM glue_catalog.r3_db.t WHERE id = 3")
+    [cur] = engine.execute("SELECT count(*) AS n FROM r3_db.t")
+    assert cur.df.collect()[0].n == 2
+    [tt] = engine.execute(
+        f"SELECT count(*) AS n FROM r3_db.t TIMESTAMP AS OF '{post_delete_ts}'"
+    )
+    assert tt.df.collect()[0].n == 3
