@@ -144,3 +144,87 @@ def test_random_dml_program_matches_model(spark, tmp_path_factory, program):
         )
     if t.format_version == 3:
         assert "next-row-id" in t._meta["properties"]
+
+
+_v3_program = st.lists(
+    st.one_of(_insert, _delete, _update, _compact),
+    min_size=3,
+    max_size=7,
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(program=_v3_program)
+def test_v3_row_lineage_invariant_under_random_dml(
+    spark, tmp_path_factory, program
+):
+    """V3 row-lineage property: across ANY interleaving of insert / MoR
+    delete / MoR update / compaction on a V3 table, a logical row's
+    ``_row_id`` changes ONLY when the row is deleted and re-inserted —
+    never because of an UPDATE or a compaction. This pins the
+    seq-scoped-tombstone read path (a carried id must not be eaten by
+    its own rewrite's delete file) far beyond the scripted i18 arc."""
+    wh = tmp_path_factory.mktemp("v3model_wh")
+    catalog = LocalCatalog(spark, str(wh))
+    t = catalog.create_table(
+        "v3model_db",
+        "t",
+        "id INT, category STRING, amount DOUBLE",
+        properties={
+            "format-version": "2",
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+        },
+    )
+    t.set_properties({"format-version": "3"})
+    model: list[dict] = []
+    lineage: dict[int, int] = {}  # logical id -> expected _row_id
+    for op, arg in program:
+        if op == "insert":
+            # keep logical ids unique: drop ids already live AND batch
+            # duplicates (the model tracks one row per id so lineage is
+            # well-defined)
+            fresh, seen_batch = [], set()
+            for i, c, a in arg:
+                if i not in lineage and i not in seen_batch:
+                    fresh.append((i, c, a))
+                    seen_batch.add(i)
+            if not fresh:
+                continue
+            t.insert_values([(i, c, cents / 100.0) for i, c, cents in fresh])
+            _apply_model(model, op, fresh)
+            got = {
+                r.id: r._row_id
+                for r in t.scan(with_row_lineage=True).collect()
+            }
+            for i, _, _ in fresh:
+                lineage[i] = got[i]  # birth id
+        elif op == "delete":
+            t.delete_where(f"id IN ({', '.join(str(i) for i in arg)})")
+            _apply_model(model, op, arg)
+            for i in arg:
+                lineage.pop(i, None)
+        elif op == "update":
+            t.update_set(
+                {"amount": "round(amount + 1.5, 2)"}, f"category = '{arg}'"
+            )
+            _apply_model(model, op, arg)
+        elif op == "compact":
+            t.rewrite_data_files(rewrite_all=True)
+        rows = {
+            r.id: (r.category, round(r.amount, 2), r._row_id)
+            for r in t.scan(with_row_lineage=True).collect()
+        }
+        assert sorted(rows) == sorted(lineage), (
+            f"live-row divergence after {op} in {program}"
+        )
+        assert _table_rows(t, "amount") == _model_rows(model)
+        for i, rid in lineage.items():
+            assert rows[i][2] == rid, (
+                f"row {i} changed _row_id after {op} in {program}"
+            )
