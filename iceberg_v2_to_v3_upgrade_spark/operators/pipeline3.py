@@ -421,8 +421,13 @@ def n66_hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM f GROUP BY i),
         z AS (SELECT f.i AS dim, (f.x - st.mu) / st.sigma AS zx
               FROM f JOIN st ON st.dim = f.i)
-        SELECT z.dim, round(st.mu, 4) AS mu, round(st.sigma, 4) AS sigma,
-               round(min(zx), 4) AS z_min, round(max(zx), 4) AS z_max
+        -- '+ 0.0' normalizes IEEE negative zero: DuckDB round(-1e-9, 4)
+        -- returns -0.0 while Spark returns 0.0 (found by the sf0.1 strict
+        -- sweep); the two hash differently
+        SELECT z.dim, round(st.mu, 4) + 0.0 AS mu,
+               round(st.sigma, 4) + 0.0 AS sigma,
+               round(min(zx), 4) + 0.0 AS z_min,
+               round(max(zx), 4) + 0.0 AS z_max
         FROM z JOIN st ON st.dim = z.dim
         GROUP BY z.dim, st.mu, st.sigma ORDER BY z.dim
     """,
@@ -459,10 +464,10 @@ def n68_embedding_standardization(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.min("zx").alias("z_min"), F.max("zx").alias("z_max"))
         .select(
             "dim",
-            F.round("mu", 4).alias("mu"),
-            F.round("sigma", 4).alias("sigma"),
-            F.round("z_min", 4).alias("z_min"),
-            F.round("z_max", 4).alias("z_max"),
+            (F.round("mu", 4) + 0.0).alias("mu"),
+            (F.round("sigma", 4) + 0.0).alias("sigma"),
+            (F.round("z_min", 4) + 0.0).alias("z_min"),
+            (F.round("z_max", 4) + 0.0).alias("z_max"),
         )
         .orderBy("dim")
     )
