@@ -107,6 +107,8 @@ HEADLINE = [
     "i22_v3_post_upgrade_delete",
     "n79_containment_dedup",
     "d18_freq_items_sketch",
+    "m8_video_scene_cuts",
+    "d19_benford_audit",
 ]
 
 

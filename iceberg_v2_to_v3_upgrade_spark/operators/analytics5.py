@@ -497,3 +497,145 @@ def n79_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "containment")
     )
     return out.orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------- m8
+
+
+_SCENE_FRAME = 64  # bytes per synthetic frame
+_SCENE_CUT = 24.0  # mean-intensity jump that counts as a scene cut
+
+_SCENE_ORACLE = f"""
+    WITH v AS (
+        SELECT doc_id, source, text, n_chars,
+               CAST(floor(n_chars / {_SCENE_FRAME}.0) AS INT) AS n_frames
+        FROM documents WHERE n_chars >= {_SCENE_FRAME} * 2),
+    f AS (
+        SELECT doc_id, source, i AS frame_idx,
+               list_sum(list_transform(range(0, {_SCENE_FRAME}),
+                   j -> ord(substr(text, i * {_SCENE_FRAME} + j + 1, 1))))
+                   / {_SCENE_FRAME}.0 AS intensity
+        FROM v, unnest(range(0, n_frames)) AS t(i)),
+    d AS (
+        SELECT doc_id, source, frame_idx, intensity,
+               intensity - lag(intensity) OVER (PARTITION BY doc_id
+                                                ORDER BY frame_idx) AS delta
+        FROM f)
+    SELECT source,
+           count(DISTINCT doc_id) AS n_videos,
+           CAST(sum(CASE WHEN abs(delta) > {_SCENE_CUT}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           round(avg(intensity), 4) AS avg_intensity
+    FROM d GROUP BY source ORDER BY source
+"""
+
+
+@declare(
+    "m8_video_scene_cuts",
+    oracle=_SCENE_ORACLE,
+    tags=("ext", "multimodal"),
+)
+def m8_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the synthetic video column: the asset
+    bytes are segmented into fixed-size frames, each frame reduced to a
+    mean intensity, and a cut is a frame-over-frame intensity jump above
+    threshold — the shot-boundary pass a video training pipeline runs to
+    pick frames worth captioning.
+
+    The frame explode is linear in asset bytes; intensities are pure
+    codegen'd array math (no UDF); the lag is a per-asset window whose
+    partitions are bounded by frames-per-asset. At 100 TB the only
+    shuffle is the per-asset window key."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= _SCENE_FRAME * 2
+    )
+    frames = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor(F.col("n_chars") / float(_SCENE_FRAME)).cast("int") - 1,
+            )
+        ).alias("frame_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        "source",
+        "frame_idx",
+        (
+            F.expr(
+                f"aggregate(transform(sequence(0, {_SCENE_FRAME - 1}), "
+                f"j -> ascii(substr(text, frame_idx * {_SCENE_FRAME} + j + 1, 1))), "
+                f"0L, (a, x) -> a + x)"
+            )
+            / float(_SCENE_FRAME)
+        ).alias("intensity"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = frames.withColumn(
+        "delta", F.col("intensity") - F.lag("intensity").over(w)
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_videos"),
+            F.sum(F.when(F.abs("delta") > _SCENE_CUT, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cuts"),
+            F.round(F.avg("intensity"), 4).alias("avg_intensity"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------- d19
+
+
+_BENFORD_ORACLE = """
+    WITH digits AS (
+        -- floor() explicitly: DuckDB CAST(double AS BIGINT) ROUNDS, Spark truncates
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS d
+        FROM orders WHERE o_totalprice >= 1),
+    obs AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT obs.d AS first_digit,
+           obs.n AS n_observed,
+           round(obs.n * 1.0 / tot.total, 6) AS p_observed,
+           round(log10(1.0 + 1.0 / obs.d), 6) AS p_benford
+    FROM obs, tot ORDER BY first_digit
+"""
+
+
+@declare(
+    "d19_benford_audit", oracle=_BENFORD_ORACLE, tags=("ext", "quality", "audit")
+)
+def d19_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals: observed first-digit
+    distribution side-by-side with Benford's law expectation — the
+    fabricated-data / broken-generator smell test a data-quality layer
+    runs on monetary columns. One scan, a 9-key aggregate, and a 1-row
+    total broadcast; nothing here grows past 9 rows after the scan."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digits = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.col("n").alias("n_observed"),
+            F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("p_observed"),
+            F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("p_benford"),
+        )
+        .orderBy("first_digit")
+    )

@@ -66,6 +66,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "i22_v3_post_upgrade_delete",
     "n79_containment_dedup",
     "d18_freq_items_sketch",
+    "m8_video_scene_cuts",
+    "d19_benford_audit",
     # table lifecycle (the reference's core arc) — never driver-checked
     "i3_table_lifecycle",
     "i4_time_travel",
