@@ -68,6 +68,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "d18_freq_items_sketch",
     "m8_video_scene_cuts",
     "d19_benford_audit",
+    "k8_python_udtf_cooccurrence",
+    "k9_pandas_grouped_agg_trimmed_mean",
     # table lifecycle (the reference's core arc) — never driver-checked
     "i3_table_lifecycle",
     "i4_time_travel",
@@ -234,6 +236,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         pipeline3,
         pipeline4,
         analytics5,
+        udf_surface,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
