@@ -316,6 +316,10 @@ def test_table_profile_single_scan(spark, registry):
 # Deliberate exceptions, each justified:
 #   c9_cross_join          — the declared cross-join operator itself.
 _CARTESIAN_OK = {"c9_cross_join"}
+# the UDTF API demo is row-based Python BY DESIGN (Spark table functions
+# have no Arrow path) and is bounded to a 40-doc slice; every hot-path
+# pair generator stays on codegen'd sequence-explode (n28/n58)
+_ROW_PYTHON_OK = {"k8_python_udtf_cooccurrence"}
 # DML/lifecycle queries mutate tmp warehouses when invoked; their read
 # plans are pinned by tests/test_tables.py instead of re-running DDL here.
 _SKIP_TAGS = {"dml", "lifecycle"}
@@ -333,7 +337,7 @@ def test_every_query_plan_is_scale_clean(spark, registry):
         if _SKIP_TAGS & set(q.tags):
             continue
         p = plan(spark, registry, name)
-        if "BatchEvalPython" in p:
+        if "BatchEvalPython" in p and name not in _ROW_PYTHON_OK:
             bad.append(f"{name}: row-wise Python UDF")
         if "CartesianProduct" in p and name not in _CARTESIAN_OK:
             bad.append(f"{name}: CartesianProduct")
