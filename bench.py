@@ -109,6 +109,8 @@ HEADLINE = [
     "d18_freq_items_sketch",
     "m8_video_scene_cuts",
     "d19_benford_audit",
+    "d20_join_key_skew_report",
+    "n80_robust_anomaly_mad",
 ]
 
 

@@ -639,3 +639,138 @@ def d19_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+# --------------------------------------------------------------- d20
+
+
+_SKEW_ORACLE = """
+    WITH s1 AS (
+        SELECT 'lineitem.l_orderkey' AS key_col,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               count(*) AS n_distinct,
+               max(c) AS top1_count
+        FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)),
+    s2 AS (
+        SELECT 'lineitem.l_suppkey',
+               CAST(sum(c) AS BIGINT), count(*), max(c)
+        FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_suppkey)),
+    s3 AS (
+        SELECT 'orders.o_custkey',
+               CAST(sum(c) AS BIGINT), count(*), max(c)
+        FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey))
+    SELECT key_col, n_rows, n_distinct, top1_count,
+           round(top1_count * 1.0 / n_rows, 6) AS top1_share
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+          UNION ALL SELECT * FROM s3)
+    ORDER BY key_col
+"""
+
+
+@declare(
+    "d20_join_key_skew_report", oracle=_SKEW_ORACLE, tags=("ext", "scale", "audit")
+)
+def d20_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: per candidate shuffle key, the row count,
+    distinct-key count, and the hottest key's share — the report that
+    decides between a plain shuffle, AQE skew-join, or salting (k1/k2)
+    BEFORE a 100 TB job is launched. Each key costs one grouped count
+    whose result frame is O(distinct keys); the hot-key max is a second
+    tiny aggregate over that frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def key_stats(df, col, label):
+        per_key = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return per_key.agg(
+            F.lit(label).alias("key_col"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top1_count"),
+        ).select(
+            "key_col",
+            "n_rows",
+            "n_distinct",
+            "top1_count",
+            F.round(F.col("top1_count") * 1.0 / F.col("n_rows"), 6).alias(
+                "top1_share"
+            ),
+        )
+
+    out = (
+        key_stats(li, "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(key_stats(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionByName(key_stats(orders, "o_custkey", "orders.o_custkey"))
+    )
+    return out.orderBy("key_col")
+
+
+# --------------------------------------------------------------- n80
+
+
+_MAD_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               count(*) AS n
+        FROM events GROUP BY event_type, h),
+    stats AS (
+        SELECT event_type,
+               median(n * 1.0) AS med
+        FROM hourly GROUP BY event_type),
+    dev AS (
+        SELECT h.event_type, h.h, h.n, s.med,
+               abs(h.n - s.med) AS ad
+        FROM hourly h JOIN stats s USING (event_type)),
+    mad AS (
+        SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           count(*) AS n_hours,
+           CAST(sum(CASE WHEN m.mad > 0
+                         AND abs(d.n - d.med) / (1.4826 * m.mad) > 3.5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier_hours
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+@declare(
+    "n80_robust_anomaly_mad",
+    oracle=_MAD_ORACLE,
+    tags=("ext", "events", "timeseries"),
+)
+def n80_robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust hourly anomaly detection via median absolute deviation —
+    the outlier-resistant twin of n41's z-score (a single traffic spike
+    inflates a stddev but barely moves the MAD, so MAD flags it instead
+    of hiding it). Modified z = |x - median| / (1.4826 * MAD), outliers
+    at > 3.5 (Iglewicz-Hoaglin).
+
+    The hourly rollup is the only corpus-wide shuffle; medians run on the
+    per-(type,hour) frame (bounded by hours x types), broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.expr("percentile(n * 1.0, 0.5)").alias("med")
+    )
+    dev = hourly.join(F.broadcast(stats), "event_type").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_outlier = (F.col("mad") > 0) & (
+        F.abs(F.col("n") - F.col("med")) / (1.4826 * F.col("mad")) > 3.5
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.when(is_outlier, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outlier_hours"),
+        )
+        .orderBy("event_type")
+    )

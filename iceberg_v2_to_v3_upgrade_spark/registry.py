@@ -70,6 +70,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "d19_benford_audit",
     "k8_python_udtf_cooccurrence",
     "k9_pandas_grouped_agg_trimmed_mean",
+    "d20_join_key_skew_report",
+    "n80_robust_anomaly_mad",
     # table lifecycle (the reference's core arc) — never driver-checked
     "i3_table_lifecycle",
     "i4_time_travel",
