@@ -137,6 +137,9 @@ class LocalTable:
         meta = {
             "schema_ddl": schema_ddl,
             "partition_by": partition_by or [],
+            "partition_spec_log": [
+                {"spec_id": 0, "seq": 0, "partition_by": partition_by or []}
+            ],
             "properties": props,
             "next_row_id": 0,
             "snapshots": [
@@ -286,8 +289,54 @@ class LocalTable:
             if self.format_version >= 3:
                 self._meta["properties"]["next-row-id"] = str(int(hi) + 1)
 
-    def _partition_spec(self) -> list[tuple[str, Column | None]]:
-        """Parse the partition spec into (dir_column, derivation) pairs.
+    @property
+    def partition_spec_log(self) -> list[dict]:
+        """Partition-spec history (Iceberg partition evolution): each entry
+        is ``{"spec_id": i, "seq": first_commit_seq, "partition_by": [...]}``.
+        Data dirs written at commit sequence s use the spec with the
+        largest ``seq <= s``. Tables created before evolution existed get a
+        synthetic single-entry log (spec 0 from seq 0)."""
+        log = self._meta.get("partition_spec_log")
+        if log:
+            return [dict(e) for e in log]
+        return [{"spec_id": 0, "seq": 0, "partition_by": self.partition_by}]
+
+    def evolve_partition_spec(self, new_partition_by: list[str]) -> int:
+        """ALTER TABLE ... partition evolution (Iceberg V2 metadata-only
+        spec change): NEW writes lay out data under ``new_partition_by``;
+        existing data dirs keep their original layout and stay readable —
+        no data is rewritten. ``rewrite_data_files`` migrates old dirs to
+        the current spec, exactly as Iceberg's rewrite action does.
+        Returns the new spec_id."""
+        log = self.partition_spec_log
+        start_seq = max(s["id"] for s in self._meta["snapshots"]) + 1
+        spec_id = max(e["spec_id"] for e in log) + 1
+        log.append(
+            {
+                "spec_id": spec_id,
+                "seq": start_seq,
+                "partition_by": list(new_partition_by),
+            }
+        )
+        self._meta["partition_spec_log"] = log
+        self._meta["partition_by"] = list(new_partition_by)
+        self._meta["properties"]["default-spec-id"] = str(spec_id)
+        self._write_meta()
+        return spec_id
+
+    def _spec_for_seq(self, seq: int) -> list[str]:
+        """The partition spec active at commit sequence ``seq``."""
+        best = None
+        for e in self.partition_spec_log:
+            if e["seq"] <= seq and (best is None or e["seq"] >= best["seq"]):
+                best = e
+        return list((best or {"partition_by": []})["partition_by"])
+
+    def _partition_spec(
+        self, partition_by: list[str] | None = None
+    ) -> list[tuple[str, Column | None]]:
+        """Parse a partition spec into (dir_column, derivation) pairs
+        (defaults to the table's CURRENT spec).
 
         Identity entries ("col") keep derivation None — the column itself
         lands in the directory name. Transform entries implement Iceberg's
@@ -302,7 +351,9 @@ class LocalTable:
             f.name: f.dataType.simpleString()
             for f in self.spark.createDataFrame([], self.schema_ddl).schema
         }
-        for spec in self.partition_by:
+        for spec in (
+            self.partition_by if partition_by is None else partition_by
+        ):
             m = _TRANSFORM_RE.match(spec.strip())
             if not m:
                 out.append((spec, None))
@@ -339,11 +390,55 @@ class LocalTable:
 
     def _derived_partition_ddl(self) -> str:
         """Read-schema suffix for transform-derived directory columns
-        (string-typed: they come from directory names)."""
-        derived = [
-            name for name, expr in self._partition_spec() if expr is not None
-        ]
+        (string-typed: they come from directory names). Under partition
+        evolution the union of EVERY historical spec's derived columns is
+        declared — a dir written under another spec simply null-fills the
+        columns it never encoded."""
+        derived: list[str] = []
+        for entry in self.partition_spec_log:
+            for name, expr in self._partition_spec(entry["partition_by"]):
+                if expr is not None and name not in derived:
+                    derived.append(name)
         return "".join(f", {name} string" for name in derived)
+
+    def _partition_filter_applies(self, d: str, pf: str) -> bool:
+        """Whether ``pf`` may be applied to rows read from dir ``d``.
+
+        Partition evolution makes transform-derived dir columns
+        spec-dependent: a dir written under a spec that never encoded
+        ``p_partkey_bucket`` reads it as NULL, and filtering on it would
+        silently DROP every row of that dir. A filter therefore only
+        applies to dirs whose own spec derives every transform column the
+        filter references; other dirs pass through unfiltered —
+        conservative (extra rows for the residual to handle), never wrong.
+        Identity partition columns live in the table schema and are
+        recoverable from every dir (file or dir name), so they never gate.
+        """
+        log = self.partition_spec_log
+        if len(log) == 1:
+            return True
+        all_derived: set[str] = set()
+        for entry in log:
+            all_derived |= {
+                name
+                for name, expr in self._partition_spec(entry["partition_by"])
+                if expr is not None
+            }
+        referenced = {
+            tok
+            for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", pf)
+            if tok in all_derived
+        }
+        if not referenced:
+            return True
+        m = re.search(r"snap-(\d+)", os.path.basename(d))
+        seq = int(m.group(1)) if m else 0
+        mine = {
+            name
+            for name, expr in self._partition_spec(self._spec_for_seq(seq))
+            if expr is not None
+        }
+        return referenced <= mine
 
     def _write_data_dir(
         self,
@@ -931,14 +1026,33 @@ class LocalTable:
         # per-dir basePath so identity-partition columns round-trip
         return self.spark.read.schema(ddl).option("basePath", d).parquet(d)
 
-    def _read_dirs(self, dirs: list[str], ddl: str) -> DataFrame | None:
+    def _read_dirs(
+        self,
+        dirs: list[str],
+        ddl: str,
+        partition_filter: str | None = None,
+    ) -> DataFrame | None:
         """Read snapshot dirs with an EXPLICIT schema: a zero-row
         partitioned write leaves a dir with no parquet files at all, and
         schema inference would fail on it (found by the hypothesis DML
         model test). With the schema given, empty dirs read as empty
         frames, and files written before an ADD COLUMN null-fill the
-        missing column (schema evolution)."""
-        dfs = [self._read_one_dir(d, ddl) for d in dirs]
+        missing column (schema evolution).
+
+        ``partition_filter`` is applied PER DIR, and only to dirs whose
+        own partition spec encodes the referenced transform columns
+        (partition evolution; see ``_partition_filter_applies``) — for
+        single-spec tables this is exactly the old union-then-filter
+        behavior (filter commutes with union), with the filter sitting at
+        the scan so Spark prunes directories before listing files."""
+        dfs = []
+        for d in dirs:
+            df = self._read_one_dir(d, ddl)
+            if partition_filter and self._partition_filter_applies(
+                d, partition_filter
+            ):
+                df = df.filter(partition_filter)
+            dfs.append(df)
         if not dfs:
             return None
         out = dfs[0]
@@ -946,17 +1060,24 @@ class LocalTable:
             out = out.unionByName(df)
         return out
 
-    def _read_data_with_seq(self, snap: Snapshot) -> DataFrame | None:
+    def _read_data_with_seq(
+        self, snap: Snapshot, partition_filter: str | None = None
+    ) -> DataFrame | None:
         """Union of the snapshot's data dirs, each row tagged with the
-        commit sequence parsed from its dir name (`.../snap-00007`)."""
+        commit sequence parsed from its dir name (`.../snap-00007`).
+        ``partition_filter`` follows the same per-dir spec-scoped rule as
+        ``_read_dirs``."""
         dfs = []
         ddl = self._data_read_schema()
         for d in snap.data_dirs:
             m = re.search(r"snap-(\d+)", os.path.basename(d))
             seq = int(m.group(1)) if m else 0
-            dfs.append(
-                self._read_one_dir(d, ddl).withColumn("_seq", F.lit(seq))
-            )
+            df = self._read_one_dir(d, ddl).withColumn("_seq", F.lit(seq))
+            if partition_filter and self._partition_filter_applies(
+                d, partition_filter
+            ):
+                df = df.filter(partition_filter)
+            dfs.append(df)
         if not dfs:
             return None
         out = dfs[0]
@@ -1039,7 +1160,7 @@ class LocalTable:
             # equality delete (and, under V3 row lineage, each positional
             # tombstone) can scope to older data only (stats pruning is
             # skipped here — conservative, sequences must stay aligned)
-            data = self._read_data_with_seq(snap)
+            data = self._read_data_with_seq(snap, partition_filter)
         else:
             dirs = snap.data_dirs
             if data_filter:
@@ -1048,13 +1169,13 @@ class LocalTable:
                     "candidate_dirs": len(snap.data_dirs),
                     "read_dirs": len(dirs),
                 }
-            data = self._read_dirs(dirs, self._data_read_schema())
+            data = self._read_dirs(
+                dirs, self._data_read_schema(), partition_filter
+            )
         if data is None:
             return self.spark.createDataFrame(
                 [], self.schema_ddl + f", {_ROW_ID} long"
             )
-        if partition_filter:
-            data = data.filter(partition_filter)
         if data_filter:
             # residual: stats pruning only skips whole dirs; the row-level
             # predicate still applies (and commutes with the MoR anti-join)
