@@ -111,6 +111,13 @@ HEADLINE = [
     "d19_benford_audit",
     "d20_join_key_skew_report",
     "n80_robust_anomaly_mad",
+    "i23_partition_evolution",
+    "c13_max_concurrent_sessions",
+    "n81_gap_fill_resample",
+    "n83_kaplan_meier",
+    "n85_zipf_slope",
+    "n86_readability_flesch",
+    "n87_bfs_shortest_path",
 ]
 
 

@@ -70,9 +70,16 @@ def c13_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.col("user_id"), F.session_window("ts", "30 minutes"))
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     )
+    # one scan: each session explodes to its (start,+1)/(end,-1) pair
+    # instead of a self-union that would re-read events per branch
     sweep = sessions.select(
-        F.col("s").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(sessions.select(F.col("e").alias("t"), F.lit(-1).alias("delta")))
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("x")
+    ).select("x.t", "x.delta")
     running = sweep.withColumn(
         "running",
         F.sum("delta").over(
@@ -81,10 +88,10 @@ def c13_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    n_sessions = sessions.agg(F.count(F.lit(1)).alias("n_sessions"))
-    return running.agg(F.max("running").alias("max_concurrent")).crossJoin(
-        n_sessions
-    ).select("n_sessions", "max_concurrent")
+    return running.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_sessions"),
+        F.max("running").alias("max_concurrent"),
+    )
 
 
 # --------------------------------------------------------------- n81
