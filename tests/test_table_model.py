@@ -46,11 +46,22 @@ _expire = st.tuples(st.just("expire"), st.none())
 _upgrade = st.tuples(st.just("upgrade"), st.none())
 _rename = st.tuples(st.just("rename"), st.none())
 _widen = st.tuples(st.just("widen"), st.none())
+_evolve = st.tuples(
+    st.just("evolve"),
+    st.sampled_from(
+        [
+            ["bucket(4, id)"],
+            ["truncate(2, category)"],
+            ["category"],
+            [],  # unpartitioned
+        ]
+    ),
+)
 
 _program = st.lists(
     st.one_of(
         _insert, _delete, _update, _compact, _expire, _upgrade,
-        _rename, _widen,
+        _rename, _widen, _evolve,
     ),
     min_size=3,
     max_size=7,
@@ -69,8 +80,9 @@ def _apply_model(model: list[dict], op: str, arg) -> None:
         for r in model:
             if r["category"] == arg:
                 r["amount"] = round(r["amount"] + 1.5, 2)
-    # compact / expire / upgrade / rename / widen: semantically invisible
-    # (rename/widen change only the schema, never row values)
+    # compact / expire / upgrade / rename / widen / evolve: semantically
+    # invisible (rename/widen change only the schema; partition evolution
+    # changes only the LAYOUT of future writes, never row values)
 
 
 def _table_rows(t, amount_col: str) -> list[tuple]:
@@ -138,6 +150,9 @@ def test_random_dml_program_matches_model(spark, tmp_path_factory, program):
         elif op == "widen":
             if dict(t.scan().dtypes)["id"] == "int":
                 t.widen_column("id", "bigint")
+        elif op == "evolve":
+            if t.partition_by != arg:
+                t.evolve_partition_spec(arg)
         _apply_model(model, op, arg)
         assert _table_rows(t, amount_col) == _model_rows(model), (
             f"divergence after {op} in program {program}"
