@@ -387,6 +387,59 @@ class EngineSQL:
             message=f"renamed {m.group('old')} to {m.group('new')}",
         )
 
+    def _alter_add_partition_field(
+        self, sql: str, m: re.Match
+    ) -> StatementResult:
+        """Iceberg's ALTER TABLE ... ADD PARTITION FIELD <transform|col> —
+        partition evolution, metadata-only (no rewrite; see
+        LocalTable.evolve_partition_spec)."""
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        field = m.group("field").strip()
+        spec_id = t.evolve_partition_spec(t.partition_by + [field])
+        return StatementResult(
+            sql, "alter", message=f"added partition field {field} (spec {spec_id})"
+        )
+
+    def _alter_drop_partition_field(
+        self, sql: str, m: re.Match
+    ) -> StatementResult:
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        field = m.group("field").strip()
+        current = t.partition_by
+        if field not in current:
+            raise TableError(
+                f"no partition field {field!r} (current spec: {current})"
+            )
+        spec_id = t.evolve_partition_spec([f for f in current if f != field])
+        return StatementResult(
+            sql,
+            "alter",
+            message=f"dropped partition field {field} (spec {spec_id})",
+        )
+
+    def _alter_replace_partition_field(
+        self, sql: str, m: re.Match
+    ) -> StatementResult:
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        old = m.group("old").strip()
+        new = m.group("new").strip()
+        current = t.partition_by
+        if old not in current:
+            raise TableError(
+                f"no partition field {old!r} (current spec: {current})"
+            )
+        spec_id = t.evolve_partition_spec(
+            [new if f == old else f for f in current]
+        )
+        return StatementResult(
+            sql,
+            "alter",
+            message=f"replaced partition field {old} with {new} (spec {spec_id})",
+        )
+
     def _call_rewrite(self, sql: str, m: re.Match) -> StatementResult:
         db, table = m.group("db"), m.group("table")
         self._authorize_table("ALTER", db, table)
@@ -780,6 +833,31 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             re.IGNORECASE,
         ),
         EngineSQL._alter_column_type,
+    ),
+    (
+        re.compile(
+            rf"ALTER TABLE {_NAME}\s+ADD PARTITION FIELD\s+"
+            rf"(?P<field>[\w]+(?:\s*\(\s*[\w,\s]+?\s*\))?)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._alter_add_partition_field,
+    ),
+    (
+        re.compile(
+            rf"ALTER TABLE {_NAME}\s+DROP PARTITION FIELD\s+"
+            rf"(?P<field>[\w]+(?:\s*\(\s*[\w,\s]+?\s*\))?)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._alter_drop_partition_field,
+    ),
+    (
+        re.compile(
+            rf"ALTER TABLE {_NAME}\s+REPLACE PARTITION FIELD\s+"
+            rf"(?P<old>[\w]+(?:\s*\(\s*[\w,\s]+?\s*\))?)\s+WITH\s+"
+            rf"(?P<new>[\w]+(?:\s*\(\s*[\w,\s]+?\s*\))?)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._alter_replace_partition_field,
     ),
     (
         re.compile(

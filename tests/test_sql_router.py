@@ -443,3 +443,58 @@ def test_consolidate_deletes_and_timestamp_as_of(engine):
         f"SELECT count(*) AS n FROM r3_db.t TIMESTAMP AS OF '{post_delete_ts}'"
     )
     assert tt.df.collect()[0].n == 3
+
+
+def test_partition_evolution_sql_surface(engine):
+    engine.execute(
+        """
+        CREATE TABLE glue_catalog.evo_db.t (
+            id INT, category STRING, amount DECIMAL(10,2)
+        ) USING iceberg
+        PARTITIONED BY (category)
+        TBLPROPERTIES ('format-version' = '2');
+        INSERT INTO glue_catalog.evo_db.t VALUES
+            (1, 'a', 1.00), (2, 'b', 2.00);
+        """
+    )
+    t = engine.catalog.load_table("evo_db", "t")
+    assert t.partition_by == ["category"]
+
+    r = engine.execute_one(
+        "ALTER TABLE glue_catalog.evo_db.t ADD PARTITION FIELD bucket(4, id)"
+    )
+    assert r.kind == "alter" and "spec 1" in r.message
+    t = engine.catalog.load_table("evo_db", "t")
+    assert t.partition_by == ["category", "bucket(4, id)"]
+
+    engine.execute_one(
+        "ALTER TABLE glue_catalog.evo_db.t DROP PARTITION FIELD category"
+    )
+    t = engine.catalog.load_table("evo_db", "t")
+    assert t.partition_by == ["bucket(4, id)"]
+
+    engine.execute_one(
+        "ALTER TABLE glue_catalog.evo_db.t "
+        "REPLACE PARTITION FIELD bucket(4, id) WITH truncate(1, category)"
+    )
+    t = engine.catalog.load_table("evo_db", "t")
+    assert t.partition_by == ["truncate(1, category)"]
+
+    # data written under the original spec still reads after 3 evolutions
+    engine.execute_one(
+        "INSERT INTO glue_catalog.evo_db.t VALUES (3, 'c', 3.00)"
+    )
+    rows = engine.execute_one(
+        "SELECT id FROM glue_catalog.evo_db.t ORDER BY id"
+    ).df.collect()
+    assert [r.id for r in rows] == [1, 2, 3]
+
+    # dropping a field that is not in the spec is refused
+    import pytest as _pytest
+
+    from iceberg_v2_to_v3_upgrade_spark.tables.table import TableError
+
+    with _pytest.raises(TableError):
+        engine.execute_one(
+            "ALTER TABLE glue_catalog.evo_db.t DROP PARTITION FIELD nope"
+        )
