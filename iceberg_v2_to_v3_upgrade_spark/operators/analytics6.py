@@ -42,7 +42,7 @@ _CONCURRENCY_ORACLE = """
         UNION ALL
         SELECT e AS t, -1 AS delta FROM sessions)
     SELECT (SELECT count(*) FROM sessions) AS n_sessions,
-           max(running) AS max_concurrent
+           CAST(max(running) AS BIGINT) AS max_concurrent
     FROM (SELECT sum(delta) OVER (ORDER BY t, delta DESC
                                   ROWS UNBOUNDED PRECEDING) AS running
           FROM sweep)
@@ -270,8 +270,9 @@ _KM_ORACLE = """
         FROM lifetimes GROUP BY 1),
     km AS (
         SELECT lifetime_days, n_deaths,
-               sum(n_deaths) OVER (ORDER BY lifetime_days DESC
-                                   ROWS UNBOUNDED PRECEDING) AS n_risk
+               CAST(sum(n_deaths) OVER (ORDER BY lifetime_days DESC
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS n_risk
         FROM grouped)
     SELECT lifetime_days, n_deaths, n_risk,
            CASE WHEN min(1.0 - n_deaths * 1.0 / n_risk)

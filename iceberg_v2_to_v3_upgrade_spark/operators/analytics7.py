@@ -114,10 +114,10 @@ _CHI2_ORACLE = """
                sum(obs) OVER (PARTITION BY source) AS col_total,
                sum(obs) OVER () AS n
         FROM cells)
-    SELECT CAST((SELECT count(DISTINCT lang) FROM documents) - 1 AS BIGINT)
+    SELECT CAST(((SELECT count(DISTINCT lang) FROM documents) - 1)
                * ((SELECT count(DISTINCT source) FROM documents) - 1)
-               AS dof,
-           max(n) AS n_docs,
+               AS BIGINT) AS dof,
+           CAST(max(n) AS BIGINT) AS n_docs,
            round(sum((obs - row_total * col_total * 1.0 / n)
                      * (obs - row_total * col_total * 1.0 / n)
                      / (row_total * col_total * 1.0 / n)), 4) + 0.0
