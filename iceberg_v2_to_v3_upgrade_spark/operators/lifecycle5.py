@@ -72,3 +72,80 @@ def i23_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("parity")
     )
+
+
+# --------------------------------------------------------------- i24
+
+
+_DIFF_ORACLE = """
+    SELECT 'added' AS change_type,
+           (SELECT count(*) FROM part WHERE p_partkey <= 10) AS n_rows
+    UNION ALL
+    SELECT 'deleted', count(*) FROM part WHERE p_partkey % 97 = 0
+    UNION ALL
+    SELECT 'modified', count(*) FROM part
+    WHERE p_brand = 'Brand#11' AND NOT p_partkey % 97 = 0
+    UNION ALL
+    SELECT 'unchanged', count(*) FROM part
+    WHERE p_brand <> 'Brand#11' AND NOT p_partkey % 97 = 0
+    ORDER BY change_type
+"""
+
+
+@declare("i24_snapshot_diff", oracle=_DIFF_ORACLE, tags=("dml", "lifecycle"))
+def i24_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two table states by key and classify
+    every row added / deleted / modified / unchanged — the table-diff a
+    data-ops team runs to audit a backfill before publishing it. Unlike
+    i5's CDC changelog (which replays the COMMITS), this compares the
+    STATES: one full outer join on the key between two time-travel scans
+    of the same table, value comparison on the payload columns. Both
+    sides come from the same MoR table (time travel vs current), so the
+    diff also exercises mixed delete-file reads. At 100 TB the join is
+    key-partitioned on both sides with identical partitioning — a
+    co-located shuffle, and AQE handles the skew."""
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="diff_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "diff_db",
+        "part_diff",
+        "p_partkey BIGINT, p_brand STRING, p_retailprice DOUBLE",
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    t.insert(part)
+    base_snap = t.current_snapshot().id
+    t.update_set(
+        {"p_retailprice": "p_retailprice * 1.1"}, "p_brand = 'Brand#11'"
+    )
+    t.delete_where("p_partkey % 97 = 0")
+    t.insert(
+        part.filter("p_partkey <= 10").select(
+            (F.col("p_partkey") + 1000000).alias("p_partkey"),
+            "p_brand",
+            "p_retailprice",
+        )
+    )
+    a = t.scan(snapshot_id=base_snap).alias("a")
+    b = t.scan().alias("b")
+    joined = a.join(
+        b, F.col("a.p_partkey") == F.col("b.p_partkey"), "full_outer"
+    )
+    change = (
+        F.when(F.col("a.p_partkey").isNull(), "added")
+        .when(F.col("b.p_partkey").isNull(), "deleted")
+        .when(
+            (F.col("a.p_brand") != F.col("b.p_brand"))
+            | (F.col("a.p_retailprice") != F.col("b.p_retailprice")),
+            "modified",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.groupBy(change.alias("change_type"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("change_type")
+    )
