@@ -570,3 +570,50 @@ def l6_stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l6_enrich",
     )
     return spark.table(name).orderBy("window_start", "segment")
+
+
+@declare(
+    "l10_stream_cep_pattern",
+    oracle="""
+        WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        cl AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+              FROM events WHERE event_type = 'purchase'),
+        qc AS (
+            SELECT c.user_id, c.ts AS click_ts, max(v.ts) AS view_ts
+            FROM cl c JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts
+            GROUP BY 1, 2
+            HAVING max(v.ts) >= c.ts - INTERVAL 24 HOUR),
+        m AS (
+            SELECT p.user_id, p.purchase_id, p.purchase_ts,
+                   max(q.click_ts) AS click_ts
+            FROM p JOIN qc q
+              ON q.user_id = p.user_id AND q.click_ts <= p.purchase_ts
+            GROUP BY 1, 2, 3
+            HAVING max(q.click_ts) >= p.purchase_ts - INTERVAL 24 HOUR)
+        SELECT m.user_id, q.view_ts, m.click_ts, m.purchase_ts, m.purchase_id
+        FROM m JOIN qc q
+          ON q.user_id = m.user_id AND q.click_ts = m.click_ts
+        ORDER BY m.purchase_id
+    """,
+    tags=("ext", "streaming"),
+)
+def l10_stream_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern detection on the stream: view -> click -> purchase,
+    each step within 24 h, per user (streaming/jobs.py
+    ``cep_pattern_stream``). A three-step sequence with per-step time
+    bounds is the canonical shape that needs a CUSTOM stateful operator —
+    chained stream-stream joins would need two unbounded state stores,
+    while the matcher keeps exactly three epoch-micro watermarks per
+    user. Single availableNow batch so event-time order is the sort
+    inside the group, not file arrival. The oracle states the same match
+    semantics relationally: latest qualifying click before each purchase,
+    and that click's latest preceding view."""
+    from iceberg_v2_to_v3_upgrade_spark.streaming.jobs import cep_pattern_stream
+
+    stage = _stage_events(spark, sf_dir)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=0).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    name = _drain(cep_pattern_stream(stream), "append", "l10_cep")
+    return spark.table(name).orderBy("purchase_id")

@@ -281,3 +281,64 @@ def enrich_with_segment(
             "total_value",
         )
     )
+
+
+CEP_MATCH_SCHEMA = (
+    "user_id bigint, view_ts timestamp, click_ts timestamp, "
+    "purchase_ts timestamp, purchase_id bigint"
+)
+_CEP_STATE_SCHEMA = "lv bigint, lc bigint, lcv bigint"
+_CEP_WINDOW_US = 24 * 3600 * 1_000_000  # 24-hour step window, closed
+
+
+def cep_pattern_stream(events: DataFrame) -> DataFrame:
+    """CEP-style pattern matcher: view -> click -> purchase, each step
+    within 24 hours of the previous, per user. The classic complex-
+    event-processing shape that neither windows nor a single stream-stream
+    join expresses — state per user is three epoch-micro watermarks
+    (latest view; latest QUALIFYING click and the view that qualified it),
+    updated in event-time order; a purchase emits at most one match (the
+    latest qualifying click, and that click's latest preceding view).
+    State is O(1) per user regardless of history length — the property
+    that keeps the state store bounded at 100 TB/day event volumes."""
+
+    def match_patterns(key, batches, state) -> "Iterator[Any]":
+        import pandas as pd
+
+        lv, lc, lcv = state.get if state.exists else (-1, -1, -1)
+        chunks = [pdf for pdf in batches]
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out_rows = []
+        for ts, etype, eid in zip(
+            pdf["ts"].astype("int64") // 1000, pdf["event_type"], pdf["event_id"]
+        ):
+            ts = int(ts)
+            if etype == "view":
+                lv = ts
+            elif etype == "click":
+                if lv >= 0 and ts - lv <= _CEP_WINDOW_US:
+                    lc, lcv = ts, lv
+            elif etype == "purchase":
+                if lc >= 0 and ts - lc <= _CEP_WINDOW_US:
+                    out_rows.append((int(key[0]), lcv, lc, ts, int(eid)))
+        state.update((lv, lc, lcv))
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out_rows],
+                "view_ts": pd.to_datetime([r[1] for r in out_rows], unit="us"),
+                "click_ts": pd.to_datetime([r[2] for r in out_rows], unit="us"),
+                "purchase_ts": pd.to_datetime(
+                    [r[3] for r in out_rows], unit="us"
+                ),
+                "purchase_id": [r[4] for r in out_rows],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        match_patterns,
+        CEP_MATCH_SCHEMA,
+        _CEP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
