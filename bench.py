@@ -118,6 +118,12 @@ HEADLINE = [
     "n85_zipf_slope",
     "n86_readability_flesch",
     "n87_bfs_shortest_path",
+    "k10_dynamic_partition_pruning",
+    "n89_duplication_coverage",
+    "n90_kcenter_coreset",
+    "n91_markov_attribution",
+    "i24_snapshot_diff",
+    "l10_stream_cep_pattern",
 ]
 
 
