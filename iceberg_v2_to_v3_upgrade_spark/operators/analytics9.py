@@ -1,0 +1,114 @@
+"""Declared queries, round 3 batch H: importance resampling to a target
+length mixture.
+
+The data-mixture half-sibling of n15 (source mixture) and n27 (quality
+weighting): given a TARGET share per length bucket, compute per-bucket
+acceptance rates and hash-sample each bucket down to it — one scan, no
+second pass, membership a pure function of doc_id (stable under any
+cluster size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+_TARGETS = (("short", 0.25), ("medium", 0.35), ("long", 0.40))
+
+_RESAMPLE_ORACLE = """
+    WITH bucketed AS (
+        SELECT doc_id,
+               CASE WHEN n_chars < 220 THEN 'short'
+                    WHEN n_chars < 380 THEN 'medium'
+                    ELSE 'long' END AS bucket,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                   / 4294967297.0 AS u
+        FROM documents),
+    shares AS (
+        SELECT bucket, count(*) AS n_docs,
+               count(*) * 1.0 / (SELECT count(*) FROM documents)
+                   AS actual_share
+        FROM bucketed GROUP BY 1),
+    targets AS (
+        SELECT * FROM (VALUES ('short', 0.25), ('medium', 0.35),
+                              ('long', 0.40)) t(bucket, target_share)),
+    rated AS (
+        SELECT s.bucket, s.n_docs, s.actual_share,
+               least(1.0, t.target_share / s.actual_share) AS rate
+        FROM shares s JOIN targets t USING (bucket)),
+    kept AS (
+        SELECT b.bucket, count(*) AS n_kept
+        FROM bucketed b JOIN rated r USING (bucket)
+        WHERE b.u < r.rate
+        GROUP BY 1)
+    SELECT r.bucket, r.n_docs,
+           coalesce(k.n_kept, 0) AS n_kept,
+           round(r.actual_share, 4) AS actual_share,
+           round(r.rate, 4) AS accept_rate
+    FROM rated r LEFT JOIN kept k USING (bucket)
+    ORDER BY r.bucket
+"""
+
+
+@declare(
+    "n94_target_mixture_resample",
+    oracle=_RESAMPLE_ORACLE,
+    tags=("ext", "sampling", "training-data"),
+)
+def n94_target_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling to a target length mixture: per length
+    bucket, acceptance rate = min(1, target_share / actual_share); a doc
+    survives iff its md5-derived uniform u < rate. Everything is one
+    scan + one bucket-level aggregate (3 rows) broadcast back — no
+    rejection loop, no global sort, and membership is reproducible
+    across engines and cluster sizes (the n11/n73 hash idiom)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1
+    ) / 4294967297.0
+    bucketed = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 220, "short")
+        .when(F.col("n_chars") < 380, "medium")
+        .otherwise("long")
+        .alias("bucket"),
+        u.alias("u"),
+    )
+    total = Window.partitionBy()
+    shares = (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "actual_share",
+            F.col("n_docs") * 1.0 / F.sum("n_docs").over(total),
+        )
+    )
+    targets = spark.createDataFrame(
+        list(_TARGETS), "bucket string, target_share double"
+    )
+    rated = shares.join(F.broadcast(targets), "bucket").withColumn(
+        "rate",
+        F.least(F.lit(1.0), F.col("target_share") / F.col("actual_share")),
+    )
+    kept = (
+        bucketed.join(F.broadcast(rated.select("bucket", "rate")), "bucket")
+        .filter(F.col("u") < F.col("rate"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rated.join(kept, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round("actual_share", 4).alias("actual_share"),
+            F.round("rate", 4).alias("accept_rate"),
+        )
+        .orderBy("bucket")
+    )
