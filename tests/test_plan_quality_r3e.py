@@ -46,3 +46,17 @@ def test_duplication_coverage_no_cartesian(spark, registry):
     assert "CartesianProduct" not in p
     # gram-keyed aggregation must partial-aggregate before its exchange
     assert p.count("HashAggregate") >= 2
+
+
+def test_exchange_reuse_at_runtime(spark, registry):
+    # AQE materializes the first suppkey exchange and the identical
+    # second branch reuses its shuffle files — visible only in the FINAL
+    # adaptive plan, so execute first
+    df = registry["k11_exchange_reuse"].fn(spark, SF_SMALL)
+    df.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "isFinalPlan=true" in p
+    assert "ReusedExchange" in p
