@@ -215,11 +215,18 @@ def n89_duplication_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan survives a 1000x scale-up with salting-free uniform keys."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    # guard: sequence(0, size-8) runs BACKWARD for docs under 8 tokens
+    # (Spark steps -1 when stop < start) and slice(start=0) then throws —
+    # short docs must contribute an empty gram array, exactly like the
+    # oracle's generate_series(1, len-7)
+    gram_idx = F.when(
+        F.size(toks) >= 8, F.sequence(F.lit(0), F.size(toks) - 8)
+    ).otherwise(F.array().cast("array<int>"))
     grams = docs.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 8),
+                gram_idx,
                 lambda i: F.array_join(F.slice(toks, i + 1, 8), " "),
             )
         ).alias("gram"),

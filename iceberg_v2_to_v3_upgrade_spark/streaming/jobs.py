@@ -308,7 +308,13 @@ def cep_pattern_stream(events: DataFrame) -> DataFrame:
         lv, lc, lcv = state.get if state.exists else (-1, -1, -1)
         chunks = [pdf for pdf in batches]
         pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        pdf = pdf.sort_values(["ts", "event_id"])
+        # ties broken by pattern stage (view < click < purchase) so an
+        # equal-timestamp upstream event still qualifies — matching the
+        # oracle's closed '<=' bounds; event_id last for determinism
+        stage = pdf["event_type"].map({"view": 0, "click": 1, "purchase": 2})
+        pdf = pdf.assign(_stage=stage).sort_values(
+            ["ts", "_stage", "event_id"]
+        )
         out_rows = []
         for ts, etype, eid in zip(
             pdf["ts"].astype("int64") // 1000, pdf["event_type"], pdf["event_id"]

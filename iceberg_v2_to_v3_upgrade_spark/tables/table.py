@@ -307,7 +307,29 @@ class LocalTable:
         existing data dirs keep their original layout and stay readable —
         no data is rewritten. ``rewrite_data_files`` migrates old dirs to
         the current spec, exactly as Iceberg's rewrite action does.
-        Returns the new spec_id."""
+        Returns the new spec_id.
+
+        Validated at ALTER time (as Iceberg does): every referenced
+        column must exist in the schema, and the spec's directory-column
+        names must be unique — committing a broken spec would poison
+        every subsequent INSERT instead of failing here."""
+        schema_cols = {
+            f.name
+            for f in self.spark.createDataFrame([], self.schema_ddl).schema
+        }
+        seen_names: set[str] = set()
+        for name, _canon, _derived, src in self._spec_names(new_partition_by):
+            if src not in schema_cols:
+                raise TableError(
+                    f"partition field references unknown column {src!r} "
+                    f"(schema: {sorted(schema_cols)})"
+                )
+            if name in seen_names:
+                raise TableError(
+                    f"duplicate partition field {name!r} in spec "
+                    f"{new_partition_by}"
+                )
+            seen_names.add(name)
         log = self.partition_spec_log
         start_seq = max(s["id"] for s in self._meta["snapshots"]) + 1
         spec_id = max(e["spec_id"] for e in log) + 1
@@ -331,6 +353,32 @@ class LocalTable:
             if e["seq"] <= seq and (best is None or e["seq"] >= best["seq"]):
                 best = e
         return list((best or {"partition_by": []})["partition_by"])
+
+    @staticmethod
+    def _spec_names(
+        partition_by: list[str],
+    ) -> list[tuple[str, str, bool, str]]:
+        """Pure-regex spec parse (no Spark session touched):
+        ``[(dir_column, canonical_transform, is_derived, source_col)]``.
+        The canonical form distinguishes ``bucket(4, k)`` from
+        ``bucket(8, k)`` even though both derive the same dir column name
+        — the distinction filter scoping depends on."""
+        out: list[tuple[str, str, bool, str]] = []
+        for spec in partition_by:
+            m = _TRANSFORM_RE.match(spec.strip())
+            if not m:
+                col = spec.strip()
+                out.append((col, col, False, col))
+                continue
+            fn = m.group("fn").lower()
+            col = m.group("col")
+            n = m.group("n")
+            canon = f"{fn}({n + ', ' if n else ''}{col})"
+            suffix = {"days": "day", "months": "month", "bucket": "bucket"}.get(
+                fn, "trunc"
+            )
+            out.append((f"{col}_{suffix}", canon, True, col))
+        return out
 
     def _partition_spec(
         self, partition_by: list[str] | None = None
@@ -396,49 +444,79 @@ class LocalTable:
         columns it never encoded."""
         derived: list[str] = []
         for entry in self.partition_spec_log:
-            for name, expr in self._partition_spec(entry["partition_by"]):
-                if expr is not None and name not in derived:
+            for name, _canon, is_derived, _src in self._spec_names(
+                entry["partition_by"]
+            ):
+                if is_derived and name not in derived:
                     derived.append(name)
         return "".join(f", {name} string" for name in derived)
 
-    def _partition_filter_applies(self, d: str, pf: str) -> bool:
+    def _pf_scope(self, pf: str) -> dict[str, str] | None:
+        """Precompute (once per scan, not per dir) what a partition
+        filter needs from a dir's spec: {derived dir column referenced by
+        ``pf`` -> its canonical transform in the LATEST spec defining it}.
+        Returns None when the filter references no derived column (always
+        applicable). The canonical transform matters: ``bucket(4, k)``
+        and ``bucket(8, k)`` share the dir column name ``k_bucket`` but
+        encode different values — a name-only match would silently drop
+        rows from old-spec dirs."""
+        log = self.partition_spec_log
+        ref_defs: dict[str, str] = {}
+        for entry in log:  # later entries overwrite: latest definition wins
+            for name, canon, derived, _src in self._spec_names(
+                entry["partition_by"]
+            ):
+                if derived:
+                    ref_defs[name] = canon
+        referenced = {
+            tok
+            for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", pf)
+            if tok in ref_defs
+        }
+        if not referenced:
+            return None
+        return {name: ref_defs[name] for name in referenced}
+
+    def _partition_filter_applies(
+        self, d: str, pf: str, scope: dict[str, str] | None = ...
+    ) -> bool:
         """Whether ``pf`` may be applied to rows read from dir ``d``.
 
         Partition evolution makes transform-derived dir columns
         spec-dependent: a dir written under a spec that never encoded
         ``p_partkey_bucket`` reads it as NULL, and filtering on it would
         silently DROP every row of that dir. A filter therefore only
-        applies to dirs whose own spec derives every transform column the
-        filter references; other dirs pass through unfiltered —
-        conservative (extra rows for the residual to handle), never wrong.
-        Identity partition columns live in the table schema and are
-        recoverable from every dir (file or dir name), so they never gate.
-        """
-        log = self.partition_spec_log
-        if len(log) == 1:
-            return True
-        all_derived: set[str] = set()
-        for entry in log:
-            all_derived |= {
-                name
-                for name, expr in self._partition_spec(entry["partition_by"])
-                if expr is not None
-            }
-        referenced = {
-            tok
-            for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", pf)
-            if tok in all_derived
-        }
-        if not referenced:
+        applies to dirs whose own spec derives every referenced transform
+        column WITH THE SAME canonical transform (name alone is not
+        enough — see ``_pf_scope``); other dirs pass through unfiltered —
+        conservative (extra rows for the residual to handle), never
+        wrong. Identity partition columns live in the table schema and
+        are recoverable from every dir (file or dir name), so they never
+        gate."""
+        if scope is ...:
+            scope = self._pf_scope(pf)
+        if scope is None or len(self.partition_spec_log) == 1:
             return True
         m = re.search(r"snap-(\d+)", os.path.basename(d))
         seq = int(m.group(1)) if m else 0
         mine = {
-            name
-            for name, expr in self._partition_spec(self._spec_for_seq(seq))
-            if expr is not None
+            name: canon
+            for name, canon, derived, _src in self._spec_names(
+                self._spec_for_seq(seq)
+            )
+            if derived
         }
-        return referenced <= mine
+        return all(mine.get(name) == canon for name, canon in scope.items())
+
+    def _maybe_filter_dir(
+        self, df: DataFrame, d: str, pf: str | None, scope
+    ) -> DataFrame:
+        """Shared per-dir filter application for both read paths (plain
+        and MoR-with-seq) so the scoping rule cannot diverge between
+        them."""
+        if pf and self._partition_filter_applies(d, pf, scope):
+            return df.filter(pf)
+        return df
 
     def _write_data_dir(
         self,
@@ -1045,14 +1123,13 @@ class LocalTable:
         single-spec tables this is exactly the old union-then-filter
         behavior (filter commutes with union), with the filter sitting at
         the scan so Spark prunes directories before listing files."""
-        dfs = []
-        for d in dirs:
-            df = self._read_one_dir(d, ddl)
-            if partition_filter and self._partition_filter_applies(
-                d, partition_filter
-            ):
-                df = df.filter(partition_filter)
-            dfs.append(df)
+        scope = self._pf_scope(partition_filter) if partition_filter else None
+        dfs = [
+            self._maybe_filter_dir(
+                self._read_one_dir(d, ddl), d, partition_filter, scope
+            )
+            for d in dirs
+        ]
         if not dfs:
             return None
         out = dfs[0]
@@ -1066,18 +1143,15 @@ class LocalTable:
         """Union of the snapshot's data dirs, each row tagged with the
         commit sequence parsed from its dir name (`.../snap-00007`).
         ``partition_filter`` follows the same per-dir spec-scoped rule as
-        ``_read_dirs``."""
+        ``_read_dirs`` (shared ``_maybe_filter_dir``)."""
         dfs = []
         ddl = self._data_read_schema()
+        scope = self._pf_scope(partition_filter) if partition_filter else None
         for d in snap.data_dirs:
             m = re.search(r"snap-(\d+)", os.path.basename(d))
             seq = int(m.group(1)) if m else 0
             df = self._read_one_dir(d, ddl).withColumn("_seq", F.lit(seq))
-            if partition_filter and self._partition_filter_applies(
-                d, partition_filter
-            ):
-                df = df.filter(partition_filter)
-            dfs.append(df)
+            dfs.append(self._maybe_filter_dir(df, d, partition_filter, scope))
         if not dfs:
             return None
         out = dfs[0]
@@ -1401,6 +1475,8 @@ class LocalTable:
         """
         import glob as _glob
 
+        if len(self.partition_spec_log) > 1:
+            return self._partitions_multi_spec()
         spec = self._partition_spec()
         names = [name for name, _ in spec]
         snap = self.current_snapshot()
@@ -1451,6 +1527,87 @@ class LocalTable:
             counts.join(files_df, on=names, how="full_outer")
             .na.fill({"record_count": 0, "file_count": 0})
             .orderBy(*names)
+        )
+
+    def _partitions_multi_spec(self) -> DataFrame:
+        """``partitions`` for a table with partition evolution (Iceberg
+        reports per-partition rows WITH their spec_id): each dir is
+        grouped under ITS OWN spec's dir columns — keying old-layout
+        files on the current spec's names would lump them into one blank
+        phantom partition. Output columns: spec_id + the union of every
+        historical spec's dir columns ('' where a spec doesn't encode
+        one), live record_count (positional MoR deletes applied),
+        file_count, bytes."""
+        import glob as _glob
+        from urllib.parse import unquote
+
+        snap = self.current_snapshot()
+        union_names: list[str] = []
+        for entry in self.partition_spec_log:
+            for n, _c, _d, _s in self._spec_names(entry["partition_by"]):
+                if n not in union_names:
+                    union_names.append(n)
+        stats: dict[tuple, list[int]] = {}
+        count_frames = []
+        deletes = self._read_dirs(snap.delete_dirs, f"{_ROW_ID} long")
+        for d in snap.data_dirs:
+            m = re.search(r"snap-(\d+)", os.path.basename(d))
+            seq = int(m.group(1)) if m else 0
+            d_spec = self._spec_names(self._spec_for_seq(seq))
+            spec_id = next(
+                e["spec_id"]
+                for e in reversed(self.partition_spec_log)
+                if e["seq"] <= seq
+            )
+            d_names = [n for n, _c, _d2, _s in d_spec]
+            for path in _glob.glob(
+                os.path.join(d, "**", "*.parquet"), recursive=True
+            ):
+                rel = os.path.relpath(path, d)
+                vals = {
+                    k: unquote(v)
+                    for k, v in (
+                        seg.split("=", 1)
+                        for seg in rel.split(os.sep)[:-1]
+                        if "=" in seg
+                    )
+                }
+                key = (spec_id, *(vals.get(n, "") for n in union_names))
+                s = stats.setdefault(key, [0, 0])
+                s[0] += 1
+                s[1] += os.path.getsize(path)
+            df = self._read_one_dir(d, self._data_read_schema())
+            if deletes is not None:
+                df = df.join(F.broadcast(deletes), _ROW_ID, "left_anti")
+            grp_cols = [
+                F.coalesce(F.col(n).cast("string"), F.lit("")).alias(n)
+                if n in d_names
+                else F.lit("").alias(n)
+                for n in union_names
+            ]
+            count_frames.append(
+                df.groupBy(*grp_cols)
+                .agg(F.count(F.lit(1)).alias("record_count"))
+                .withColumn("spec_id", F.lit(spec_id))
+            )
+        file_rows = [(*k, n, b) for k, (n, b) in sorted(stats.items())]
+        files_df = self.spark.createDataFrame(
+            file_rows or [],
+            "spec_id int, "
+            + ", ".join(f"{n} string" for n in union_names)
+            + ", file_count int, total_data_file_size_bytes long",
+        )
+        counts = count_frames[0]
+        for f in count_frames[1:]:
+            counts = counts.unionByName(f)
+        counts = counts.groupBy("spec_id", *union_names).agg(
+            F.sum("record_count").alias("record_count")
+        )
+        keys = ["spec_id", *union_names]
+        return (
+            counts.join(files_df, on=keys, how="full_outer")
+            .na.fill({"record_count": 0, "file_count": 0})
+            .orderBy(*keys)
         )
 
     def count(self) -> int:

@@ -109,3 +109,57 @@ def test_single_spec_tables_unaffected(spark, tmp_path):
         {"spec_id": 0, "seq": 0, "partition_by": ["v"]}
     ]
     assert t.scan(partition_filter="v = 'v1'").count() == 3
+
+
+def test_evolve_validates_spec(evo_table):
+    import pytest as _pytest
+
+    from iceberg_v2_to_v3_upgrade_spark.tables.table import TableError
+
+    with _pytest.raises(TableError, match="unknown column"):
+        evo_table.evolve_partition_spec(["bucket(4, no_such_col)"])
+    with _pytest.raises(TableError, match="duplicate partition field"):
+        evo_table.evolve_partition_spec(["brand", "brand"])
+    # same dir-column name from two transforms of the same source col
+    with _pytest.raises(TableError, match="duplicate partition field"):
+        evo_table.evolve_partition_spec(["bucket(4, k)", "bucket(8, k)"])
+
+
+def test_same_name_different_transform_not_covered(evo_table, spark):
+    # bucket(4,k) -> bucket(8,k): both derive 'k_bucket', but the VALUES
+    # differ — the filter must NOT apply to the bucket(4) dir (conservative
+    # pass-through), else rows whose bucket4 != bucket8 silently vanish
+    evo_table.evolve_partition_spec(["bucket(8, k)"])
+    evo_table.insert(
+        spark.range(20, 30).selectExpr(
+            "id AS k", "concat('b', id % 3) AS brand",
+            "CAST(id AS DOUBLE) AS price"
+        )
+    )
+    from pyspark.sql import functions as F
+
+    full = evo_table.scan()
+    b8 = full.filter("k >= 20").withColumn(
+        "b", F.pmod(F.xxhash64("k"), F.lit(8)).cast("int")
+    )
+    expect = 20 + b8.filter("b = 1").count()  # 10 identity + 10 bucket4 rows pass through
+    got = evo_table.scan(partition_filter="k_bucket = '1'").count()
+    assert got == expect
+
+
+def test_partitions_metadata_spec_aware(evo_table):
+    parts = evo_table.partitions().collect()
+    # both layouts reported under their OWN spec ids, no phantom blank row
+    by_spec = {}
+    for r in parts:
+        by_spec.setdefault(r.spec_id, []).append(r)
+    assert set(by_spec) == {0, 1}
+    # spec 0: identity brand dirs (b0/b1/b2), 10 rows total
+    s0 = {r.brand: r.record_count for r in by_spec[0]}
+    assert sum(s0.values()) == 10 and set(s0) == {"b0", "b1", "b2"}
+    assert all(r.k_bucket == "" for r in by_spec[0])
+    # spec 1: bucket dirs carry the other 10 rows
+    assert sum(r.record_count for r in by_spec[1]) == 10
+    assert all(r.brand == "" for r in by_spec[1])
+    # file stats attached to every row that has files
+    assert all(r.file_count > 0 for r in parts)
