@@ -124,6 +124,11 @@ HEADLINE = [
     "n91_markov_attribution",
     "i24_snapshot_diff",
     "l10_stream_cep_pattern",
+    "n92_dedup_threshold_curve",
+    "h20_array_hof",
+    "n94_target_mixture_resample",
+    "k11_exchange_reuse",
+    "i25_wap_branch_audit",
 ]
 
 
