@@ -66,29 +66,94 @@ def n92_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-decimal rounded similarity so both engines bucket identically."""
     from iceberg_v2_to_v3_upgrade_spark.operators.dedup import (
         _exact_jaccard_pairs,
+        word_shingles,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _exact_jaccard_pairs(docs, tau=0.5).select(
+    # EXACT-DUP COLLAPSE FIRST (the production pipeline order, and the
+    # clone-resistance fix the 10x audit demanded: the naive all-docs
+    # pairing measured x22.3 at 10x because pair counts grow as
+    # multiplicity^2 on a clone-heavy corpus). Pairing runs on DISTINCT
+    # texts only; counts expand back through multiplicities —
+    # bit-identical to the naive/oracle formulation because identical
+    # texts have identical shingle sets (cross-text jaccard unchanged;
+    # within-family jaccard is exactly 1.0). Texts whose shingle set is
+    # empty (<3 words) can never pair and are excluded, as the oracle's
+    # empty gram series excludes them.
+    fam = (
+        docs.filter(F.size(word_shingles(F.col("text"), 3)) > 0)
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).alias("m"), F.min("doc_id").alias("doc_id"))
+    )
+    reps = fam.select("doc_id", "text")
+    pairs_d = _exact_jaccard_pairs(reps, tau=0.5).select(
         "doc_a", "doc_b", F.col("jaccard").alias("jac")
+    )
+    mult = fam.select("doc_id", "m")
+    pairs = (
+        pairs_d.join(mult.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("m", "m_a")
+        .join(mult.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("m", "m_b")
     )
     taus = spark.createDataFrame(
         [(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)], "tau double"
     )
     qual = pairs.crossJoin(F.broadcast(taus)).filter(F.col("jac") >= F.col("tau"))
-    n_pairs = qual.groupBy("tau").agg(F.count(F.lit(1)).alias("n_pairs"))
-    flagged = (
-        qual.select("tau", F.explode(F.array("doc_a", "doc_b")).alias("d"))
-        .groupBy("tau")
-        .agg(F.countDistinct("d").alias("n_flagged_docs"))
+    # cross-family pairs expand m_a*m_b; within-family exact dups add
+    # C(m,2) pairs at jaccard 1.0 (>= every tau)
+    exact_per_tau = (
+        fam.filter(F.col("m") >= 2)
+        .agg(
+            F.sum(F.col("m") * (F.col("m") - 1) / 2)
+            .cast("bigint")
+            .alias("exact_pairs"),
+            F.sum("m").cast("bigint").alias("exact_flagged"),
+        )
+        .crossJoin(F.broadcast(taus))
     )
-    return (
-        taus.join(n_pairs, "tau", "left")
-        .join(flagged, "tau", "left")
+    n_pairs = (
+        qual.groupBy("tau")
+        .agg(F.sum(F.col("m_a") * F.col("m_b")).cast("bigint").alias("cross"))
+        .join(exact_per_tau, "tau", "right")
         .select(
             "tau",
-            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
-            F.coalesce("n_flagged_docs", F.lit(0)).alias("n_flagged_docs"),
+            (
+                F.coalesce(F.col("cross"), F.lit(0))
+                + F.coalesce(F.col("exact_pairs"), F.lit(0))
+            ).alias("n_pairs"),
+        )
+    )
+    # flagged docs: every member of a family that is an exact-dup family
+    # OR has a cross partner at >= tau
+    cross_flagged = qual.select(
+        "tau", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    flagged = (
+        cross_flagged.join(mult, "doc_id")
+        .join(
+            fam.filter(F.col("m") >= 2).select(
+                "doc_id", F.lit(True).alias("is_exact")
+            ),
+            "doc_id",
+            "left",
+        )
+        # exact-dup family members are counted via exact_flagged below;
+        # avoid double counting: only non-exact families add here
+        .filter(F.col("is_exact").isNull())
+        .groupBy("tau")
+        .agg(F.sum("m").cast("bigint").alias("cross_only_flagged"))
+    )
+    return (
+        n_pairs.join(flagged, "tau", "left")
+        .join(exact_per_tau.select("tau", "exact_flagged"), "tau")
+        .select(
+            "tau",
+            "n_pairs",
+            (
+                F.coalesce(F.col("cross_only_flagged"), F.lit(0))
+                + F.coalesce(F.col("exact_flagged"), F.lit(0))
+            ).alias("n_flagged_docs"),
         )
         .orderBy("tau")
     )
