@@ -262,3 +262,104 @@ def h17_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declare(
+    "a9_python_stream_source",
+    oracle="""
+        WITH s AS (
+            SELECT i AS id,
+                   ('0x' || substr(md5(i::VARCHAR), 1, 4))::INT % 64 AS bucket
+            FROM range(0, 1000) t(i))
+        SELECT bucket, count(*) AS n, min(id) AS min_id, max(id) AS max_id
+        FROM s GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("sources", "datasource-api", "streaming"),
+)
+def a9_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING DataSource (Spark 4 DataSourceStreamReader)
+    — a8's batch twin run through readStream: offsets are row positions,
+    each micro-batch plans real InputPartitions read in parallel, and the
+    bounded latestOffset makes an availableNow drain deterministic (Spark
+    falls back to single-batch execution for python sources — logged,
+    still exactly-the-N-rows). This is the integration shape for tailing
+    any Python-reachable system (queue consumers, paged APIs) as a
+    first-class parallel stream. Classes defined in-function so
+    cloudpickle ships them by value (no executor import)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _Part(InputPartition):
+        def __init__(self, lo: int, hi: int):
+            self.lo, self.hi = lo, hi
+
+    class _Stream(DataSourceStreamReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", "1000"))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def latestOffset(self):
+            return {"pos": self.n}
+
+        def partitions(self, start, end):
+            lo, hi = start["pos"], end["pos"]
+            step = max(1, (hi - lo) // 4 or 1)
+            parts = [
+                _Part(x, min(x + step, hi)) for x in range(lo, hi, step)
+            ]
+            return parts or [_Part(lo, hi)]
+
+        def read(self, p):
+            import hashlib
+
+            for i in range(p.lo, p.hi):
+                h = hashlib.md5(str(i).encode()).hexdigest()
+                yield (i, int(h[:4], 16) % 64)
+
+        def commit(self, end):
+            pass
+
+    class GenStream(DataSource):
+        @classmethod
+        def name(cls):
+            return "genstream"
+
+        def schema(self):
+            return "id bigint, bucket int"
+
+        def streamReader(self, schema):
+            return _Stream(self.options)
+
+    spark.dataSource.register(GenStream)
+    name = f"a9_stream_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="a9_ck_")
+    q = (
+        spark.readStream.format("genstream")
+        .option("n", "1000")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("bucket")
+    )
