@@ -112,3 +112,59 @@ def n94_target_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------- n95
+
+
+_QUANTILE_DRIFT_ORACLE = """
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+               round(quantile_cont(value, 0.5), 4) + 0.0 AS p50,
+               round(quantile_cont(value, 0.9), 4) + 0.0 AS p90,
+               count(*) AS n_events
+        FROM events GROUP BY 1)
+    SELECT week_start, n_events, p50, p90,
+           round(p50 - lag(p50) OVER (ORDER BY week_start), 4) + 0.0
+               AS p50_drift,
+           round(p90 - lag(p90) OVER (ORDER BY week_start), 4) + 0.0
+               AS p90_drift
+    FROM weekly ORDER BY week_start
+"""
+
+
+@declare(
+    "n95_quantile_drift_weekly",
+    oracle=_QUANTILE_DRIFT_ORACLE,
+    tags=("ext", "events", "monitoring"),
+)
+def n95_quantile_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: weekly P50/P90 of the value column
+    with week-over-week deltas — the basic input-drift check an ML-ops
+    pipeline runs on every feature. EXACT continuous quantiles
+    (percentile, linear interpolation — matches DuckDB quantile_cont
+    bit-for-bit on the same doubles), one week-keyed shuffle, drift from
+    one lag window over the O(weeks) frame."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(F.date_trunc("week", "ts").alias("week_start")).agg(
+        (F.round(F.expr("percentile(value, 0.5)"), 4) + F.lit(0.0)).alias(
+            "p50"
+        ),
+        (F.round(F.expr("percentile(value, 0.9)"), 4) + F.lit(0.0)).alias(
+            "p90"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy("week_start")
+    return weekly.select(
+        "week_start",
+        "n_events",
+        "p50",
+        "p90",
+        (F.round(F.col("p50") - F.lag("p50").over(w), 4) + F.lit(0.0)).alias(
+            "p50_drift"
+        ),
+        (F.round(F.col("p90") - F.lag("p90").over(w), 4) + F.lit(0.0)).alias(
+            "p90_drift"
+        ),
+    ).orderBy("week_start")
