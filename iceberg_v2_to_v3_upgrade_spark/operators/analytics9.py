@@ -168,3 +168,99 @@ def n95_quantile_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_drift"
         ),
     ).orderBy("week_start")
+
+
+# --------------------------------------------------------------- n96
+
+
+_PSI_ORACLE = """
+    WITH base AS (
+        SELECT value,
+               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 'ref' ELSE 'cur' END AS period
+        FROM events),
+    edges AS (
+        SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                   AS e
+        FROM base WHERE period = 'ref'),
+    bucketed AS (
+        SELECT period,
+               1 + len(list_filter(edges.e, x -> x <= value)) AS bucket
+        FROM base, edges),
+    counts AS (
+        SELECT bucket,
+               sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS n_cur
+        FROM bucketed GROUP BY 1),
+    shares AS (
+        SELECT bucket,
+               greatest(n_ref * 1.0 / (SELECT sum(n_ref) FROM counts),
+                        1e-6) AS p_ref,
+               greatest(n_cur * 1.0 / (SELECT sum(n_cur) FROM counts),
+                        1e-6) AS p_cur
+        FROM counts)
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) + 0.0 AS psi
+    FROM shares
+"""
+
+
+@declare(
+    "n96_psi_drift", oracle=_PSI_ORACLE, tags=("ext", "events", "monitoring")
+)
+def n96_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between a reference period (first two
+    fixture weeks) and the current one, over decile buckets of the
+    reference distribution — the monitoring metric scorecards use beside
+    KL (n21). Bucket edges are EXACT reference deciles (percentile,
+    interpolating — bit-identical to DuckDB quantile_cont); shares are
+    floored at 1e-6 exactly as the oracle floors them, so empty buckets
+    contribute identically. One scan + one 10-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "value",
+        F.when(
+            F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"),
+            "ref",
+        )
+        .otherwise("cur")
+        .alias("period"),
+    )
+    edges = base.filter(F.col("period") == "ref").agg(
+        F.expr(
+            "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("e")
+    )
+    bucketed = base.crossJoin(F.broadcast(edges)).select(
+        "period",
+        (
+            1 + F.size(F.filter("e", lambda x: x <= F.col("value")))
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = Window.partitionBy()
+    shares = counts.select(
+        "bucket",
+        F.greatest(
+            F.col("n_ref") * 1.0 / F.sum("n_ref").over(tot), F.lit(1e-6)
+        ).alias("p_ref"),
+        F.greatest(
+            F.col("n_cur") * 1.0 / F.sum("n_cur").over(tot), F.lit(1e-6)
+        ).alias("p_cur"),
+    )
+    return shares.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        (
+            F.round(
+                F.sum(
+                    (F.col("p_cur") - F.col("p_ref"))
+                    * F.log(F.col("p_cur") / F.col("p_ref"))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("psi"),
+    )
