@@ -33,11 +33,17 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     """
     words = F.split(col, " ")
     count = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    # count=0 (text under n words) must yield an EMPTY array: a plain
+    # sequence(0, -1) runs BACKWARD ([0, -1]) and slice(start=0) then
+    # throws at runtime — the short-doc crash class found in n89/n92
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), count - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
+        F.when(
+            count > 0,
+            F.transform(
+                F.sequence(F.lit(0), count - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
 
 

@@ -318,7 +318,7 @@ class LocalTable:
             for f in self.spark.createDataFrame([], self.schema_ddl).schema
         }
         seen_names: set[str] = set()
-        for name, _canon, _derived, src in self._spec_names(new_partition_by):
+        for name, canon, _derived, src in self._spec_names(new_partition_by):
             if src not in schema_cols:
                 raise TableError(
                     f"partition field references unknown column {src!r} "
@@ -328,6 +328,14 @@ class LocalTable:
                 raise TableError(
                     f"duplicate partition field {name!r} in spec "
                     f"{new_partition_by}"
+                )
+            # bucket/truncate REQUIRE the width parameter: the regex makes
+            # it optional, and a parameterless form would silently write
+            # NULL partition values on every later insert
+            if canon.startswith(("bucket(", "truncate(")) and ", " not in canon:
+                raise TableError(
+                    f"partition transform {canon!r} requires a width "
+                    "parameter, e.g. bucket(8, col)"
                 )
             seen_names.add(name)
         log = self.partition_spec_log
@@ -1473,8 +1481,6 @@ class LocalTable:
         stats are metadata-only (a directory walk, no data read); the
         record counts are one groupBy over the merged scan.
         """
-        import glob as _glob
-
         if len(self.partition_spec_log) > 1:
             return self._partitions_multi_spec()
         spec = self._partition_spec()
@@ -1482,27 +1488,11 @@ class LocalTable:
         snap = self.current_snapshot()
         stats: dict[tuple, list[int]] = {}
         for d in snap.data_dirs:
-            for path in _glob.glob(
-                os.path.join(d, "**", "*.parquet"), recursive=True
-            ):
-                rel = os.path.relpath(path, d)
-                # Spark writes Hive-escaped partition dirs (e.g. '#' ->
-                # '%23'); unquote so file stats join the scan-side values
-                # instead of splitting into phantom encoded partitions
-                from urllib.parse import unquote
-
-                vals = {
-                    k: unquote(v)
-                    for k, v in (
-                        seg.split("=", 1)
-                        for seg in rel.split(os.sep)[:-1]
-                        if "=" in seg
-                    )
-                }
+            for vals, size in self._walk_dir_file_stats(d):
                 key = tuple(vals.get(n, "") for n in names)
                 s = stats.setdefault(key, [0, 0])
                 s[0] += 1
-                s[1] += os.path.getsize(path)
+                s[1] += size
         file_rows = [(*k, n, b) for k, (n, b) in sorted(stats.items())]
         cols = "file_count int, total_data_file_size_bytes long"
         if not names:
@@ -1529,6 +1519,29 @@ class LocalTable:
             .orderBy(*names)
         )
 
+    def _walk_dir_file_stats(self, d: str):
+        """Yield (partition-values dict, file size) for every parquet file
+        under a data dir — shared by the single- and multi-spec
+        ``partitions`` paths. Spark writes Hive-escaped partition dirs
+        (e.g. '#' -> '%23'); unquote so file stats join the scan-side
+        values instead of splitting into phantom encoded partitions."""
+        import glob as _glob
+        from urllib.parse import unquote
+
+        for path in _glob.glob(
+            os.path.join(d, "**", "*.parquet"), recursive=True
+        ):
+            rel = os.path.relpath(path, d)
+            vals = {
+                k: unquote(v)
+                for k, v in (
+                    seg.split("=", 1)
+                    for seg in rel.split(os.sep)[:-1]
+                    if "=" in seg
+                )
+            }
+            yield vals, os.path.getsize(path)
+
     def _partitions_multi_spec(self) -> DataFrame:
         """``partitions`` for a table with partition evolution (Iceberg
         reports per-partition rows WITH their spec_id): each dir is
@@ -1536,60 +1549,50 @@ class LocalTable:
         files on the current spec's names would lump them into one blank
         phantom partition. Output columns: spec_id + the union of every
         historical spec's dir columns ('' where a spec doesn't encode
-        one), live record_count (positional MoR deletes applied),
-        file_count, bytes."""
-        import glob as _glob
-        from urllib.parse import unquote
-
+        one), live record_count, file_count, bytes. Record counts apply
+        the SAME MoR merge as ``scan`` (equality deletes and, under V3
+        row lineage, commit-seq-scoped positional tombstones) — per-dir
+        partition values are captured as extra columns BEFORE the merge
+        so delete application stays the one shared code path."""
         snap = self.current_snapshot()
         union_names: list[str] = []
         for entry in self.partition_spec_log:
             for n, _c, _d, _s in self._spec_names(entry["partition_by"]):
                 if n not in union_names:
                     union_names.append(n)
+        keys = ["spec_id", *union_names]
         stats: dict[tuple, list[int]] = {}
-        count_frames = []
-        deletes = self._read_dirs(snap.delete_dirs, f"{_ROW_ID} long")
+        frames = []
+        ddl = self._data_read_schema()
         for d in snap.data_dirs:
             m = re.search(r"snap-(\d+)", os.path.basename(d))
             seq = int(m.group(1)) if m else 0
-            d_spec = self._spec_names(self._spec_for_seq(seq))
+            d_names = {
+                n for n, _c, _d2, _s in self._spec_names(self._spec_for_seq(seq))
+            }
             spec_id = next(
                 e["spec_id"]
                 for e in reversed(self.partition_spec_log)
                 if e["seq"] <= seq
             )
-            d_names = [n for n, _c, _d2, _s in d_spec]
-            for path in _glob.glob(
-                os.path.join(d, "**", "*.parquet"), recursive=True
-            ):
-                rel = os.path.relpath(path, d)
-                vals = {
-                    k: unquote(v)
-                    for k, v in (
-                        seg.split("=", 1)
-                        for seg in rel.split(os.sep)[:-1]
-                        if "=" in seg
-                    )
-                }
+            for vals, size in self._walk_dir_file_stats(d):
                 key = (spec_id, *(vals.get(n, "") for n in union_names))
                 s = stats.setdefault(key, [0, 0])
                 s[0] += 1
-                s[1] += os.path.getsize(path)
-            df = self._read_one_dir(d, self._data_read_schema())
-            if deletes is not None:
-                df = df.join(F.broadcast(deletes), _ROW_ID, "left_anti")
-            grp_cols = [
-                F.coalesce(F.col(n).cast("string"), F.lit("")).alias(n)
-                if n in d_names
-                else F.lit("").alias(n)
-                for n in union_names
-            ]
-            count_frames.append(
-                df.groupBy(*grp_cols)
-                .agg(F.count(F.lit(1)).alias("record_count"))
-                .withColumn("spec_id", F.lit(spec_id))
+                s[1] += size
+            df = (
+                self._read_one_dir(d, ddl)
+                .withColumn("_seq", F.lit(seq))
+                .withColumn("_spec_id", F.lit(spec_id))
             )
+            for i, n in enumerate(union_names):
+                df = df.withColumn(
+                    f"_pv{i}",
+                    F.coalesce(F.col(n).cast("string"), F.lit(""))
+                    if n in d_names
+                    else F.lit(""),
+                )
+            frames.append(df)
         file_rows = [(*k, n, b) for k, (n, b) in sorted(stats.items())]
         files_df = self.spark.createDataFrame(
             file_rows or [],
@@ -1597,16 +1600,43 @@ class LocalTable:
             + ", ".join(f"{n} string" for n in union_names)
             + ", file_count int, total_data_file_size_bytes long",
         )
-        counts = count_frames[0]
-        for f in count_frames[1:]:
-            counts = counts.unionByName(f)
-        counts = counts.groupBy("spec_id", *union_names).agg(
-            F.sum("record_count").alias("record_count")
+        counts_schema = (
+            "spec_id int, "
+            + ", ".join(f"{n} string" for n in union_names)
+            + ", record_count long"
         )
-        keys = ["spec_id", *union_names]
+        if not frames:
+            counts = self.spark.createDataFrame([], counts_schema)
+        else:
+            data = frames[0]
+            for f in frames[1:]:
+                data = data.unionByName(f)
+            if snap.eq_deletes:
+                data = self._apply_eq_deletes(snap, data)
+            if self._meta.get("carried_row_ids"):
+                data = self._apply_pos_deletes_seq_scoped(snap, data)
+            else:
+                deletes = self._read_dirs(snap.delete_dirs, f"{_ROW_ID} long")
+                if deletes is not None:
+                    data = data.join(
+                        F.broadcast(deletes), _ROW_ID, "left_anti"
+                    )
+            counts = data.groupBy(
+                F.col("_spec_id").alias("spec_id"),
+                *[
+                    F.col(f"_pv{i}").alias(n)
+                    for i, n in enumerate(union_names)
+                ],
+            ).agg(F.count(F.lit(1)).alias("record_count"))
         return (
             counts.join(files_df, on=keys, how="full_outer")
-            .na.fill({"record_count": 0, "file_count": 0})
+            .na.fill(
+                {
+                    "record_count": 0,
+                    "file_count": 0,
+                    "total_data_file_size_bytes": 0,
+                }
+            )
             .orderBy(*keys)
         )
 

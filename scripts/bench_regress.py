@@ -37,6 +37,10 @@ def main() -> int:
         factor = float(args.pop())
     if len(args) == 2:
         old, new = load_prev(args[0]), json.load(open(args[1]))
+    elif len(args) == 1:
+        # one baseline file, current working copy as the candidate —
+        # silently ignoring the argument would answer a different question
+        old, new = load_prev(args[0]), json.load(open("BENCH_DETAIL.json"))
     else:
         old, new = load_prev(None), json.load(open("BENCH_DETAIL.json"))
     regressed = []

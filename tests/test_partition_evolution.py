@@ -163,3 +163,42 @@ def test_partitions_metadata_spec_aware(evo_table):
     assert all(r.brand == "" for r in by_spec[1])
     # file stats attached to every row that has files
     assert all(r.file_count > 0 for r in parts)
+
+
+def test_evolve_requires_transform_width(evo_table):
+    import pytest as _pytest
+
+    from iceberg_v2_to_v3_upgrade_spark.tables.table import TableError
+
+    with _pytest.raises(TableError, match="width"):
+        evo_table.evolve_partition_spec(["bucket(k)"])
+    with _pytest.raises(TableError, match="width"):
+        evo_table.evolve_partition_spec(["truncate(brand)"])
+
+
+def test_partitions_empty_multi_spec_table(spark, tmp_path):
+    t = LocalTable.create(
+        spark, str(tmp_path / "e"), "k BIGINT, v STRING", partition_by=["v"]
+    )
+    t.evolve_partition_spec(["bucket(4, k)"])
+    assert t.partitions().count() == 0  # no data dirs: empty, not a crash
+
+
+def test_partitions_multi_spec_applies_mor_deletes(evo_table):
+    # delete rows across both layouts: record counts must equal scan()
+    evo_table.delete_where("k IN (0, 1, 12, 13)")
+    parts = evo_table.partitions()
+    total = parts.agg({"record_count": "sum"}).collect()[0][0]
+    assert total == evo_table.scan().count() == 16
+
+
+def test_short_text_shingles_are_empty(spark):
+    from pyspark.sql import functions as F
+
+    from iceberg_v2_to_v3_upgrade_spark.functions.hashing import word_shingles
+
+    df = spark.createDataFrame(
+        [("a b",), ("one two three four",)], "text string"
+    )
+    got = df.select(F.size(word_shingles(F.col("text"), 3)).alias("n")).collect()
+    assert sorted(r.n for r in got) == [0, 2]
