@@ -1,0 +1,136 @@
+"""Declared queries, round 3 batch J: seasonal decomposition and Neyman
+sampling allocation.
+
+e9 decomposes the daily event series into trend / weekly seasonality /
+residual (the STL-lite every monitoring stack runs before alerting on the
+residual); n97 computes the optimal per-stratum sample allocation
+(Neyman: n_h ∝ N_h·S_h) that survey-grade data valuation uses instead of
+proportional sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+# --------------------------------------------------------------- e9
+
+
+_STL_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        FROM events GROUP BY 1),
+    trended AS (
+        SELECT day, n_events,
+               avg(n_events * 1.0) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+        FROM daily),
+    seasonal AS (
+        SELECT day, n_events, trend,
+               avg(n_events - trend) OVER (
+                   PARTITION BY dayofweek(day)) AS season
+        FROM trended)
+    SELECT day, n_events,
+           round(trend, 4) + 0.0 AS trend,
+           round(season, 4) + 0.0 AS season,
+           round(n_events - trend - season, 4) + 0.0 AS residual
+    FROM seasonal ORDER BY day
+"""
+
+
+@declare(
+    "e9_seasonal_decomposition",
+    oracle=_STL_ORACLE,
+    tags=("ext", "events", "timeseries"),
+)
+def e9_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of the daily event count: trend = centered
+    7-day moving average (edges use the available window — both engines
+    share the frame, so edge behavior matches), weekly seasonality =
+    day-of-week mean of the detrended series, residual = the rest — what
+    an alerting pipeline thresholds instead of the raw series. Entirely
+    windows over the O(days) frame; one shuffle for the daily count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w_ma = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn(
+        "trend", F.avg(F.col("n_events") * 1.0).over(w_ma)
+    )
+    # Spark dayofweek() is 1(Sun)..7; DuckDB dayofweek() is 0(Sun)..6 —
+    # partitioning keys only need to AGREE on the grouping, and both
+    # index the same weekday, so the group means coincide
+    w_dow = Window.partitionBy(F.dayofweek("day"))
+    seasonal = trended.withColumn(
+        "season", F.avg(F.col("n_events") - F.col("trend")).over(w_dow)
+    )
+    return seasonal.select(
+        "day",
+        "n_events",
+        (F.round("trend", 4) + F.lit(0.0)).alias("trend"),
+        (F.round("season", 4) + F.lit(0.0)).alias("season"),
+        (
+            F.round(
+                F.col("n_events") - F.col("trend") - F.col("season"), 4
+            )
+            + F.lit(0.0)
+        ).alias("residual"),
+    ).orderBy("day")
+
+
+# --------------------------------------------------------------- n97
+
+
+_NEYMAN_ORACLE = """
+    WITH strata AS (
+        SELECT event_type, count(*) AS n_rows,
+               stddev_samp(value) AS s
+        FROM events GROUP BY 1),
+    alloc AS (
+        SELECT event_type, n_rows, s,
+               n_rows * s / (SELECT sum(n_rows * s) FROM strata) AS share
+        FROM strata)
+    SELECT event_type, n_rows,
+           round(s, 4) + 0.0 AS stratum_std,
+           round(share, 6) + 0.0 AS alloc_share,
+           CAST(round(1000 * round(share, 6)) AS BIGINT) AS n_alloc
+    FROM alloc ORDER BY event_type
+"""
+
+
+@declare(
+    "n97_neyman_allocation",
+    oracle=_NEYMAN_ORACLE,
+    tags=("ext", "events", "sampling", "stats"),
+)
+def n97_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: a 1000-row budget
+    split across event-type strata proportional to N_h * S_h — minimum-
+    variance mean estimation, the survey-sampling upgrade over n11's
+    proportional split. One stratum-keyed aggregate; the allocation math
+    runs on the 5-row stratum frame. n_alloc derives from the 6-decimal
+    ROUNDED share so both engines round the same double."""
+    ev = load_table(spark, sf_dir, "events")
+    strata = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.stddev_samp("value").alias("s"),
+    )
+    tot = Window.partitionBy()
+    alloc = strata.withColumn(
+        "share",
+        F.col("n_rows")
+        * F.col("s")
+        / F.sum(F.col("n_rows") * F.col("s")).over(tot),
+    )
+    return alloc.select(
+        "event_type",
+        "n_rows",
+        (F.round("s", 4) + F.lit(0.0)).alias("stratum_std"),
+        (F.round("share", 6) + F.lit(0.0)).alias("alloc_share"),
+        F.round(1000 * F.round(F.col("share"), 6))
+        .cast("bigint")
+        .alias("n_alloc"),
+    ).orderBy("event_type")
