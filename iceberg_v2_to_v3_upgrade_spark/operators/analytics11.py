@@ -134,3 +134,138 @@ def n97_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_alloc"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------- n98
+
+
+_CONFORMAL_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        FROM events GROUP BY 1),
+    resid AS (
+        SELECT day,
+               n_events - avg(n_events * 1.0) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS r
+        FROM daily),
+    cal AS (
+        SELECT quantile_cont(abs(r), 0.9) AS thr
+        FROM resid WHERE day < DATE '2024-01-21'),
+    cur AS (SELECT r FROM resid WHERE day >= DATE '2024-01-21')
+    SELECT round(c.thr, 4) + 0.0 AS threshold,
+           count(*) AS n_current,
+           CAST(sum(CASE WHEN abs(cur.r) > c.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           round(sum(CASE WHEN abs(cur.r) > c.thr THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) + 0.0 AS flag_rate
+    FROM cur, cal c GROUP BY c.thr
+"""
+
+
+@declare(
+    "n98_conformal_outlier_calibration",
+    oracle=_CONFORMAL_ORACLE,
+    tags=("ext", "events", "monitoring", "stats"),
+)
+def n98_conformal_outlier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal outlier gate: the |residual| threshold is the
+    exact 90th percentile CALIBRATED on the first 20 fixture days, then
+    applied to the held-out tail — so the flag rate has a distribution-
+    free ~10% guarantee instead of a hand-tuned z-score (n41/n80's
+    parametric siblings). Residuals come from the same centered-7-day
+    trend as e9; the threshold is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w_ma = Window.orderBy("day").rowsBetween(-3, 3)
+    resid = daily.select(
+        "day",
+        (F.col("n_events") - F.avg(F.col("n_events") * 1.0).over(w_ma)).alias(
+            "r"
+        ),
+    )
+    split = F.lit("2024-01-21").cast("date")
+    cal = resid.filter(F.col("day") < split).agg(
+        F.expr("percentile(abs(r), 0.9)").alias("thr")
+    )
+    cur = resid.filter(F.col("day") >= split)
+    return (
+        cur.crossJoin(F.broadcast(cal))
+        .agg(
+            (F.round(F.first("thr"), 4) + F.lit(0.0)).alias("threshold"),
+            F.count(F.lit(1)).alias("n_current"),
+            F.sum(F.when(F.abs("r") > F.col("thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            (
+                F.round(
+                    F.sum(
+                        F.when(F.abs("r") > F.col("thr"), 1).otherwise(0)
+                    )
+                    * 1.0
+                    / F.count(F.lit(1)),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("flag_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------- h21
+
+
+_MAP_HOF_ORACLE = """
+    WITH t AS (
+        SELECT n_name, MAP {'key': n_nationkey, 'reg': n_regionkey} AS m
+        FROM nation)
+    SELECT n_name,
+           m['reg'][1] AS reg_key,
+           len(list_filter(map_entries(m), e -> e.value % 2 = 0))
+               AS n_even_vals,
+           array_to_string(
+               list_sort(list_transform(
+                   map_entries(m),
+                   e -> e.key || ':' || CAST(e.value * 2 AS VARCHAR))),
+               ',') AS doubled_entries
+    FROM t ORDER BY n_name
+"""
+
+
+@declare("h21_map_hof", oracle=_MAP_HOF_ORACLE, tags=("scalar", "nested"))
+def h21_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map lambda HOFs — transform_values, map_filter, map_entries —
+    the map-typed half of the nested-compute surface (h20 covered
+    arrays). Entry lists are sorted and joined to strings so the result
+    stays driver-hashable; DuckDB's map extraction returns a LIST, hence
+    the oracle's [1] (the h12 idiom)."""
+    n = load_table(spark, sf_dir, "nation")
+    t = n.select(
+        "n_name",
+        F.create_map(
+            F.lit("key"), F.col("n_nationkey"),
+            F.lit("reg"), F.col("n_regionkey"),
+        ).alias("m"),
+    )
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
+    return t.select(
+        "n_name",
+        F.element_at("m", "reg").alias("reg_key"),
+        F.size(F.map_filter(F.col("m"), lambda k, v: v % 2 == 0)).alias(
+            "n_even_vals"
+        ),
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.map_entries(doubled),
+                    lambda e: F.concat_ws(
+                        ":", e.key, e.value.cast("string")
+                    ),
+                )
+            ),
+            ",",
+        ).alias("doubled_entries"),
+    ).orderBy("n_name")
