@@ -269,3 +269,78 @@ def h21_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("doubled_entries"),
     ).orderBy("n_name")
+
+
+# --------------------------------------------------------------- n99
+
+
+_CUPED_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00'
+                        THEN value ELSE 0 END) AS x_pre,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+                        THEN value ELSE 0 END) AS y_post
+        FROM events GROUP BY 1),
+    stats AS (
+        SELECT count(*) AS n_users,
+               covar_samp(x_pre, y_post) / var_samp(x_pre) AS theta,
+               var_samp(y_post) AS var_y,
+               corr(x_pre, y_post) AS rho
+        FROM per_user)
+    SELECT n_users,
+           round(theta, 4) + 0.0 AS theta,
+           round(var_y, 2) + 0.0 AS var_raw,
+           round(var_y * (1 - rho * rho), 2) + 0.0 AS var_adjusted,
+           round(rho * rho, 4) + 0.0 AS var_reduction
+    FROM stats
+"""
+
+
+@declare(
+    "n99_cuped_variance_reduction",
+    oracle=_CUPED_ORACLE,
+    tags=("ext", "events", "stats"),
+)
+def n99_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled pre-period covariate adjustment): theta =
+    cov(X_pre, Y_post)/var(X_pre) over per-user week-1 vs post-period
+    value sums; the adjusted metric's variance shrinks by rho^2 — the
+    experimentation-platform trick that makes n82's z-test detect
+    effects with far fewer users. One user-keyed aggregate; the moment
+    statistics are single-pass built-in aggregates (covar_samp /
+    var_samp / corr, identical definitions in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)).alias(
+            "x_pre"
+        ),
+        F.sum(
+            F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)
+        ).alias("y_post"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (
+            F.round(
+                F.covar_samp("x_pre", "y_post") / F.var_samp("x_pre"), 4
+            )
+            + F.lit(0.0)
+        ).alias("theta"),
+        (F.round(F.var_samp("y_post"), 2) + F.lit(0.0)).alias("var_raw"),
+        (
+            F.round(
+                F.var_samp("y_post")
+                * (1 - F.corr("x_pre", "y_post") * F.corr("x_pre", "y_post")),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("var_adjusted"),
+        (
+            F.round(
+                F.corr("x_pre", "y_post") * F.corr("x_pre", "y_post"), 4
+            )
+            + F.lit(0.0)
+        ).alias("var_reduction"),
+    )

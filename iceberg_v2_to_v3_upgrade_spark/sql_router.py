@@ -440,6 +440,30 @@ class EngineSQL:
             message=f"replaced partition field {old} with {new} (spec {spec_id})",
         )
 
+    def _grant_column_mask(self, sql: str, m: re.Match) -> StatementResult:
+        """GRANT COLUMN MASK (col, ...) ON db.t TO 'principal' — the Lake
+        Formation data-filter shape as a statement. Only a principal with
+        ALTER on the table may set masks."""
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        self.catalog.permissions.set_column_mask(
+            m.group("who"), m.group("db"), m.group("table"), cols
+        )
+        return StatementResult(
+            sql,
+            "grant_column_mask",
+            message=f"masked {cols} for {m.group('who')}",
+        )
+
+    def _revoke_column_mask(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
+        self.catalog.permissions.drop_column_mask(
+            m.group("who"), m.group("db"), m.group("table")
+        )
+        return StatementResult(
+            sql, "revoke_column_mask", message=f"unmasked for {m.group('who')}"
+        )
+
     def _call_rewrite(self, sql: str, m: re.Match) -> StatementResult:
         db, table = m.group("db"), m.group("table")
         self._authorize_table("ALTER", db, table)
@@ -581,6 +605,26 @@ class EngineSQL:
             "operation string",
         )
 
+    def _apply_column_masks(self, df: DataFrame, db: str, name: str) -> DataFrame:
+        """Cell-level security (Lake Formation data-filter analog): any
+        column masked for this principal on this table reads as a typed
+        NULL — schema preserved, values withheld. Applied at view
+        registration so every SELECT shape (joins, CTEs, SELECT *) goes
+        through it."""
+        masked = self.catalog.permissions.masked_columns(
+            self.principal, db, name
+        )
+        if not masked:
+            return df
+        return df.select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                if f.name in masked
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+
     def _select(self, sql: str) -> StatementResult:
         """Register every catalog table as `<db>_<table>` view, rewrite
         qualified names (incl. `VERSION AS OF <n>` time travel and the
@@ -624,7 +668,9 @@ class EngineSQL:
                         else tm.group("tag")
                     )
                     view = f"{db}_{name}_v{pin}"
-                    table.scan(snapshot_id=pin).createOrReplaceTempView(view)
+                    self._apply_column_masks(
+                        table.scan(snapshot_id=pin), db, name
+                    ).createOrReplaceTempView(view)
                     rewritten = rewritten.replace(tm.group(0), view)
                 # time travel: db.t TIMESTAMP AS OF '<iso-instant>' ->
                 # latest snapshot at or before the instant
@@ -636,11 +682,17 @@ class EngineSQL:
                 ):
                     ts = tm.group("ts")
                     view = f"{db}_{name}_t{re.sub(r'[^0-9]', '', ts)}"
-                    table.scan(as_of=ts).createOrReplaceTempView(view)
+                    self._apply_column_masks(
+                        table.scan(as_of=ts), db, name
+                    ).createOrReplaceTempView(view)
                     rewritten = rewritten.replace(tm.group(0), view)
                 view = f"{db}_{name}"
-                table.scan(
-                    data_filter=self._pruneable_where(sql, db, name, table)
+                self._apply_column_masks(
+                    table.scan(
+                        data_filter=self._pruneable_where(sql, db, name, table)
+                    ),
+                    db,
+                    name,
                 ).createOrReplaceTempView(view)
                 if table.last_scan_pruning is not None:
                     # observability: which statements actually skipped dirs
@@ -858,6 +910,21 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             re.IGNORECASE,
         ),
         EngineSQL._alter_replace_partition_field,
+    ),
+    (
+        re.compile(
+            rf"GRANT COLUMN MASK\s*\((?P<cols>[^)]+)\)\s*ON\s+{_NAME}"
+            rf"\s+TO\s+'(?P<who>[^']+)'\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._grant_column_mask,
+    ),
+    (
+        re.compile(
+            rf"REVOKE COLUMN MASK\s+ON\s+{_NAME}\s+FROM\s+'(?P<who>[^']+)'\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._revoke_column_mask,
     ),
     (
         re.compile(

@@ -169,6 +169,41 @@ class PermissionStore:
     ) -> None:
         self._revoke(f"table:{database}.{table}", principal, permissions)
 
+    # ------------------------------------------- column-level security
+
+    def set_column_mask(
+        self, principal: str, database: str, table: str, columns
+    ) -> None:
+        """Lake Formation data-filter analog (cell-level security): the
+        principal still sees the full schema, but masked columns read as
+        NULL — LF's nulled-projection column filter, which keeps
+        downstream SELECT * shapes working."""
+        state = self._load()
+        res = f"colmask:{database}.{table}"
+        state["grants"].setdefault(res, {})[principal] = sorted(set(columns))
+        self._save(state)
+
+    def drop_column_mask(
+        self, principal: str, database: str, table: str
+    ) -> None:
+        state = self._load()
+        state["grants"].get(f"colmask:{database}.{table}", {}).pop(
+            principal, None
+        )
+        self._save(state)
+
+    def masked_columns(
+        self, principal: str | None, database: str, table: str
+    ) -> set:
+        if principal is None:
+            return set()
+        state = self._load()
+        return set(
+            state["grants"]
+            .get(f"colmask:{database}.{table}", {})
+            .get(principal, [])
+        )
+
     # ------------------------------------------------------------ checks
 
     def _held(self, resource: str, principal: str | None, state: dict) -> set[str]:

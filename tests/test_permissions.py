@@ -154,3 +154,41 @@ def test_grants_idempotent_and_persisted(catalog):
     assert not fresh.check_database("nobody", "db1", "DROP")
     for p in TABLE_PERMISSIONS:
         assert not fresh.check_table("nobody", "db1", "t1", p)
+
+
+def test_column_mask_nulls_values_for_principal(spark, tmp_path):
+    from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    catalog = LocalCatalog(spark, str(tmp_path / "wh"))
+    admin = EngineSQL(catalog, principal=None)  # non-enforcing default
+    admin.execute(
+        """
+        CREATE TABLE glue_catalog.sec_db.people (
+            id INT, name STRING, salary DECIMAL(10,2)
+        ) USING iceberg;
+        INSERT INTO glue_catalog.sec_db.people VALUES
+            (1, 'ada', 100.00), (2, 'bob', 200.00);
+        GRANT COLUMN MASK (salary, name) ON sec_db.people TO 'analyst';
+        """
+    )
+    analyst = EngineSQL(catalog, principal="analyst")
+    rows = analyst.execute_one(
+        "SELECT id, name, salary FROM sec_db.people ORDER BY id"
+    ).df.collect()
+    assert [r.id for r in rows] == [1, 2]  # schema + row count intact
+    assert all(r.name is None and r.salary is None for r in rows)
+
+    # an unmasked principal still sees everything
+    other = EngineSQL(catalog, principal="other")
+    rows = other.execute_one(
+        "SELECT name FROM sec_db.people ORDER BY id"
+    ).df.collect()
+    assert [r.name for r in rows] == ["ada", "bob"]
+
+    # revoke restores visibility
+    admin.execute_one("REVOKE COLUMN MASK ON sec_db.people FROM 'analyst'")
+    rows = analyst.execute_one(
+        "SELECT name FROM sec_db.people ORDER BY id"
+    ).df.collect()
+    assert [r.name for r in rows] == ["ada", "bob"]
