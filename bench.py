@@ -129,6 +129,14 @@ HEADLINE = [
     "n94_target_mixture_resample",
     "k11_exchange_reuse",
     "i25_wap_branch_audit",
+    "a9_python_stream_source",
+    "n95_quantile_drift_weekly",
+    "n96_psi_drift",
+    "e9_seasonal_decomposition",
+    "n97_neyman_allocation",
+    "n98_conformal_outlier_calibration",
+    "h21_map_hof",
+    "n99_cuped_variance_reduction",
 ]
 
 
