@@ -212,6 +212,10 @@ def n98_conformal_outlier_calibration(
                 + F.lit(0.0)
             ).alias("flag_rate"),
         )
+        # the oracle's GROUP BY over an empty held-out period yields 0
+        # rows; an ungrouped Spark agg always yields 1 — align the shapes
+        # so a fixture whose date range ends before the split stays green
+        .where(F.col("n_current") > 0)
     )
 
 

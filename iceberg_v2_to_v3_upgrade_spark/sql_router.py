@@ -243,8 +243,14 @@ class EngineSQL:
         )
 
     def _show_partitions(self, sql: str, m: re.Match) -> StatementResult:
-        t = self.catalog.load_table(m.group("db"), m.group("table"))
-        return StatementResult(sql, "show_partitions", df=t.partitions())
+        db, table = m.group("db"), m.group("table")
+        self._authorize_table("SELECT", db, table)
+        t = self.catalog.load_table(db, table)
+        return StatementResult(
+            sql,
+            "show_partitions",
+            df=self._mask_metadata_df(t.partitions(), db, table),
+        )
 
     def _show_tblproperties(self, sql: str, m: re.Match) -> StatementResult:
         t = self.catalog.load_table(m.group("db"), m.group("table"))
@@ -440,28 +446,64 @@ class EngineSQL:
             message=f"replaced partition field {old} with {new} (spec {spec_id})",
         )
 
+    def _authorize_mask_admin(self, db: str, table: str, who: str) -> None:
+        """Mask administration gate. Masks are enforced on every read even
+        when the store is NON-enforcing, so administration cannot ride the
+        non-enforcing ALTER default: a masked principal could simply
+        REVOKE its own mask. Rule: modifying YOUR OWN mask state requires
+        an EXPLICIT ALTER/ALL grant (i.e. you are a real table admin);
+        modifying someone else's rides the ordinary ALTER check."""
+        self._authorize_table("ALTER", db, table)
+        perms = self.catalog.permissions
+        if who == self.principal and not perms.check_table_explicit(
+            self.principal, db, table, "ALTER"
+        ):
+            raise PermissionDenied(
+                f"principal {who!r} may not modify its own column masks "
+                f"on {db}.{table} without an explicit ALTER grant"
+            )
+
+    def _resolve_mask_columns(self, db: str, table: str, cols) -> list[str]:
+        """Validate mask columns against the live schema (table must
+        exist) and normalize to the schema's exact case — a typo'd or
+        wrong-case grant would otherwise persist but never match at read
+        time, silently protecting nothing."""
+        t = self.catalog.load_table(db, table)
+        declared = self.spark.createDataFrame([], t.schema_ddl).schema
+        by_lower = {f.name.lower(): f.name for f in declared.fields}
+        out = []
+        for c in cols:
+            resolved = by_lower.get(c.strip().lower())
+            if resolved is None:
+                raise TableError(
+                    f"no column {c.strip()!r} in {db}.{table} "
+                    f"(have: {sorted(by_lower.values())})"
+                )
+            out.append(resolved)
+        return out
+
     def _grant_column_mask(self, sql: str, m: re.Match) -> StatementResult:
         """GRANT COLUMN MASK (col, ...) ON db.t TO 'principal' — the Lake
-        Formation data-filter shape as a statement. Only a principal with
-        ALTER on the table may set masks."""
-        self._authorize_table("ALTER", m.group("db"), m.group("table"))
-        cols = [c.strip() for c in m.group("cols").split(",")]
-        self.catalog.permissions.set_column_mask(
-            m.group("who"), m.group("db"), m.group("table"), cols
+        Formation data-filter shape as a statement. Columns are validated
+        against the table schema; see _authorize_mask_admin for the gate."""
+        db, table, who = m.group("db"), m.group("table"), m.group("who")
+        self._authorize_mask_admin(db, table, who)
+        cols = self._resolve_mask_columns(
+            db, table, m.group("cols").split(",")
         )
+        self.catalog.permissions.set_column_mask(who, db, table, cols)
         return StatementResult(
             sql,
             "grant_column_mask",
-            message=f"masked {cols} for {m.group('who')}",
+            message=f"masked {cols} for {who}",
         )
 
     def _revoke_column_mask(self, sql: str, m: re.Match) -> StatementResult:
-        self._authorize_table("ALTER", m.group("db"), m.group("table"))
-        self.catalog.permissions.drop_column_mask(
-            m.group("who"), m.group("db"), m.group("table")
-        )
+        db, table, who = m.group("db"), m.group("table"), m.group("who")
+        self._authorize_mask_admin(db, table, who)
+        self.catalog.permissions.drop_column_mask(who, db, table)
         return StatementResult(
-            sql, "revoke_column_mask", message=f"unmasked for {m.group('who')}"
+            sql, "revoke_column_mask", message=f"unmasked for {who}"
         )
 
     def _call_rewrite(self, sql: str, m: re.Match) -> StatementResult:
@@ -559,9 +601,17 @@ class EngineSQL:
         WHEN MATCHED THEN UPDATE SET * | DELETE
         [WHEN NOT MATCHED THEN INSERT *]
         (Iceberg's MERGE surface; expression-level SET via the Python API).
+
+        The source query goes through _select, NOT bare spark.sql: _select
+        re-registers every catalog table as a view under THIS principal's
+        column masks and rewrites db.t names. A bare spark.sql would read
+        whatever (possibly unmasked) temp views the last principal on this
+        shared SparkSession registered — a mask bypass.
         """
+        self._authorize_table("DELETE", m.group("db"), m.group("table"))
+        self._authorize_table("INSERT", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
-        source = self.spark.sql(m.group("src"))
+        source = self._select(m.group("src")).df
         keys = [
             km.group(1)
             for km in re.finditer(
@@ -578,17 +628,54 @@ class EngineSQL:
         )
         return StatementResult(sql, "merge", message=f"snapshot {snap.id}")
 
+    def _mask_metadata_df(
+        self, df: DataFrame, db: str, name: str
+    ) -> DataFrame:
+        """Close the metadata-table side channel on column masks: a
+        partition value appears verbatim in `partitions` output columns
+        and in `files.file_path` `k=v` segments. Any output column whose
+        name matches a masked column — or its hidden-partitioning derived
+        name `<col>_day|_month|_bucket|_trunc` (table._partition_spec
+        naming) — reads as typed NULL, and matching path segments are
+        redacted."""
+        masked = self.catalog.permissions.masked_columns(
+            self.principal, db, name
+        )
+        if not masked:
+            return df
+        masked_l = {c.lower() for c in masked}
+        derived_l = {
+            f"{c}_{sfx}"
+            for c in masked_l
+            for sfx in ("day", "month", "bucket", "trunc")
+        }
+        cols = []
+        for f in df.schema.fields:
+            nm = f.name.lower()
+            if nm in masked_l or nm in derived_l:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif nm == "file_path":
+                c = F.col(f.name)
+                for seg in sorted(masked_l | derived_l):
+                    c = F.regexp_replace(
+                        c, f"(^|/){seg}=[^/]*", f"$1{seg}=***"
+                    )
+                cols.append(c.alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        return df.select(*cols)
+
     def _metadata_df(self, db: str, name: str, meta: str) -> DataFrame:
         """Iceberg metadata tables: `db.t.snapshots|history|files|partitions`."""
         t = self.catalog.load_table(db, name)
         if meta == "files":
-            return t.files()
+            return self._mask_metadata_df(t.files(), db, name)
         if meta == "history":
             return t.history()
         if meta == "partitions":
-            return t.partitions()
+            return self._mask_metadata_df(t.partitions(), db, name)
         if meta == "position_deletes":
-            return t.position_deletes()
+            return self._mask_metadata_df(t.position_deletes(), db, name)
         snaps = t.snapshots()
         rows = [
             (
@@ -611,15 +698,18 @@ class EngineSQL:
         NULL — schema preserved, values withheld. Applied at view
         registration so every SELECT shape (joins, CTEs, SELECT *) goes
         through it."""
-        masked = self.catalog.permissions.masked_columns(
-            self.principal, db, name
-        )
+        masked = {
+            c.lower()
+            for c in self.catalog.permissions.masked_columns(
+                self.principal, db, name
+            )
+        }
         if not masked:
             return df
         return df.select(
             *[
                 F.lit(None).cast(f.dataType).alias(f.name)
-                if f.name in masked
+                if f.name.lower() in masked
                 else F.col(f.name)
                 for f in df.schema.fields
             ]

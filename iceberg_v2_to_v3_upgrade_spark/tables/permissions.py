@@ -69,19 +69,37 @@ class PermissionStore:
         self.warehouse = warehouse.rstrip("/")
         self.path = os.path.join(self.warehouse, "_permissions.json")
         self.account_id = get_account_id(self.warehouse)
+        self._cache: dict | None = None
+        self._cache_mtime: float | None = None
 
     # ---------------------------------------------------------- storage
 
     def _load(self) -> dict:
-        if not os.path.exists(self.path):
+        # mtime-keyed cache: the router consults masks for every catalog
+        # table on every SELECT; without this each statement pays N
+        # open+json.load calls even when no grants exist. External writers
+        # (another process) bump the mtime, which invalidates the cache.
+        try:
+            mtime = os.stat(self.path).st_mtime_ns
+        except FileNotFoundError:
             return {"enforcing": False, "grants": {}}
+        if self._cache is not None and mtime == self._cache_mtime:
+            return self._cache
         with open(self.path) as f:
-            return json.load(f)
+            state = json.load(f)
+        self._cache, self._cache_mtime = state, mtime
+        return state
 
     def _save(self, state: dict) -> None:
         os.makedirs(self.warehouse, exist_ok=True)
         with open(self.path, "w") as f:
             json.dump(state, f, indent=1, sort_keys=True)
+        # same-process writes must be visible even within one mtime tick
+        self._cache = state
+        try:
+            self._cache_mtime = os.stat(self.path).st_mtime_ns
+        except FileNotFoundError:
+            self._cache_mtime = None
 
     # ------------------------------------------------------ enforcement
 
@@ -180,7 +198,12 @@ class PermissionStore:
         downstream SELECT * shapes working."""
         state = self._load()
         res = f"colmask:{database}.{table}"
-        state["grants"].setdefault(res, {})[principal] = sorted(set(columns))
+        # GRANT verbs accumulate (matches _grant): a second GRANT COLUMN
+        # MASK adds columns rather than silently unmasking earlier ones.
+        held = set(state["grants"].get(res, {}).get(principal, []))
+        state["grants"].setdefault(res, {})[principal] = sorted(
+            held | set(columns)
+        )
         self._save(state)
 
     def drop_column_mask(
@@ -232,6 +255,19 @@ class PermissionStore:
         state = self._load()
         if not state.get("enforcing"):
             return True
+        held = self._held(f"table:{database}.{table}", principal, state)
+        return "ALL" in held or permission.upper() in held
+
+    def check_table_explicit(
+        self, principal: str | None, database: str, table: str, permission: str
+    ) -> bool:
+        """True only when an EXPLICIT grant covers the permission — the
+        non-enforcing default does NOT count. Used for privileges that
+        must not ride the IAM-access default, e.g. column-mask
+        administration (masks are enforced even in non-enforcing stores,
+        so removing one cannot be allowed just because the store is
+        permissive)."""
+        state = self._load()
         held = self._held(f"table:{database}.{table}", principal, state)
         return "ALL" in held or permission.upper() in held
 

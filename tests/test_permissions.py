@@ -192,3 +192,131 @@ def test_column_mask_nulls_values_for_principal(spark, tmp_path):
         "SELECT name FROM sec_db.people ORDER BY id"
     ).df.collect()
     assert [r.name for r in rows] == ["ada", "bob"]
+
+
+@pytest.fixture()
+def masked_people(spark, tmp_path):
+    """sec_db.people with salary+name masked for 'analyst' (admin is a
+    distinct principal, store left non-enforcing — the LF default)."""
+    catalog = LocalCatalog(spark, str(tmp_path / "wh"))
+    admin = EngineSQL(catalog, principal="admin")
+    admin.execute(
+        """
+        CREATE TABLE glue_catalog.sec_db.people (
+            id INT, name STRING, salary DECIMAL(10,2), region STRING
+        ) USING iceberg PARTITIONED BY (region);
+        INSERT INTO glue_catalog.sec_db.people VALUES
+            (1, 'ada', 100.00, 'emea'), (2, 'bob', 200.00, 'apac');
+        GRANT COLUMN MASK (salary, name) ON sec_db.people TO 'analyst';
+        """
+    )
+    return catalog, admin, EngineSQL(catalog, principal="analyst")
+
+
+def test_column_mask_self_revoke_denied(masked_people):
+    """A masked principal must not remove its own mask via the
+    non-enforcing ALTER default — that would make masks self-service."""
+    catalog, admin, analyst = masked_people
+    with pytest.raises(PermissionDenied, match="own column masks"):
+        analyst.execute_one(
+            "REVOKE COLUMN MASK ON sec_db.people FROM 'analyst'"
+        )
+    with pytest.raises(PermissionDenied, match="own column masks"):
+        analyst.execute_one(
+            "GRANT COLUMN MASK (id) ON sec_db.people TO 'analyst'"
+        )
+    # a DIFFERENT principal (the admin) still administers freely
+    admin.execute_one("REVOKE COLUMN MASK ON sec_db.people FROM 'analyst'")
+    rows = analyst.execute_one(
+        "SELECT name FROM sec_db.people ORDER BY id"
+    ).df.collect()
+    assert [r.name for r in rows] == ["ada", "bob"]
+    # and with an EXPLICIT ALTER grant the principal is a real admin and
+    # may modify its own masks
+    catalog.permissions.grant_table_permissions(
+        "analyst", "sec_db", "people", ["ALTER"]
+    )
+    analyst.execute_one(
+        "GRANT COLUMN MASK (salary) ON sec_db.people TO 'analyst'"
+    )
+    analyst.execute_one("REVOKE COLUMN MASK ON sec_db.people FROM 'analyst'")
+
+
+def test_column_mask_grants_accumulate(masked_people):
+    """A second GRANT COLUMN MASK adds columns (GRANT verbs accumulate,
+    like table grants) instead of replacing the earlier list."""
+    catalog, admin, analyst = masked_people
+    admin.execute_one("GRANT COLUMN MASK (id) ON sec_db.people TO 'analyst'")
+    assert catalog.permissions.masked_columns(
+        "analyst", "sec_db", "people"
+    ) == {"id", "name", "salary"}
+
+
+def test_column_mask_validates_and_normalizes_columns(masked_people):
+    """Unknown columns are rejected at grant time; wrong-case grants are
+    normalized to the schema's case so they actually mask."""
+    catalog, admin, analyst = masked_people
+    from iceberg_v2_to_v3_upgrade_spark.tables.table import TableError
+
+    with pytest.raises(TableError, match="no column 'slary'"):
+        admin.execute_one(
+            "GRANT COLUMN MASK (slary) ON sec_db.people TO 'other'"
+        )
+    admin.execute_one("GRANT COLUMN MASK (SALARY) ON sec_db.people TO 'other'")
+    other = EngineSQL(catalog, principal="other")
+    rows = other.execute_one(
+        "SELECT salary FROM sec_db.people ORDER BY id"
+    ).df.collect()
+    assert all(r.salary is None for r in rows)
+
+
+def test_column_mask_applies_to_merge_source(masked_people):
+    """MERGE routes its source through the current principal's masked
+    views — even right after an UNMASKED principal registered the same
+    table as a temp view on the shared SparkSession."""
+    catalog, admin, analyst = masked_people
+    # admin SELECT registers sec_db_people UNMASKED in the shared session
+    admin.execute_one("SELECT * FROM sec_db.people")
+    analyst.execute(
+        "CREATE TABLE glue_catalog.own_db.copy "
+        "(id INT, name STRING, salary DECIMAL(10,2)) USING iceberg"
+    )
+    analyst.execute_one(
+        "MERGE INTO own_db.copy t USING "
+        "(SELECT id, name, salary FROM sec_db.people) s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = analyst.execute_one(
+        "SELECT * FROM own_db.copy ORDER BY id"
+    ).df.collect()
+    assert [r.id for r in rows] == [1, 2]
+    assert all(r.name is None and r.salary is None for r in rows)
+
+
+def test_column_mask_covers_metadata_tables(masked_people):
+    """partitions / SHOW PARTITIONS / files must not leak masked
+    partition values via directory metadata."""
+    catalog, admin, analyst = masked_people
+    admin.execute_one("GRANT COLUMN MASK (region) ON sec_db.people TO 'analyst'")
+    part_rows = analyst.execute_one(
+        "SELECT * FROM sec_db.people.partitions"
+    ).df.collect()
+    assert part_rows and all(r.region is None for r in part_rows)
+    show_rows = analyst.execute_one(
+        "SHOW PARTITIONS sec_db.people"
+    ).df.collect()
+    assert show_rows and all(r.region is None for r in show_rows)
+    file_rows = analyst.execute_one(
+        "SELECT file_path FROM sec_db.people.files"
+    ).df.collect()
+    assert file_rows
+    assert all("region=***" in r.file_path for r in file_rows)
+    assert not any("emea" in r.file_path or "apac" in r.file_path
+                   for r in file_rows)
+    # the admin (unmasked) still sees real partition values
+    admin_rows = admin.execute_one(
+        "SELECT * FROM sec_db.people.partitions"
+    ).df.collect()
+    assert sorted(r.region for r in admin_rows) == ["apac", "emea"]
