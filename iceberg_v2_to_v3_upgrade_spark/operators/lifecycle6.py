@@ -1,0 +1,74 @@
+"""Declared queries, round 3 batch L: V3 default column values.
+
+Reference parity: the reference upgrades tables to format-version 3 for
+its new features (``internal/upgrade_table.py``); *default column values*
+are one of V3's headline spec additions — ``ADD COLUMN ... DEFAULT``
+gives pre-ALTER rows the default at read time (initial-default) with
+zero file rewrites, where V2 could only null-fill. i26 proves the whole
+arc end-to-end: V2 create → V3 upgrade → defaulted ADD COLUMN through
+the SQL gateway → MoR DELETE and post-ALTER inserts (explicit values
+and an explicit NULL, which must STAY null) → one stitched scan.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+# --------------------------------------------------------------- i26
+
+
+_DEFAULTS_ORACLE = """
+    SELECT n_nationkey, n_name, 'standard' AS tier
+    FROM nation WHERE n_nationkey <> 3
+    UNION ALL
+    SELECT 900 AS n_nationkey, 'ATLANTIS' AS n_name, 'premium' AS tier
+    UNION ALL
+    SELECT 901 AS n_nationkey, 'LEMURIA' AS n_name,
+           CAST(NULL AS VARCHAR) AS tier
+    ORDER BY n_nationkey
+"""
+
+
+@declare("i26_default_values", oracle=_DEFAULTS_ORACLE, tags=("ddl", "lifecycle"))
+def i26_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 initial-default column values: rows written before
+    ``ADD COLUMN tier STRING DEFAULT 'standard'`` read 'standard' (not
+    NULL) with no file rewrite; rows written after store real values —
+    including an explicit NULL, which must stay NULL (the default is not
+    a read-time coalesce). A MoR DELETE in between proves defaults
+    compose with the positional-delete read path. The ALTER goes through
+    the SQL gateway (`ALTER TABLE ... ADD COLUMN ... DEFAULT`), the rest
+    through the table API."""
+    from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="defaults_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "def_db", "nation_d", "n_nationkey BIGINT, n_name STRING"
+    )
+    t.insert(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    t.set_properties({"format-version": "3"})
+    EngineSQL(catalog).execute_one(
+        "ALTER TABLE def_db.nation_d ADD COLUMN tier STRING DEFAULT 'standard'"
+    )
+    t = catalog.load_table("def_db", "nation_d")  # reload evolved schema
+    t.delete_where("n_nationkey = 3")
+    t.insert(
+        spark.createDataFrame(
+            [(900, "ATLANTIS", "premium"), (901, "LEMURIA", None)],
+            "n_nationkey BIGINT, n_name STRING, tier STRING",
+        )
+    )
+    return (
+        t.scan()
+        .select("n_nationkey", "n_name", "tier")
+        .orderBy("n_nationkey")
+    )

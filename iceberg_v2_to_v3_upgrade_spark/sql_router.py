@@ -360,7 +360,11 @@ class EngineSQL:
     def _alter_add_column(self, sql: str, m: re.Match) -> StatementResult:
         self._authorize_table("ALTER", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
-        t.add_column(m.group("col"), m.group("dtype").strip())
+        t.add_column(
+            m.group("col"),
+            m.group("dtype").strip(),
+            default=m.group("default"),
+        )
         return StatementResult(
             sql, "alter", message=f"added column {m.group('col')}"
         )
@@ -948,7 +952,9 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
     (
         re.compile(
             rf"ALTER TABLE {_NAME}\s+ADD COLUMNS?\s*\(?\s*"
-            rf"(?P<col>{_IDENT})\s+(?P<dtype>[^)]+?)\s*\)?\s*$",
+            rf"(?P<col>{_IDENT})\s+(?P<dtype>[^)]+?)"
+            rf"(?:\s+DEFAULT\s+(?P<default>'[^']*'|[-0-9.]+|true|false))?"
+            rf"\s*\)?\s*$",
             re.IGNORECASE,
         ),
         EngineSQL._alter_add_column,

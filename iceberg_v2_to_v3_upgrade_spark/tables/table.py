@@ -952,12 +952,29 @@ class LocalTable:
 
     # ----------------------------------------------------- schema evolution
 
-    def add_column(self, name: str, dtype: str) -> None:
+    def add_column(
+        self, name: str, dtype: str, default: str | None = None
+    ) -> None:
         """ALTER TABLE ADD COLUMN — existing files are not rewritten; old
-        rows read the new column as NULL (Iceberg schema evolution)."""
+        rows read the new column as NULL (Iceberg schema evolution).
+
+        ``default`` (a SQL literal string, e.g. ``"'unknown'"`` or
+        ``"0"``) is Iceberg V3's *initial-default*: rows written BEFORE
+        the ALTER read the default instead of NULL, still with zero file
+        rewrites — the dir's commit sequence decides which side of the
+        ALTER it is on. V2 tables only support a NULL initial default
+        (the Iceberg spec gates non-null defaults on format-version 3),
+        so a non-null default on a V2 table is refused. Rows written
+        AFTER the ALTER store real values; a post-ALTER NULL stays NULL
+        (the default is not a read-time coalesce for new data)."""
         schema = self.spark.createDataFrame([], self.schema_ddl).schema
         if name in schema.fieldNames():
             raise TableError(f"column {name} already exists")
+        if default is not None and self.format_version < 3:
+            raise TableError(
+                "non-null column defaults require format-version 3 "
+                f"(table is V{self.format_version}); upgrade first"
+            )
         if any(
             name in (r["from"], r["to"])
             for r in self._meta.get("renames", [])
@@ -970,6 +987,14 @@ class LocalTable:
                 "pick a fresh name"
             )
         self._meta["schema_ddl"] = f"{self.schema_ddl}, {name} {dtype}"
+        if default is not None:
+            # same seq convention as the rename log: dirs with
+            # snap-seq <= this seq predate the ALTER and read the default
+            self._meta.setdefault("column_defaults", {})[name] = {
+                "seq": self._meta["current_snapshot_id"],
+                "sql": default,
+                "dtype": dtype,
+            }
         self._write_meta()
 
     _PROMOTIONS = {
@@ -1051,6 +1076,9 @@ class LocalTable:
         self._meta.setdefault("renames", []).append(
             {"seq": self._meta["current_snapshot_id"], "from": old, "to": new}
         )
+        defaults = self._meta.get("column_defaults", {})
+        if old in defaults:  # defaults follow the column across renames
+            defaults[new] = defaults.pop(old)
         self._write_meta()
 
     def drop_column(self, name: str) -> None:
@@ -1066,6 +1094,7 @@ class LocalTable:
             for f in schema
             if f.name != name
         )
+        self._meta.get("column_defaults", {}).pop(name, None)
         self._write_meta()
 
     # --------------------------------------------------------------- read
@@ -1085,9 +1114,10 @@ class LocalTable:
         the read projects physical names back to current names. Pure
         metadata resolution — the Iceberg field-id lookup, emulated."""
         renames = self._meta.get("renames", [])
+        m = re.search(r"snap-(\d+)", os.path.basename(d))
+        seq = int(m.group(1)) if m else 0
+        df = None
         if renames:
-            m = re.search(r"snap-(\d+)", os.path.basename(d))
-            seq = int(m.group(1)) if m else 0
             fields = [
                 (f.name, f.dataType.simpleString())
                 for f in self.spark.createDataFrame([], ddl).schema
@@ -1103,14 +1133,25 @@ class LocalTable:
                 hist.append((h, name, dt))
             if changed:
                 read_ddl = ", ".join(f"{h} {dt}" for h, _, dt in hist)
-                return (
+                df = (
                     self.spark.read.schema(read_ddl)
                     .option("basePath", d)
                     .parquet(d)
                     .select(*[F.col(h).alias(c) for h, c, _ in hist])
                 )
-        # per-dir basePath so identity-partition columns round-trip
-        return self.spark.read.schema(ddl).option("basePath", d).parquet(d)
+        if df is None:
+            # per-dir basePath so identity-partition columns round-trip
+            df = self.spark.read.schema(ddl).option("basePath", d).parquet(d)
+        # V3 initial-defaults: a dir whose commit sequence predates the
+        # ADD COLUMN ... DEFAULT reads the default literal instead of the
+        # null-fill; post-ALTER dirs store real values (NULLs included)
+        for name, entry in self._meta.get("column_defaults", {}).items():
+            if seq <= entry["seq"] and name in df.columns:
+                df = df.withColumn(
+                    name,
+                    F.expr(f"CAST({entry['sql']} AS {entry['dtype']})"),
+                )
+        return df
 
     def _read_dirs(
         self,
