@@ -72,3 +72,73 @@ def i26_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "tier")
         .orderBy("n_nationkey")
     )
+
+
+# --------------------------------------------------------------- d21
+
+
+_DRIFT_ORACLE = """
+    SELECT * FROM (VALUES
+        ('id',    'unchanged', 'bigint'),
+        ('note',  'renamed',   'note -> comment'),
+        ('price', 'dropped',   'double'),
+        ('qty',   'widened',   'int -> bigint'),
+        ('tag',   'added',     'string'))
+    AS t(col_name, change, detail)
+    ORDER BY col_name
+"""
+
+
+@declare("d21_schema_drift_report", oracle=_DRIFT_ORACLE, tags=("ddl", "lifecycle"))
+def d21_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift report between a table's creation-time schema and its
+    current one, resolved from the metadata schema log (`schema_at` — the
+    Iceberg `schemas` list emulated) plus the rename log: every column
+    classified added / dropped / renamed / widened / unchanged. The
+    whole arc (add + rename + widen + drop) runs first, then the report
+    is pure metadata — no data file is read."""
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="drift_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "drift_db",
+        "orders_d",
+        "id BIGINT, qty INT, price DOUBLE, note STRING",
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(1, 2, 9.5, "first")], "id BIGINT, qty INT, price DOUBLE, note STRING"
+        )
+    )
+    first_snap = t.current_snapshot().id
+    t.add_column("tag", "STRING")
+    t.rename_column("note", "comment")
+    t.widen_column("qty", "bigint")
+    t.drop_column("price")
+
+    old = {
+        f.name: f.dataType.simpleString()
+        for f in spark.createDataFrame([], t.schema_at(first_snap)).schema
+    }
+    new = {
+        f.name: f.dataType.simpleString()
+        for f in spark.createDataFrame([], t.schema_ddl).schema
+    }
+    renamed = {r["from"]: r["to"] for r in t._meta.get("renames", [])}
+    rows = []
+    for name, dt in old.items():
+        if name in renamed:
+            rows.append((name, "renamed", f"{name} -> {renamed[name]}"))
+        elif name not in new:
+            rows.append((name, "dropped", dt))
+        elif new[name] != dt:
+            rows.append((name, "widened", f"{dt} -> {new[name]}"))
+        else:
+            rows.append((name, "unchanged", dt))
+    for name, dt in new.items():
+        if name not in old and name not in renamed.values():
+            rows.append((name, "added", dt))
+    return spark.createDataFrame(
+        sorted(rows), "col_name string, change string, detail string"
+    )

@@ -617,3 +617,54 @@ def l10_stream_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _drain(cep_pattern_stream(stream), "append", "l10_cep")
     return spark.table(name).orderBy("purchase_id")
+
+
+@declare(
+    "l11_stream_topk_trending",
+    oracle="""
+        WITH counts AS (
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2),
+        ranked AS (
+            SELECT window_start, event_type, n,
+                   rank() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type) AS rnk
+            FROM counts)
+        SELECT window_start, event_type, n, rnk
+        FROM ranked WHERE rnk <= 3
+        ORDER BY window_start, rnk, event_type
+    """,
+    tags=("ext", "streaming"),
+)
+def l11_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending dashboard: hourly per-type counts accumulate in
+    the complete-mode state store across 4 micro-batches, then the
+    drained materialized view is ranked top-3 per window — the
+    "trending now" pattern (streaming maintains the expensive windowed
+    state; ranking is a cheap batch query over the small sink). State is
+    keyed (window × type) and bounded; the rank runs over |windows|×|types|
+    rows, never the raw stream."""
+    from pyspark.sql.window import Window as W
+
+    stage = _stage_events(spark, sf_dir)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=2)
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    name = _drain(agg, "complete", "l11_trending")
+    ranked = spark.table(name).withColumn(
+        "rnk",
+        F.rank().over(
+            W.partitionBy("window_start").orderBy(
+                F.desc("n"), F.col("event_type")
+            )
+        ),
+    )
+    return ranked.where(F.col("rnk") <= 3).orderBy(
+        "window_start", "rnk", "event_type"
+    )

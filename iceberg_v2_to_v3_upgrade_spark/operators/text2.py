@@ -329,3 +329,54 @@ def n34_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "len_bucket")
     )
+
+
+# --------------------------------------------------------------- h22
+
+
+_INVINDEX_ORACLE = """
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents),
+    posting AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               array_to_string(list_sort(list(doc_id)), ',') AS postings
+        FROM tok WHERE length(term) >= 3 GROUP BY term)
+    SELECT term, df, postings
+    FROM posting ORDER BY df DESC, term LIMIT 15
+"""
+
+
+@declare("h22_inverted_index", oracle=_INVINDEX_ORACLE, tags=("ext", "text", "index"))
+def h22_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term -> document frequency + the sorted
+    posting list (the search-engine core structure; posting lists
+    serialized to CSV strings for the hash gate). Explode -> distinct
+    (term, doc) -> one term-keyed groupBy; collect_list is bounded by df,
+    which is bounded by corpus size per term — at 100 TB the posting
+    lists of stop-like terms would be sharded (doc_id range buckets)
+    before collect; here the top-15 head terms stay collectable. Term
+    shuffle is the only exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("term"),
+        )
+        .where(F.length("term") >= 3)
+        .distinct()
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(15)
+    )

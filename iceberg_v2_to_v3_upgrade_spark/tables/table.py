@@ -952,6 +952,28 @@ class LocalTable:
 
     # ----------------------------------------------------- schema evolution
 
+    def _log_schema(self) -> None:
+        """Record the CURRENT schema as superseded at the current commit
+        sequence — the Iceberg metadata `schemas` list, emulated. Called
+        by every schema mutator before it rewrites `schema_ddl`, so
+        ``schema_at`` can resolve the schema any snapshot was written
+        under."""
+        self._meta.setdefault("schema_log", []).append(
+            {
+                "until_seq": self._meta["current_snapshot_id"],
+                "schema_ddl": self.schema_ddl,
+            }
+        )
+
+    def schema_at(self, snapshot_id: int) -> str:
+        """The schema DDL in effect at ``snapshot_id`` (Iceberg's
+        schema-id-per-snapshot lookup): the first logged schema
+        superseded at-or-after that snapshot, else the current schema."""
+        for entry in self._meta.get("schema_log", []):
+            if snapshot_id <= entry["until_seq"]:
+                return entry["schema_ddl"]
+        return self.schema_ddl
+
     def add_column(
         self, name: str, dtype: str, default: str | None = None
     ) -> None:
@@ -986,6 +1008,7 @@ class LocalTable:
                 f"column name {name} appears in the rename history; "
                 "pick a fresh name"
             )
+        self._log_schema()
         self._meta["schema_ddl"] = f"{self.schema_ddl}, {name} {dtype}"
         if default is not None:
             # same seq convention as the rename log: dirs with
@@ -1029,6 +1052,7 @@ class LocalTable:
             ok = s2 == s1 and p2 > p1
         if not ok:
             raise TableError(f"illegal type promotion {cur} -> {new_type}")
+        self._log_schema()
         self._meta["schema_ddl"] = ", ".join(
             f"{f.name} {new if f.name == name else f.dataType.simpleString()}"
             for f in schema
@@ -1069,6 +1093,7 @@ class LocalTable:
                 raise TableError(
                     f"cannot rename {old}: equality-delete files key on it"
                 )
+        self._log_schema()
         self._meta["schema_ddl"] = ", ".join(
             f"{new if f.name == old else f.name} {f.dataType.simpleString()}"
             for f in schema
@@ -1089,6 +1114,7 @@ class LocalTable:
             raise TableError(f"no column {name}")
         if name in self.partition_by:
             raise TableError(f"cannot drop partition column {name}")
+        self._log_schema()
         self._meta["schema_ddl"] = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
             for f in schema

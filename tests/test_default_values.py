@@ -91,3 +91,19 @@ def test_dropping_defaulted_column_clears_metadata(spark, v3_table):
     t.drop_column("tier")
     assert "tier" not in t._meta.get("column_defaults", {})
     assert t.scan().columns == ["id", "v"]
+
+
+def test_schema_at_resolves_historical_schemas(spark, v3_table):
+    t = v3_table
+    snap1 = t.current_snapshot().id
+    t.add_column("tier", "STRING", default="'standard'")
+    t.insert(
+        spark.createDataFrame(
+            [(3, "c", "gold")], "id BIGINT, v STRING, tier STRING"
+        )
+    )
+    snap2 = t.current_snapshot().id
+    t.rename_column("v", "label")
+    assert t.schema_at(snap1) == "id BIGINT, v STRING"
+    assert t.schema_at(snap2) == "id BIGINT, v STRING, tier STRING"
+    assert t.schema_ddl == "id bigint, label string, tier string"
