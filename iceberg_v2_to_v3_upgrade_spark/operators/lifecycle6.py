@@ -142,3 +142,70 @@ def d21_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "col_name string, change string, detail string"
     )
+
+
+# --------------------------------------------------------------- i27
+
+
+_CONDITIONAL_MERGE_ORACLE = """
+    SELECT p_partkey,
+           CASE WHEN p_partkey <= 200
+                     AND round(p_retailprice * 2, 2) > 1500
+                THEN round(round(p_retailprice * 2, 2) + 1, 2)
+                ELSE p_retailprice END AS price
+    FROM part
+    UNION ALL
+    SELECT p_partkey + 1000000 AS p_partkey,
+           round(p_retailprice * 2, 2) AS price
+    FROM part
+    WHERE p_partkey <= 50 AND round(p_retailprice * 2, 2) <= 300
+    ORDER BY p_partkey
+"""
+
+
+@declare(
+    "i27_conditional_merge", oracle=_CONDITIONAL_MERGE_ORACLE, tags=("dml", "lifecycle")
+)
+def i27_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE through the SQL gateway: `WHEN MATCHED AND
+    s.price > 1500 THEN UPDATE SET price = s.price + 1` leaves matched
+    rows that fail the condition untouched (no delete entry, no rewrite
+    — their files are not even cited in the new snapshot's delete
+    ledger), and `WHEN NOT MATCHED AND s.price <= 300 THEN INSERT *`
+    gates the insert leg independently. Oracle expresses both legs
+    relationally (CASE + filtered UNION ALL)."""
+    from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="condmerge_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "cm_db", "part_cm", "p_partkey BIGINT, price DOUBLE"
+    )
+    part = load_table(spark, sf_dir, "part")
+    t.insert(
+        part.select("p_partkey", F.col("p_retailprice").alias("price"))
+    )
+    source = part.filter(F.col("p_partkey") <= 200).select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 2, 2).alias("price"),
+    ).unionByName(
+        part.filter(F.col("p_partkey") <= 50).select(
+            (F.col("p_partkey") + 1000000).alias("p_partkey"),
+            F.round(F.col("p_retailprice") * 2, 2).alias("price"),
+        )
+    )
+    source.createOrReplaceTempView("cm_source")
+    EngineSQL(catalog).execute_one(
+        "MERGE INTO cm_db.part_cm t USING "
+        "(SELECT p_partkey, price FROM cm_source) s "
+        "ON t.p_partkey = s.p_partkey "
+        "WHEN MATCHED AND s.price > 1500 THEN UPDATE SET price = round(s.price + 1, 2) "
+        "WHEN NOT MATCHED AND s.price <= 300 THEN INSERT *"
+    )
+    return (
+        catalog.load_table("cm_db", "part_cm")
+        .scan()
+        .select("p_partkey", "price")
+        .orderBy("p_partkey")
+    )

@@ -602,9 +602,11 @@ class EngineSQL:
 
     def _merge(self, sql: str, m: re.Match) -> StatementResult:
         """MERGE INTO t USING (<query>) s ON t.k = s.k
-        WHEN MATCHED THEN UPDATE SET * | DELETE
-        [WHEN NOT MATCHED THEN INSERT *]
-        (Iceberg's MERGE surface; expression-level SET via the Python API).
+        WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET c = expr, ... | DELETE
+        [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+        (Iceberg's MERGE surface: conditional clauses and expression-level
+        SET assignments; matched rows failing the AND-condition stay
+        untouched).
 
         The source query goes through _select, NOT bare spark.sql: _select
         re-registers every catalog table as a view under THIS principal's
@@ -624,11 +626,28 @@ class EngineSQL:
         ]
         if not keys:
             raise TableError(f"cannot parse merge keys from: {m.group('on')}")
-        when_matched = "delete" if m.group("matched").upper() == "DELETE" else "update"
+        verb = m.group("matched").upper()
+        if verb == "DELETE":
+            when_matched: str | dict = "delete"
+        elif m.group("sets"):
+            # UPDATE SET col = expr, ... — expression-level assignments
+            when_matched = {}
+            for item in _split_top_level(m.group("sets")):
+                col, expr = item.split("=", 1)
+                col = col.strip()
+                if col.lower().startswith("t."):
+                    col = col[2:]
+                when_matched[col] = expr.strip()
+        else:
+            when_matched = "update"
         when_not_matched = "insert" if m.group("notmatched") else None
         snap = t.merge_into(
-            source, keys, when_matched=when_matched,
+            source,
+            keys,
+            when_matched=when_matched,
             when_not_matched=when_not_matched,
+            matched_condition=m.group("mcond"),
+            not_matched_condition=m.group("nmcond"),
         )
         return StatementResult(sql, "merge", message=f"snapshot {snap.id}")
 
@@ -1126,8 +1145,10 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
         re.compile(
             rf"MERGE INTO {_NAME}(?:\s+AS)?(?:\s+t)?\s+USING\s*"
             rf"\((?P<src>.+)\)(?:\s+AS)?\s+s\s+ON\s+(?P<on>.+?)\s+"
-            rf"WHEN MATCHED THEN (?P<matched>UPDATE SET \*|DELETE)"
-            rf"(?P<notmatched>\s+WHEN NOT MATCHED THEN INSERT \*)?\s*$",
+            rf"WHEN MATCHED(?:\s+AND\s+(?P<mcond>.+?))?\s+THEN\s+"
+            rf"(?P<matched>UPDATE SET \*|UPDATE SET (?P<sets>.+?)|DELETE)"
+            rf"(?P<notmatched>\s+WHEN NOT MATCHED"
+            rf"(?:\s+AND\s+(?P<nmcond>.+?))?\s+THEN INSERT \*)?\s*$",
             re.IGNORECASE,
         ),
         EngineSQL._merge,

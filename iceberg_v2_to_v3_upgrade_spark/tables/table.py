@@ -856,6 +856,8 @@ class LocalTable:
         on: list[str],
         when_matched: str | dict[str, str | Column] | None = "update",
         when_not_matched: str | None = "insert",
+        matched_condition: str | None = None,
+        not_matched_condition: str | None = None,
     ) -> Snapshot:
         """MERGE INTO target USING source ON keys — the third leg of
         Iceberg's row-level DML (DELETE/UPDATE/MERGE), MoR semantics:
@@ -867,6 +869,11 @@ class LocalTable:
         (source columns win on name clashes), or None (leave matched
         rows untouched).
         ``when_not_matched``: "insert" or None.
+        ``matched_condition`` / ``not_matched_condition``: optional SQL
+        predicates (may use ``t.`` / ``s.`` qualifiers) implementing
+        ``WHEN [NOT] MATCHED AND <cond>`` — matched rows that fail the
+        condition are left untouched (no delete entry, no rewrite), and
+        unmatched source rows that fail theirs are not inserted.
 
         Scale: one equi-join keyed on ``on`` between target scan and
         source — broadcast when the source is small (the common upsert
@@ -881,6 +888,8 @@ class LocalTable:
         for k in on:
             cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
         matched = t.join(s, cond, "inner")
+        if matched_condition:
+            matched = matched.filter(F.expr(matched_condition))
         new_rows = []
         if when_matched == "update":
             # source columns win; table fills the rest (classic upsert)
@@ -922,6 +931,10 @@ class LocalTable:
                     f"source; missing {missing}"
                 )
             unmatched_src = s.join(t, cond, "left_anti")
+            if not_matched_condition:
+                unmatched_src = unmatched_src.filter(
+                    F.expr(not_matched_condition)
+                )
             new_rows.append(unmatched_src.select(*cols))
         elif when_not_matched is not None:
             raise TableError(f"bad when_not_matched: {when_not_matched!r}")

@@ -275,3 +275,54 @@ def test_merge_and_time_travel_sql(spark, catalog, demo_table):
         "WHERE id = 1"
     ).df.collect()
     assert was[0].name == "Product A"
+
+
+def test_merge_conditional_clauses_sql(spark, catalog):
+    """WHEN MATCHED AND <cond> / expression-level SET / conditional
+    NOT MATCHED insert, all through the gateway."""
+    engine = EngineSQL(catalog)
+    engine.execute(
+        "CREATE TABLE glue_catalog.mdb.acct (id BIGINT, bal DOUBLE) USING iceberg;"
+        "INSERT INTO glue_catalog.mdb.acct VALUES (1, 10.0), (2, 20.0), (3, 30.0)"
+    )
+    # matched rows with s.bal > 15 get t.bal + s.bal; others untouched;
+    # unmatched source rows insert only when bal >= 5
+    engine.execute_one(
+        "MERGE INTO mdb.acct t USING "
+        "(SELECT 1 AS id, CAST(100.0 AS DOUBLE) AS bal "
+        " UNION ALL SELECT 2, CAST(5.0 AS DOUBLE) "
+        " UNION ALL SELECT 4, CAST(4.0 AS DOUBLE) "
+        " UNION ALL SELECT 5, CAST(50.0 AS DOUBLE)) s "
+        "ON t.id = s.id "
+        "WHEN MATCHED AND s.bal > 15 THEN UPDATE SET bal = t.bal + s.bal "
+        "WHEN NOT MATCHED AND s.bal >= 5 THEN INSERT *"
+    )
+    rows = {
+        r.id: r.bal
+        for r in engine.execute_one(
+            "SELECT id, bal FROM mdb.acct"
+        ).df.collect()
+    }
+    # id=1 matched+cond -> 110; id=2 matched, cond false -> untouched 20;
+    # id=3 never in source -> 30; id=4 unmatched, bal<5 -> NOT inserted;
+    # id=5 unmatched, bal>=5 -> inserted
+    assert rows == {1: 110.0, 2: 20.0, 3: 30.0, 5: 50.0}
+
+
+def test_merge_conditional_delete_sql(spark, catalog):
+    engine = EngineSQL(catalog)
+    engine.execute(
+        "CREATE TABLE glue_catalog.mdb.d (id BIGINT, v BIGINT) USING iceberg;"
+        "INSERT INTO glue_catalog.mdb.d VALUES (1, 1), (2, 2), (3, 3)"
+    )
+    engine.execute_one(
+        "MERGE INTO mdb.d t USING "
+        "(SELECT 1 AS id UNION ALL SELECT 2 UNION ALL SELECT 3) s "
+        "ON t.id = s.id "
+        "WHEN MATCHED AND t.v >= 2 THEN DELETE"
+    )
+    rows = sorted(
+        r.id
+        for r in engine.execute_one("SELECT id FROM mdb.d").df.collect()
+    )
+    assert rows == [1]  # v=1 fails the condition, survives
