@@ -209,3 +209,70 @@ def i27_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "price")
         .orderBy("p_partkey")
     )
+
+
+# --------------------------------------------------------------- i28
+
+
+_MV_ORACLE = """
+    WITH base AS (
+        SELECT o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderkey % 10 <> 3
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice * 2 FROM orders
+        WHERE o_orderkey <= 500)
+    SELECT o_orderpriority,
+           round(sum(o_totalprice), 2) + 0.0 AS total,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM base GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@declare(
+    "i28_materialized_view", oracle=_MV_ORACLE, tags=("ddl", "lifecycle", "mv")
+)
+def i28_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view with INCREMENTAL maintenance: the MV (grouped
+    SUM/COUNT over orders) is created, then the base table takes a MoR
+    DELETE and an append, then REFRESH delta-merges ONLY the changed
+    rows into the MV via the CDC changelog (asserted incremental — the
+    refresh message is checked, not hoped). The oracle recomputes the
+    final aggregate from the mutated base relationally. Scale: the
+    refresh reads O(changed rows), never the base table."""
+    from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="mv_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "mv_db", "orders_b", "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
+    )
+    t.insert(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+    )
+    sql = EngineSQL(catalog)
+    sql.execute_one(
+        "CREATE MATERIALIZED VIEW mv_db.pri_totals AS "
+        "SELECT o_orderpriority, SUM(o_totalprice) AS total, COUNT(*) AS cnt "
+        "FROM mv_db.orders_b GROUP BY o_orderpriority"
+    )
+    sql.execute_one("DELETE FROM mv_db.orders_b WHERE o_orderkey % 10 = 3")
+    t = catalog.load_table("mv_db", "orders_b")  # see the DELETE commit
+    t.insert(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_orderpriority",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+    )
+    res = sql.execute_one("REFRESH MATERIALIZED VIEW mv_db.pri_totals")
+    assert "(incremental)" in res.message, res.message
+    return sql.execute_one(
+        "SELECT o_orderpriority, round(total, 2) + 0.0 AS total, cnt "
+        "FROM mv_db.pri_totals ORDER BY o_orderpriority"
+    ).df

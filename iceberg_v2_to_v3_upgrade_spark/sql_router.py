@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import datetime
 import io
+import json
 import re
 from contextlib import redirect_stdout
 from dataclasses import dataclass
@@ -188,6 +189,177 @@ class EngineSQL:
         self._views.pop(name, None)
         self.spark.catalog.dropTempView(name)
         return StatementResult(sql, "drop_view", message=f"dropped {name}")
+
+    # ------------------------------------------------ materialized views
+
+    #: Shape eligible for INCREMENTAL maintenance: single-table flat
+    #: grouped aggregate. Anything else refreshes by full recompute.
+    _MV_SIMPLE_RE = re.compile(
+        rf"^\s*SELECT\s+(?P<proj>.+?)\s+FROM\s+"
+        rf"(?:{_IDENT}\.)?(?P<bdb>{_IDENT})\.(?P<btbl>{_IDENT})"
+        rf"(?:\s+WHERE\s+(?P<where>.+?))?\s+GROUP\s+BY\s+(?P<groupby>.+?)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _mv_base_snapshots(self, select: str) -> dict[str, int]:
+        """Current snapshot id of every catalog table the MV SELECT
+        references — the staleness watermark stored at (re)materialize
+        time and consumed by the incremental delta read."""
+        snaps: dict[str, int] = {}
+        for d in self.catalog.list_databases():
+            for info in self.catalog.list_tables(d):
+                if re.search(
+                    rf"\b{d}\.{info['name']}\b", select, re.IGNORECASE
+                ):
+                    t = self.catalog.load_table(d, info["name"])
+                    snaps[f"{d}.{info['name']}"] = t._meta[
+                        "current_snapshot_id"
+                    ]
+        return snaps
+
+    def _create_materialized_view(
+        self, sql: str, m: re.Match
+    ) -> StatementResult:
+        """CREATE MATERIALIZED VIEW db.mv AS <select> — materializes the
+        result as a first-class MoR table (snapshot-versioned, so MV
+        refresh history is time-travelable) and records the defining
+        SELECT plus per-base-table snapshot watermarks in table
+        properties for REFRESH."""
+        db, name = m.group("db"), m.group("table")
+        select = m.group("select").strip()
+        self._authorize_db("CREATE_TABLE", db)
+        df = self._select(select).df
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        )
+        t = self.catalog.create_table(db, name, ddl)
+        t.insert(df)
+        t.set_properties(
+            {
+                "mv.select": select,
+                "mv.base-snapshots": json.dumps(
+                    self._mv_base_snapshots(select), sort_keys=True
+                ),
+            }
+        )
+        return StatementResult(
+            sql,
+            "create_materialized_view",
+            message=f"materialized {db}.{name}",
+        )
+
+    def _refresh_materialized_view(
+        self, sql: str, m: re.Match
+    ) -> StatementResult:
+        """REFRESH MATERIALIZED VIEW db.mv — INCREMENTAL when the
+        defining SELECT is a single-table grouped aggregate with a
+        COUNT(*) column (delta-aggregate the base table's CDC changelog
+        since the stored watermark, MERGE the monoid deltas into the MV,
+        drop groups whose count reaches 0 — O(changed rows), the i9
+        maintenance math as an engine feature); FULL recompute otherwise.
+        COUNT(*) is required for the incremental path because it is what
+        detects a group emptying out — without it a fully-deleted group
+        would linger with stale sums."""
+        db, name = m.group("db"), m.group("table")
+        self._authorize_table("INSERT", db, name)
+        self._authorize_table("DELETE", db, name)
+        t = self.catalog.load_table(db, name)
+        select = t.properties.get("mv.select")
+        if not select:
+            raise TableError(f"{db}.{name} is not a materialized view")
+        base_snaps = json.loads(t.properties.get("mv.base-snapshots", "{}"))
+        mode = self._incremental_mv_refresh(t, select, base_snaps)
+        if mode is None:
+            df = self._select(select).df  # reads BASE views, not the MV
+            t.delete_where("true")
+            t.insert(df)
+            mode = "full"
+        t.set_properties(
+            {
+                "mv.base-snapshots": json.dumps(
+                    self._mv_base_snapshots(select), sort_keys=True
+                )
+            }
+        )
+        return StatementResult(
+            sql,
+            "refresh_materialized_view",
+            message=f"refreshed {db}.{name} ({mode})",
+        )
+
+    def _incremental_mv_refresh(
+        self, t, select: str, base_snaps: dict[str, int]
+    ) -> str | None:
+        """Try the delta-merge path; None means 'not eligible, do a full
+        recompute'. Eligibility: flat single-table GROUP BY over bare
+        group columns with only SUM(expr) AS a / COUNT(*) AS c
+        projections (the self-maintainable monoid aggregates)."""
+        sm = self._MV_SIMPLE_RE.match(select)
+        if not sm:
+            return None
+        bdb, btbl = sm.group("bdb"), sm.group("btbl")
+        if not self.catalog.table_exists(bdb, btbl):
+            return None
+        if set(self._mv_base_snapshots(select)) != {f"{bdb}.{btbl}"}:
+            return None
+        groups = [g.strip() for g in sm.group("groupby").split(",")]
+        if any(not re.fullmatch(_IDENT, g) for g in groups):
+            return None
+        sums: dict[str, str] = {}
+        count_alias = None
+        for item in _split_top_level(sm.group("proj")):
+            item = item.strip()
+            if re.fullmatch(_IDENT, item):
+                if item not in groups:
+                    return None
+                continue
+            am = re.fullmatch(
+                rf"SUM\((?P<e>[^)]+)\)\s+AS\s+(?P<a>{_IDENT})",
+                item,
+                re.IGNORECASE,
+            )
+            cm = re.fullmatch(
+                rf"COUNT\(\*\)\s+AS\s+(?P<a>{_IDENT})", item, re.IGNORECASE
+            )
+            if am:
+                sums[am.group("a")] = am.group("e")
+            elif cm:
+                count_alias = cm.group("a")
+            else:
+                return None
+        if count_alias is None:
+            return None
+        key = f"{bdb}.{btbl}"
+        if key not in base_snaps:
+            return None
+        base = self.catalog.load_table(bdb, btbl)
+        cur = base._meta["current_snapshot_id"]
+        if cur == base_snaps[key]:
+            return "incremental, no base changes"
+        ch = base.changes(base_snaps[key], cur)
+        if sm.group("where"):
+            ch = ch.filter(sm.group("where"))
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        declared = self.spark.createDataFrame([], t.schema_ddl).schema
+        aggs = [
+            F.sum(sign * F.expr(e)).cast(declared[a].dataType).alias(a)
+            for a, e in sums.items()
+        ]
+        aggs.append(
+            F.sum(sign).cast(declared[count_alias].dataType).alias(count_alias)
+        )
+        delta = ch.groupBy(*groups).agg(*aggs)
+        sets = {
+            a: f"t.{a} + coalesce(s.{a}, 0)"
+            for a in [*sums, count_alias]
+        }
+        t.merge_into(
+            delta, on=groups, when_matched=sets, when_not_matched="insert"
+        )
+        t.delete_where(f"{count_alias} <= 0")
+        return "incremental"
 
     def _register_views(self) -> None:
         """(Re-)materialize session views as temp views in creation order,
@@ -875,6 +1047,20 @@ class EngineSQL:
 
 # route table (class attribute referencing unbound methods)
 EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
+    (
+        re.compile(
+            rf"CREATE MATERIALIZED VIEW\s+{_NAME}\s+AS\s+"
+            rf"(?P<select>SELECT\b.+)$",
+            re.IGNORECASE | re.DOTALL,
+        ),
+        EngineSQL._create_materialized_view,
+    ),
+    (
+        re.compile(
+            rf"REFRESH MATERIALIZED VIEW\s+{_NAME}\s*$", re.IGNORECASE
+        ),
+        EngineSQL._refresh_materialized_view,
+    ),
     (
         re.compile(
             rf"CREATE (?P<replace>OR REPLACE )?(?:TEMP(?:ORARY)? )?VIEW\s+"
