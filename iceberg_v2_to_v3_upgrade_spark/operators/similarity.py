@@ -632,3 +632,132 @@ def n3f_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace", "cell")
     )
+
+
+# --------------------------------------------------------------- n103
+
+
+_MMR_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS (
+        SELECT e.vec_id, e.v,
+               list_dot_product(qv, v)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(v, v))) AS sim
+        FROM e CROSS JOIN q WHERE e.vec_id <> 0
+        ORDER BY sim DESC, vec_id LIMIT 8),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS psim
+        FROM cand a CROSS JOIN cand b),
+    s1 AS (SELECT vec_id, sim AS score FROM cand
+           ORDER BY sim DESC, vec_id LIMIT 1),
+    r2 AS (
+        SELECT c.vec_id, 0.7 * c.sim - 0.3 * p.psim AS score
+        FROM cand c
+        JOIN pairs p ON p.a_id = c.vec_id
+                    AND p.b_id = (SELECT vec_id FROM s1)
+        WHERE c.vec_id <> (SELECT vec_id FROM s1)),
+    s2 AS (SELECT vec_id, score FROM r2
+           ORDER BY score DESC, vec_id LIMIT 1),
+    r3 AS (
+        SELECT c.vec_id, 0.7 * c.sim - 0.3 * max(p.psim) AS score
+        FROM cand c
+        JOIN pairs p ON p.a_id = c.vec_id
+                    AND p.b_id IN (SELECT vec_id FROM s1
+                                   UNION ALL SELECT vec_id FROM s2)
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM s1
+                               UNION ALL SELECT vec_id FROM s2)
+        GROUP BY c.vec_id, c.sim),
+    s3 AS (SELECT vec_id, score FROM r3
+           ORDER BY score DESC, vec_id LIMIT 1)
+    SELECT 1 AS pick_order, vec_id, round(score, 4) + 0.0 AS score FROM s1
+    UNION ALL
+    SELECT 2 AS pick_order, vec_id, round(score, 4) + 0.0 AS score FROM s2
+    UNION ALL
+    SELECT 3 AS pick_order, vec_id, round(score, 4) + 0.0 AS score FROM s3
+    ORDER BY pick_order
+"""
+
+
+@declare("n103_mmr_rerank", oracle=_MMR_ORACLE, tags=("ext", "similarity"))
+def n103_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): from the top-8 cosine candidates for query vec 0, pick 3
+    diverse results — each step maximizes λ·sim(q,d) − (1−λ)·max
+    similarity to the already-picked set (λ=0.7, ties → lower vec_id).
+    The retrieval stage is the scalable part (broadcast query, one
+    corpus scan); the MMR loop runs unrolled on the 8-row candidate
+    frame with its 8×8 pair matrix — all broadcast joins, no corpus
+    shuffle. This is retrieval's standard diversity re-rank, expressed
+    as DataFrame steps instead of a driver loop."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "v",
+            cosine_similarity(F.col("qv"), F.col("v")).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(8)
+        .cache()
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = a.crossJoin(b).select(
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("psim"),
+    )
+    s1 = cand.orderBy(F.desc("sim"), "vec_id").limit(1).select(
+        "vec_id", F.col("sim").alias("score")
+    )
+    sel1 = s1.select(F.col("vec_id").alias("b_id"))
+    r2 = (
+        cand.join(F.broadcast(sel1), F.col("vec_id") != F.col("b_id"))
+        .join(F.broadcast(pairs), ["b_id"])
+        .where(F.col("a_id") == F.col("vec_id"))
+        .select(
+            "vec_id",
+            (F.lit(0.7) * F.col("sim") - F.lit(0.3) * F.col("psim")).alias(
+                "score"
+            ),
+        )
+    )
+    s2 = r2.orderBy(F.desc("score"), "vec_id").limit(1)
+    sel12 = sel1.unionByName(s2.select(F.col("vec_id").alias("b_id")))
+    r3 = (
+        cand.join(
+            F.broadcast(sel12.select(F.col("b_id").alias("x_id"))),
+            F.col("vec_id") == F.col("x_id"),
+            "left_anti",
+        )
+        .join(F.broadcast(pairs), F.col("a_id") == F.col("vec_id"))
+        .join(F.broadcast(sel12), ["b_id"])
+        .groupBy("vec_id", "sim")
+        .agg(F.max("psim").alias("maxpen"))
+        .select(
+            "vec_id",
+            (F.lit(0.7) * F.col("sim") - F.lit(0.3) * F.col("maxpen")).alias(
+                "score"
+            ),
+        )
+    )
+    s3 = r3.orderBy(F.desc("score"), "vec_id").limit(1)
+    out = (
+        s1.select(F.lit(1).alias("pick_order"), "vec_id", "score")
+        .unionByName(s2.select(F.lit(2).alias("pick_order"), "vec_id", "score"))
+        .unionByName(s3.select(F.lit(3).alias("pick_order"), "vec_id", "score"))
+    )
+    return out.select(
+        "pick_order",
+        "vec_id",
+        (F.round("score", 4) + F.lit(0.0)).alias("score"),
+    ).orderBy("pick_order")
