@@ -137,6 +137,17 @@ HEADLINE = [
     "n98_conformal_outlier_calibration",
     "h21_map_hof",
     "n99_cuped_variance_reduction",
+    "n100_association_rules",
+    "e10_seasonal_forecast",
+    "n101_calibration_reliability",
+    "n102_jackknife_ratio_ci",
+    "h22_inverted_index",
+    "i26_default_values",
+    "d21_schema_drift_report",
+    "i27_conditional_merge",
+    "i28_materialized_view",
+    "n103_mmr_rerank",
+    "l11_stream_topk_trending",
 ]
 
 
