@@ -227,6 +227,41 @@ class PermissionStore:
             .get(principal, [])
         )
 
+    def set_row_filter(
+        self, principal: str, database: str, table: str, predicate: str
+    ) -> None:
+        """Lake Formation row-filter analog: the principal only sees rows
+        satisfying ``predicate`` (a SQL boolean over the table columns).
+        One filter per principal per table — a second grant replaces it
+        (filters are a single predicate, unlike the accumulating column
+        mask list)."""
+        state = self._load()
+        state["grants"].setdefault(f"rowfilter:{database}.{table}", {})[
+            principal
+        ] = [predicate]
+        self._save(state)
+
+    def drop_row_filter(
+        self, principal: str, database: str, table: str
+    ) -> None:
+        state = self._load()
+        state["grants"].get(f"rowfilter:{database}.{table}", {}).pop(
+            principal, None
+        )
+        self._save(state)
+
+    def row_filter(
+        self, principal: str | None, database: str, table: str
+    ) -> str | None:
+        if principal is None:
+            return None
+        preds = (
+            self._load()["grants"]
+            .get(f"rowfilter:{database}.{table}", {})
+            .get(principal)
+        )
+        return preds[0] if preds else None
+
     # ------------------------------------------------------------ checks
 
     def _held(self, resource: str, principal: str | None, state: dict) -> set[str]:
