@@ -682,6 +682,37 @@ class EngineSQL:
             sql, "revoke_column_mask", message=f"unmasked for {who}"
         )
 
+    def _grant_row_filter(self, sql: str, m: re.Match) -> StatementResult:
+        """GRANT ROW FILTER (<pred>) ON db.t TO 'principal' — the Lake
+        Formation row-level data filter: the principal's scans only see
+        rows satisfying the predicate. Same separation-of-duty gate as
+        column masks (filters are enforced even in non-enforcing stores,
+        so self-administration cannot ride the permissive default). The
+        predicate is validated against the table schema at grant time —
+        a typo'd filter must fail loudly, not silently filter nothing."""
+        db, table, who = m.group("db"), m.group("table"), m.group("who")
+        self._authorize_mask_admin(db, table, who)
+        pred = m.group("pred").strip()
+        t = self.catalog.load_table(db, table)
+        try:
+            self.spark.createDataFrame([], t.schema_ddl).filter(pred)
+        except Exception as exc:  # noqa: BLE001
+            raise TableError(
+                f"row filter does not analyze against {db}.{table}: {exc}"
+            ) from None
+        self.catalog.permissions.set_row_filter(who, db, table, pred)
+        return StatementResult(
+            sql, "grant_row_filter", message=f"filter [{pred}] for {who}"
+        )
+
+    def _revoke_row_filter(self, sql: str, m: re.Match) -> StatementResult:
+        db, table, who = m.group("db"), m.group("table"), m.group("who")
+        self._authorize_mask_admin(db, table, who)
+        self.catalog.permissions.drop_row_filter(who, db, table)
+        return StatementResult(
+            sql, "revoke_row_filter", message=f"unfiltered for {who}"
+        )
+
     def _call_rewrite(self, sql: str, m: re.Match) -> StatementResult:
         db, table = m.group("db"), m.group("table")
         self._authorize_table("ALTER", db, table)
@@ -832,7 +863,16 @@ class EngineSQL:
         name matches a masked column — or its hidden-partitioning derived
         name `<col>_day|_month|_bucket|_trunc` (table._partition_spec
         naming) — reads as typed NULL, and matching path segments are
-        redacted."""
+        redacted. A row-filtered principal is DENIED metadata tables
+        outright: per-partition record counts and file sizes are computed
+        over ALL rows and would leak the existence and volume of rows the
+        filter hides — there is no cheap filtered recomputation, so
+        conservative refusal is the only non-leaking answer."""
+        if self.catalog.permissions.row_filter(self.principal, db, name):
+            raise PermissionDenied(
+                f"metadata tables of {db}.{name} are not available to "
+                f"row-filtered principal {self.principal!r}"
+            )
         masked = self.catalog.permissions.masked_columns(
             self.principal, db, name
         )
@@ -892,7 +932,12 @@ class EngineSQL:
         column masked for this principal on this table reads as a typed
         NULL — schema preserved, values withheld. Applied at view
         registration so every SELECT shape (joins, CTEs, SELECT *) goes
-        through it."""
+        through it. A row filter, when granted, applies FIRST (on raw
+        values — LF filters evaluate before the mask projection), so a
+        filter may reference columns the principal then reads as NULL."""
+        pred = self.catalog.permissions.row_filter(self.principal, db, name)
+        if pred:
+            df = df.filter(pred)
         masked = {
             c.lower()
             for c in self.catalog.permissions.masked_columns(
@@ -1226,6 +1271,21 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             re.IGNORECASE,
         ),
         EngineSQL._revoke_column_mask,
+    ),
+    (
+        re.compile(
+            rf"GRANT ROW FILTER\s*\((?P<pred>.+)\)\s*ON\s+{_NAME}"
+            rf"\s+TO\s+'(?P<who>[^']+)'\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._grant_row_filter,
+    ),
+    (
+        re.compile(
+            rf"REVOKE ROW FILTER\s+ON\s+{_NAME}\s+FROM\s+'(?P<who>[^']+)'\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._revoke_row_filter,
     ),
     (
         re.compile(

@@ -9,7 +9,11 @@ from __future__ import annotations
 
 import pytest
 
-from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL, PermissionDenied
+from iceberg_v2_to_v3_upgrade_spark.sql_router import (
+    EngineSQL,
+    PermissionDenied,
+    TableError,
+)
 from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
 from iceberg_v2_to_v3_upgrade_spark.tables.permissions import (
     DB_PERMISSIONS,
@@ -320,3 +324,129 @@ def test_column_mask_covers_metadata_tables(masked_people):
         "SELECT * FROM sec_db.people.partitions"
     ).df.collect()
     assert sorted(r.region for r in admin_rows) == ["apac", "emea"]
+
+
+def test_row_filter_restricts_rows_for_principal(masked_people):
+    """GRANT ROW FILTER (pred) ON t TO 'p' — the LF row-level data filter
+    (reference internal/lake_formation_setup.py data-cell filters): the
+    principal's scans only see rows satisfying the predicate."""
+    catalog, admin, analyst = masked_people
+    admin.execute_one(
+        "GRANT ROW FILTER (region = 'emea') ON sec_db.people TO 'analyst'"
+    )
+    rows = analyst.execute_one(
+        "SELECT id, region FROM sec_db.people ORDER BY id"
+    ).df.collect()
+    assert [(r.id, r.region) for r in rows] == [(1, "emea")]
+    # an unfiltered principal still sees every row
+    other = EngineSQL(catalog, principal="other")
+    assert (
+        other.execute_one("SELECT count(*) AS n FROM sec_db.people")
+        .df.collect()[0].n
+        == 2
+    )
+    # a second grant REPLACES the filter (single predicate per principal)
+    admin.execute_one(
+        "GRANT ROW FILTER (region = 'apac') ON sec_db.people TO 'analyst'"
+    )
+    rows = analyst.execute_one(
+        "SELECT id FROM sec_db.people"
+    ).df.collect()
+    assert [r.id for r in rows] == [2]
+    # revoke restores full visibility
+    admin.execute_one("REVOKE ROW FILTER ON sec_db.people FROM 'analyst'")
+    assert (
+        analyst.execute_one("SELECT count(*) AS n FROM sec_db.people")
+        .df.collect()[0].n
+        == 2
+    )
+
+
+def test_row_filter_self_administration_denied(masked_people):
+    catalog, admin, analyst = masked_people
+    admin.execute_one(
+        "GRANT ROW FILTER (region = 'emea') ON sec_db.people TO 'analyst'"
+    )
+    with pytest.raises(PermissionDenied):
+        analyst.execute_one(
+            "REVOKE ROW FILTER ON sec_db.people FROM 'analyst'"
+        )
+    with pytest.raises(PermissionDenied):
+        analyst.execute_one(
+            "GRANT ROW FILTER (1 = 1) ON sec_db.people TO 'analyst'"
+        )
+
+
+def test_row_filter_validates_predicate_at_grant(masked_people):
+    """A typo'd filter must fail loudly at grant time, not silently
+    filter nothing at read time."""
+    catalog, admin, analyst = masked_people
+    with pytest.raises(TableError, match="does not analyze"):
+        admin.execute_one(
+            "GRANT ROW FILTER (regon = 'emea') ON sec_db.people TO 'analyst'"
+        )
+
+
+def test_row_filter_composes_with_column_mask(masked_people):
+    """Filter evaluates FIRST on raw values, then the mask projection —
+    so a filter may reference a column the principal reads as NULL."""
+    catalog, admin, analyst = masked_people
+    admin.execute_one(
+        "GRANT ROW FILTER (salary > 150.00) ON sec_db.people TO 'analyst'"
+    )
+    rows = analyst.execute_one(
+        "SELECT id, salary FROM sec_db.people"
+    ).df.collect()
+    assert [r.id for r in rows] == [2]          # filtered on raw salary
+    assert rows[0].salary is None               # ...still masked on read
+
+
+def test_row_filter_denies_metadata_tables(masked_people):
+    """partitions/files record-counts are computed over ALL rows and
+    would leak hidden-row volume; the filtered principal is refused."""
+    catalog, admin, analyst = masked_people
+    admin.execute_one(
+        "GRANT ROW FILTER (region = 'emea') ON sec_db.people TO 'analyst'"
+    )
+    for q in (
+        "SELECT * FROM sec_db.people.partitions",
+        "SELECT file_path FROM sec_db.people.files",
+        "SHOW PARTITIONS sec_db.people",
+    ):
+        with pytest.raises(PermissionDenied, match="row-filtered"):
+            analyst.execute_one(q)
+    # the admin still reads metadata freely
+    assert admin.execute_one(
+        "SELECT * FROM sec_db.people.partitions"
+    ).df.collect()
+
+
+def test_row_filter_applies_to_merge_source(masked_people):
+    """Using a filtered table as a MERGE source must not smuggle hidden
+    rows into the target."""
+    catalog, admin, analyst = masked_people
+    catalog.permissions.grant_table_permissions(
+        "analyst", "sec_db", "people", ["SELECT"]
+    )
+    admin.execute(
+        """
+        CREATE TABLE glue_catalog.sec_db.mirror (
+            id INT, region STRING
+        ) USING iceberg;
+        GRANT ROW FILTER (region = 'emea') ON sec_db.people TO 'analyst';
+        """
+    )
+    catalog.permissions.grant_table_permissions(
+        "analyst", "sec_db", "mirror", ["SELECT", "INSERT", "DELETE", "ALTER"]
+    )
+    analyst.execute_one(
+        "MERGE INTO sec_db.mirror t "
+        "USING (SELECT id, region FROM sec_db.people) s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = admin.execute_one(
+        "SELECT id, region FROM sec_db.mirror ORDER BY id"
+    ).df.collect()
+    assert [(r.id, r.region) for r in rows] == [(1, "emea")]
