@@ -276,3 +276,77 @@ def i28_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderpriority, round(total, 2) + 0.0 AS total, cnt "
         "FROM mv_db.pri_totals ORDER BY o_orderpriority"
     ).df
+
+
+# --------------------------------------------------------------- i29
+
+
+_INSERT_ONLY_MERGE_ORACLE = """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price, 'base' AS tag
+    FROM orders WHERE o_orderkey <= 1000
+    UNION ALL
+    SELECT o_orderkey + 2000000 AS o_orderkey,
+           round(o_totalprice * 2, 2) AS price,
+           CAST(NULL AS VARCHAR) AS tag
+    FROM orders WHERE o_orderkey <= 300
+    ORDER BY o_orderkey
+"""
+
+
+@declare(
+    "i29_insert_only_merge",
+    oracle=_INSERT_ONLY_MERGE_ORACLE,
+    tags=("dml", "lifecycle"),
+)
+def i29_insert_only_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only MERGE with a column-list INSERT — the append-dedup
+    ingest idiom (no WHEN MATCHED clause): re-delivered keys are left
+    byte-identical (the overlapping source rows carry DOUBLED prices
+    that must NOT appear), and `INSERT (o_orderkey, price) VALUES (...)`
+    backfills the unlisted `tag` column with typed NULL (the Spark MERGE
+    column-list contract). The snapshot is asserted append-only — an
+    insert-only merge must produce zero delete entries, so at 100 TB the
+    matched side costs one anti-join and no rewrite."""
+    from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="insonly_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "im_db", "orders_im", "o_orderkey BIGINT, price DOUBLE, tag STRING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    t.insert(
+        orders.filter(F.col("o_orderkey") <= 1000).select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.lit("base").alias("tag"),
+        )
+    )
+    deletes_before = len(t.current_snapshot().delete_dirs)
+    source = orders.filter(F.col("o_orderkey") <= 500).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 2, 2).alias("price"),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") <= 300).select(
+            (F.col("o_orderkey") + 2000000).alias("o_orderkey"),
+            F.round(F.col("o_totalprice") * 2, 2).alias("price"),
+        )
+    )
+    source.createOrReplaceTempView("im_source")
+    EngineSQL(catalog).execute_one(
+        "MERGE INTO im_db.orders_im t USING "
+        "(SELECT o_orderkey, price FROM im_source) s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, price) "
+        "VALUES (s.o_orderkey, s.price)"
+    )
+    t = catalog.load_table("im_db", "orders_im")
+    assert len(t.current_snapshot().delete_dirs) == deletes_before, (
+        "insert-only merge must not write delete entries"
+    )
+    return (
+        t.scan()
+        .select("o_orderkey", "price", "tag")
+        .orderBy("o_orderkey")
+    )

@@ -805,11 +805,13 @@ class EngineSQL:
 
     def _merge(self, sql: str, m: re.Match) -> StatementResult:
         """MERGE INTO t USING (<query>) s ON t.k = s.k
-        WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET c = expr, ... | DELETE
-        [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
-        (Iceberg's MERGE surface: conditional clauses and expression-level
-        SET assignments; matched rows failing the AND-condition stay
-        untouched).
+        [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET c = expr, ... | DELETE]
+        [WHEN NOT MATCHED [AND <cond>] THEN INSERT * | INSERT (cols) VALUES (exprs)]
+        (Iceberg's MERGE surface: conditional clauses, expression-level
+        SET assignments, insert-only merges — the append-dedup ingest
+        idiom — and column-list inserts where unlisted columns land as
+        typed NULL; matched rows failing the AND-condition stay
+        untouched). At least one WHEN clause is required.
 
         The source query goes through _select, NOT bare spark.sql: _select
         re-registers every catalog table as a view under THIS principal's
@@ -829,9 +831,13 @@ class EngineSQL:
         ]
         if not keys:
             raise TableError(f"cannot parse merge keys from: {m.group('on')}")
-        verb = m.group("matched").upper()
-        if verb == "DELETE":
-            when_matched: str | dict = "delete"
+        if m.group("matched") is None and m.group("notmatched") is None:
+            raise TableError("MERGE needs at least one WHEN clause")
+        when_matched: str | dict | None
+        if m.group("matched") is None:
+            when_matched = None  # insert-only merge
+        elif m.group("matched").upper() == "DELETE":
+            when_matched = "delete"
         elif m.group("sets"):
             # UPDATE SET col = expr, ... — expression-level assignments
             when_matched = {}
@@ -843,7 +849,20 @@ class EngineSQL:
                 when_matched[col] = expr.strip()
         else:
             when_matched = "update"
-        when_not_matched = "insert" if m.group("notmatched") else None
+        when_not_matched: str | dict | None
+        if m.group("notmatched") is None:
+            when_not_matched = None
+        elif m.group("icols"):
+            icols = [c.strip() for c in m.group("icols").split(",")]
+            ivals = _split_top_level(m.group("ivals"))
+            if len(icols) != len(ivals):
+                raise TableError(
+                    f"INSERT column/value arity mismatch: "
+                    f"{len(icols)} vs {len(ivals)}"
+                )
+            when_not_matched = dict(zip(icols, (v.strip() for v in ivals)))
+        else:
+            when_not_matched = "insert"
         snap = t.merge_into(
             source,
             keys,
@@ -1390,11 +1409,12 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
     (
         re.compile(
             rf"MERGE INTO {_NAME}(?:\s+AS)?(?:\s+t)?\s+USING\s*"
-            rf"\((?P<src>.+)\)(?:\s+AS)?\s+s\s+ON\s+(?P<on>.+?)\s+"
-            rf"WHEN MATCHED(?:\s+AND\s+(?P<mcond>.+?))?\s+THEN\s+"
-            rf"(?P<matched>UPDATE SET \*|UPDATE SET (?P<sets>.+?)|DELETE)"
+            rf"\((?P<src>.+)\)(?:\s+AS)?\s+s\s+ON\s+(?P<on>.+?)"
+            rf"(?:\s+WHEN MATCHED(?:\s+AND\s+(?P<mcond>.+?))?\s+THEN\s+"
+            rf"(?P<matched>UPDATE SET \*|UPDATE SET (?P<sets>.+?)|DELETE))?"
             rf"(?P<notmatched>\s+WHEN NOT MATCHED"
-            rf"(?:\s+AND\s+(?P<nmcond>.+?))?\s+THEN INSERT \*)?\s*$",
+            rf"(?:\s+AND\s+(?P<nmcond>.+?))?\s+THEN INSERT\s+"
+            rf"(?:\*|\((?P<icols>[^)]+)\)\s*VALUES\s*\((?P<ivals>.+)\)))?\s*$",
             re.IGNORECASE,
         ),
         EngineSQL._merge,

@@ -855,7 +855,7 @@ class LocalTable:
         source: DataFrame,
         on: list[str],
         when_matched: str | dict[str, str | Column] | None = "update",
-        when_not_matched: str | None = "insert",
+        when_not_matched: str | dict[str, str] | None = "insert",
         matched_condition: str | None = None,
         not_matched_condition: str | None = None,
     ) -> Snapshot:
@@ -868,7 +868,12 @@ class LocalTable:
         a dict of SET expressions evaluated against the matched join
         (source columns win on name clashes), or None (leave matched
         rows untouched).
-        ``when_not_matched``: "insert" or None.
+        ``when_not_matched``: "insert" (take all source columns — the
+        source must then cover the full schema), a dict of
+        ``column -> SQL expression`` implementing
+        ``INSERT (cols) VALUES (exprs)`` (expressions may use ``s.``
+        qualifiers; columns not listed land as typed NULL, the Spark
+        MERGE column-list contract), or None.
         ``matched_condition`` / ``not_matched_condition``: optional SQL
         predicates (may use ``t.`` / ``s.`` qualifiers) implementing
         ``WHEN [NOT] MATCHED AND <cond>`` — matched rows that fail the
@@ -936,6 +941,31 @@ class LocalTable:
                     F.expr(not_matched_condition)
                 )
             new_rows.append(unmatched_src.select(*cols))
+        elif isinstance(when_not_matched, dict):
+            unknown = [c for c in when_not_matched if c not in cols]
+            if unknown:
+                raise TableError(
+                    f"INSERT column(s) not in table schema: {unknown}"
+                )
+            unmatched_src = s.join(t, cond, "left_anti")
+            if not_matched_condition:
+                unmatched_src = unmatched_src.filter(
+                    F.expr(not_matched_condition)
+                )
+            new_rows.append(
+                unmatched_src.select(
+                    *[
+                        (
+                            F.expr(when_not_matched[c])
+                            if c in when_not_matched
+                            else F.lit(None)
+                        )
+                        .cast(declared[c].dataType)
+                        .alias(c)
+                        for c in cols
+                    ]
+                )
+            )
         elif when_not_matched is not None:
             raise TableError(f"bad when_not_matched: {when_not_matched!r}")
 

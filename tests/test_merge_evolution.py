@@ -326,3 +326,72 @@ def test_merge_conditional_delete_sql(spark, catalog):
         for r in engine.execute_one("SELECT id FROM mdb.d").df.collect()
     )
     assert rows == [1]  # v=1 fails the condition, survives
+
+
+def test_merge_insert_only_sql(spark, catalog):
+    """Insert-only MERGE — the append-dedup ingest idiom: no WHEN MATCHED
+    clause at all; existing keys are left byte-identical (no delete
+    entries, no rewrite)."""
+    engine = EngineSQL(catalog)
+    engine.execute(
+        "CREATE TABLE glue_catalog.mdb.ing (id BIGINT, v BIGINT) USING iceberg;"
+        "INSERT INTO glue_catalog.mdb.ing VALUES (1, 10), (2, 20)"
+    )
+    t = catalog.load_table("mdb", "ing")
+    deletes_before = len(t.current_snapshot().delete_dirs)
+    engine.execute_one(
+        "MERGE INTO mdb.ing t USING "
+        "(SELECT 1 AS id, CAST(999 AS BIGINT) AS v "
+        " UNION ALL SELECT 3, CAST(30 AS BIGINT)) s "
+        "ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {
+        r.id: r.v
+        for r in engine.execute_one("SELECT id, v FROM mdb.ing").df.collect()
+    }
+    assert rows == {1: 10, 2: 20, 3: 30}  # id=1 NOT updated to 999
+    t = catalog.load_table("mdb", "ing")
+    assert len(t.current_snapshot().delete_dirs) == deletes_before
+
+
+def test_merge_column_list_insert_sql(spark, catalog):
+    """INSERT (cols) VALUES (exprs): expressions may transform source
+    columns; unlisted target columns land as typed NULL."""
+    engine = EngineSQL(catalog)
+    engine.execute(
+        "CREATE TABLE glue_catalog.mdb.cl "
+        "(id BIGINT, v DOUBLE, tag STRING) USING iceberg;"
+        "INSERT INTO glue_catalog.mdb.cl VALUES (1, 1.0, 'old')"
+    )
+    engine.execute_one(
+        "MERGE INTO mdb.cl t USING "
+        "(SELECT 2 AS id, CAST(5.0 AS DOUBLE) AS v) s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v * 2)"
+    )
+    rows = {r.id: r for r in engine.execute_one(
+        "SELECT id, v, tag FROM mdb.cl").df.collect()}
+    assert rows[2].v == 10.0
+    assert rows[2].tag is None
+    assert rows[1].tag == "old"
+
+
+def test_merge_column_list_validation(spark, catalog):
+    engine = EngineSQL(catalog)
+    engine.execute(
+        "CREATE TABLE glue_catalog.mdb.cv (id BIGINT, v BIGINT) USING iceberg"
+    )
+    with pytest.raises(TableError, match="arity"):
+        engine.execute_one(
+            "MERGE INTO mdb.cv t USING (SELECT 1 AS id, 2 AS v) s "
+            "ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id)"
+        )
+    with pytest.raises(TableError, match="not in table schema"):
+        engine.execute_one(
+            "MERGE INTO mdb.cv t USING (SELECT 1 AS id, 2 AS v) s "
+            "ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (bogus) VALUES (s.id)"
+        )
