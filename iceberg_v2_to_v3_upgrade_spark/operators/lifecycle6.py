@@ -350,3 +350,75 @@ def i29_insert_only_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "price", "tag")
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------- i30
+
+
+_INSERT_OVERWRITE_ORACLE = """
+    SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderkey <= 2000 AND o_orderpriority <> '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey + 5000000 AS o_orderkey, o_orderpriority,
+           round(o_totalprice * 10, 2) AS price
+    FROM orders
+    WHERE o_orderkey <= 300 AND o_orderpriority = '1-URGENT'
+    ORDER BY o_orderkey
+"""
+
+
+@declare(
+    "i30_insert_overwrite",
+    oracle=_INSERT_OVERWRITE_ORACLE,
+    tags=("dml", "lifecycle"),
+)
+def i30_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (INSERT OVERWRITE through the SQL
+    gateway): the restatement SELECT only produces '1-URGENT' rows, so
+    exactly that partition is replaced in ONE atomic commit; the other
+    four priority partitions keep their ORIGINAL data dirs (asserted —
+    no rewrite, so a 100 TB backfill of one day touches one day). The
+    touched-partition list is a distinct over the incoming partition
+    values broadcast against the scan: metadata-sized, never row-sized."""
+    from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="insow_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "ow_db",
+        "orders_ow",
+        "o_orderkey BIGINT, o_orderpriority STRING, price DOUBLE",
+        partition_by=["o_orderpriority"],
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    t.insert(
+        orders.filter(F.col("o_orderkey") <= 2000).select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+    dirs_before = set(t.current_snapshot().data_dirs)
+    orders.filter(
+        (F.col("o_orderkey") <= 300)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select(
+        (F.col("o_orderkey") + 5000000).alias("o_orderkey"),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 10, 2).alias("price"),
+    ).createOrReplaceTempView("ow_restated")
+    EngineSQL(catalog).execute_one(
+        "INSERT OVERWRITE ow_db.orders_ow "
+        "SELECT o_orderkey, o_orderpriority, price FROM ow_restated"
+    )
+    t = catalog.load_table("ow_db", "orders_ow")
+    assert dirs_before <= set(t.current_snapshot().data_dirs), (
+        "untouched partitions must keep their original data dirs"
+    )
+    return (
+        t.scan()
+        .select("o_orderkey", "o_orderpriority", "price")
+        .orderBy("o_orderkey")
+    )

@@ -474,6 +474,31 @@ class EngineSQL:
             sql, "insert", message=f"appended snapshot {snap.id}"
         )
 
+    def _insert_overwrite(self, sql: str, m: re.Match) -> StatementResult:
+        """INSERT OVERWRITE [TABLE] db.t <select> — dynamic partition
+        overwrite (Iceberg's default for INSERT OVERWRITE): replaces only
+        the partitions the SELECT produces rows for, in one commit.
+        Requires DELETE as well as INSERT — it removes existing rows."""
+        self._authorize_table("INSERT", m.group("db"), m.group("table"))
+        self._authorize_table("DELETE", m.group("db"), m.group("table"))
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        df = self._select(m.group("select")).df
+        target = self.spark.createDataFrame([], t.schema_ddl).schema
+        if len(df.columns) != len(target):
+            raise TableError(
+                f"INSERT arity {len(df.columns)} != schema {len(target)}"
+            )
+        aligned = df.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, target)
+            ]
+        )
+        snap = t.insert_overwrite(aligned)
+        return StatementResult(
+            sql, "insert_overwrite", message=f"overwrite snapshot {snap.id}"
+        )
+
     def _drop_table(self, sql: str, m: re.Match) -> StatementResult:
         self._authorize_table("DROP", m.group("db"), m.group("table"))
         dropped = self.catalog.drop_table(
@@ -1191,6 +1216,13 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             rf"INSERT INTO {_NAME}\s+VALUES\s+(?P<values>.+)$", re.IGNORECASE
         ),
         EngineSQL._insert_values,
+    ),
+    (
+        re.compile(
+            rf"INSERT OVERWRITE (?:TABLE )?{_NAME}\s+(?P<select>SELECT\b.+)$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._insert_overwrite,
     ),
     (
         re.compile(

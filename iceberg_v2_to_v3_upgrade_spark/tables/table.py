@@ -705,6 +705,54 @@ class LocalTable:
         """INSERT INTO ... VALUES literal batch (create_demo_table.py:117-127)."""
         return self.insert(self.spark.createDataFrame(rows, self.schema_ddl))
 
+    def insert_overwrite(self, df: DataFrame) -> Snapshot:
+        """INSERT OVERWRITE — Iceberg's dynamic partition overwrite: one
+        atomic commit that replaces EXACTLY the partitions present in the
+        incoming rows and leaves every other partition's files untouched
+        (the backfill/restatement idiom). Unpartitioned tables degrade to
+        a full-table replace whose snapshot cites only the new data dir —
+        prior snapshots keep their dir lists, so time travel still reads
+        the pre-overwrite data.
+
+        Scale: the touched-partition list is a DISTINCT over the incoming
+        rows' partition transforms (metadata-sized — bounded by partition
+        count, never row count) broadcast against the scan, so the delete
+        side is one semi-join; no shuffle of existing table data, no
+        rewrite of untouched partitions.
+        """
+        cur = self.current_snapshot()
+        aligned = self._align_to_schema(df)
+        spec = self._partition_spec()
+        snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
+        data_path = self._next_dir("data", snap_id)
+        with_ids = self._assign_row_ids(aligned)
+        self._write_data_dir(with_ids, data_path)
+        self._bump_row_id_watermark(
+            self._read_dirs([data_path], self._data_read_schema())
+        )
+        if not spec:
+            return self._commit("overwrite", [data_path], [], eq_deletes=[])
+        names = [name for name, _ in spec]
+        exprs = [
+            (expr if expr is not None else F.col(name)).alias(name)
+            for name, expr in spec
+        ]
+        touched = aligned.select(*exprs).distinct()
+        matched = (
+            self._scan_raw(cur)
+            .select(_ROW_ID, *exprs)
+            .join(F.broadcast(touched), names, "left_semi")
+            .select(_ROW_ID)
+        )
+        del_path = self._next_dir("deletes", snap_id)
+        matched.write.mode("overwrite").parquet(del_path)
+        return self._commit(
+            "overwrite",
+            cur.data_dirs + [data_path],
+            cur.delete_dirs + [del_path],
+            eq_deletes=cur.eq_deletes,
+        )
+
     def delete_where(
         self, predicate: str | Column, branch: str | None = None
     ) -> Snapshot:
