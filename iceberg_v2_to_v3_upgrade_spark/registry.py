@@ -250,6 +250,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         analytics11,
         analytics12,
         lifecycle6,
+        pipeline5,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
