@@ -148,6 +148,11 @@ HEADLINE = [
     "i28_materialized_view",
     "n103_mmr_rerank",
     "l11_stream_topk_trending",
+    "i29_insert_only_merge",
+    "i30_insert_overwrite",
+    "n104_gopher_quality",
+    "n105_boilerplate_ngrams",
+    "n106_chat_turn_assembly",
 ]
 
 
@@ -232,11 +237,20 @@ def main() -> None:
         "errors": {k.split("_")[0]: v[:60] for k, v in errors.items()},
     }
     line = json.dumps(line_obj, separators=(",", ":"))
-    if len(line) > 1800:  # last-resort guard: drop error text, then queries
+    if len(line) > 1800:  # guard: drop error text first
         line_obj["errors"] = {"n_errors": len(errors)}
         line = json.dumps(line_obj, separators=(",", ":"))
-    if len(line) > 1800:
-        line_obj["queries"] = {}
+    if len(line) > 1800:  # then 2-decimal timings
+        line_obj["queries"] = {k: round(v, 2) for k, v in short.items()}
+        line = json.dumps(line_obj, separators=(",", ":"))
+    while len(line) > 1800 and line_obj["queries"]:
+        # last resort: keep only the slowest queries (the informative
+        # ones) — full detail is always in BENCH_DETAIL.json
+        keep = sorted(line_obj["queries"], key=line_obj["queries"].get)[10:]
+        line_obj["queries"] = {
+            k: line_obj["queries"][k] for k in sorted(keep)
+        }
+        line_obj["queries_truncated"] = len(short) - len(keep)
         line = json.dumps(line_obj, separators=(",", ":"))
     print(line)
     spark.stop()

@@ -573,3 +573,25 @@ def test_round3_new_ops_plan_shapes(spark, registry):
     # the corpus-wide shuffle is the per-user min; the running sum windows
     # over the tiny daily frame — never a distinct-inside-window
     assert "HashAggregate" in p
+
+
+def test_round3b_new_ops_plan_shapes(spark, registry):
+    """Plan pins for the session additions: the boilerplate join's build
+    side is the AGGREGATED doc-frequency table (never a second corpus
+    shuffle on the probe side beyond the gram key), chat assembly reuses
+    ONE user_id exchange for both the gap window and the session
+    counter, and the Gopher gate is two keyed aggregations with no join
+    at all."""
+    p = plan(spark, registry, "n104_gopher_quality")
+    assert "Join" not in p  # pure aggregate pipeline
+    assert "HashAggregate" in p
+
+    p = plan(spark, registry, "n105_boilerplate_ngrams")
+    assert "CartesianProduct" not in p
+    # gram-keyed equi-join between pairs and the aggregated DF table
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+    p = plan(spark, registry, "n106_chat_turn_assembly")
+    # both windows AND the (user, session) assembly aggregate reuse ONE
+    # user_id exchange (the group key's prefix satisfies distribution)
+    assert p.count("hashpartitioning(user_id") == 1
