@@ -422,3 +422,51 @@ def i30_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderpriority", "price")
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------- i31
+
+
+_ADD_FILES_ORACLE = """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderkey <= 2000 AND o_orderkey % 7 <> 0
+    ORDER BY o_orderkey
+"""
+
+
+@declare("i31_add_files", oracle=_ADD_FILES_ORACLE, tags=("lifecycle", "migration"))
+def i31_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration via CALL system.add_files: pre-existing parquet files
+    (written OUTSIDE the table) are registered without rewriting a byte,
+    then a MoR DELETE lands positional delete entries against them —
+    possible because add_files assigns each file a first_row_id and
+    readers derive V3-lazy row ids from _metadata.row_index, which is
+    deterministic for parquet. At 100 TB this is the onboarding path:
+    import is footer-reads only, and the first retention DELETE does not
+    force a table rewrite."""
+    from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="addfiles_wh_")
+    external = tempfile.mkdtemp(prefix="addfiles_ext_")
+    load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 2000
+    ).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    ).repartition(4).write.mode("overwrite").parquet(external)
+
+    catalog = LocalCatalog(spark, warehouse)
+    catalog.create_table("mig_db", "orders_ext", "o_orderkey BIGINT, price DOUBLE")
+    sql = EngineSQL(catalog)
+    res = sql.execute_one(
+        f"CALL system.add_files(table => 'mig_db.orders_ext', "
+        f"source => '{external}')"
+    )
+    assert "added 4 file(s)" in res.message, res.message
+    sql.execute_one("DELETE FROM mig_db.orders_ext WHERE o_orderkey % 7 = 0")
+    t = catalog.load_table("mig_db", "orders_ext")
+    assert external in t.current_snapshot().data_dirs, (
+        "imported files must survive the MoR delete un-rewritten"
+    )
+    return t.scan().select("o_orderkey", "price").orderBy("o_orderkey")

@@ -738,6 +738,21 @@ class EngineSQL:
             sql, "revoke_row_filter", message=f"unfiltered for {who}"
         )
 
+    def _call_add_files(self, sql: str, m: re.Match) -> StatementResult:
+        """CALL system.add_files(table => 'db.t', source => '<dir>') —
+        the Iceberg migration procedure: register existing parquet files
+        without rewriting them (row ids assigned lazily per file)."""
+        db, table = m.group("db"), m.group("table")
+        self._authorize_table("INSERT", db, table)
+        t = self.catalog.load_table(db, table)
+        snap = t.add_files(m.group("source"))
+        n_files = len(t._meta["imported_dirs"][m.group("source")]["files"])
+        return StatementResult(
+            sql,
+            "add_files",
+            message=f"added {n_files} file(s), snapshot {snap.id}",
+        )
+
     def _call_rewrite(self, sql: str, m: re.Match) -> StatementResult:
         db, table = m.group("db"), m.group("table")
         self._authorize_table("ALTER", db, table)
@@ -1337,6 +1352,14 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             re.IGNORECASE,
         ),
         EngineSQL._revoke_row_filter,
+    ),
+    (
+        re.compile(
+            rf"CALL system\.add_files\s*\(\s*table\s*=>\s*'{_NAME}'\s*,"
+            rf"\s*source\s*=>\s*'(?P<source>[^']+)'\s*\)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._call_add_files,
     ),
     (
         re.compile(

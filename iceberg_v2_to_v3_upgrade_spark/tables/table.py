@@ -753,6 +753,64 @@ class LocalTable:
             eq_deletes=cur.eq_deletes,
         )
 
+    def add_files(self, source_dir: str) -> Snapshot:
+        """CALL system.add_files analog — the Iceberg migration
+        procedure: register EXISTING parquet files as table data without
+        rewriting a byte. The commit cites the external dir; row ids are
+        assigned LAZILY, V3-style: each file gets a ``first_row_id`` at
+        import time and readers compute ``first_row_id + row position in
+        file`` (``_metadata.row_index``) — deterministic, so positional
+        deletes and row lineage work on imported data exactly as on
+        managed data.
+
+        Costs at import: one footer-level per-file row count (metadata-
+        sized), zero data movement. Restricted to unpartitioned tables —
+        imported files carry no partition layout.
+        """
+        if self._partition_spec():
+            raise TableError(
+                "add_files requires an unpartitioned table (imported "
+                "files carry no partition layout)"
+            )
+        probe = self.spark.read.parquet(source_dir)
+        declared = self.spark.createDataFrame([], self.schema_ddl).schema
+        extra = set(probe.columns) - set(declared.fieldNames())
+        if _ROW_ID in probe.columns:
+            raise TableError(
+                f"source files already carry {_ROW_ID} — use insert() "
+                f"for data exported from a managed table"
+            )
+        if extra:
+            raise TableError(f"columns not in table schema: {sorted(extra)}")
+        per_file = sorted(
+            (r["fp"], r["n"])
+            for r in probe.groupBy(
+                F.col("_metadata.file_path").alias("fp")
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        base = int(self._meta["next_row_id"])
+        files: dict[str, int] = {}
+        for fp, n in per_file:
+            files[fp] = base
+            base += int(n)
+        self._meta["next_row_id"] = base
+        if self.format_version >= 3:
+            self._meta["properties"]["next-row-id"] = str(base)
+        cur = self.current_snapshot()
+        snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
+        self._meta.setdefault("imported_dirs", {})[source_dir] = {
+            "seq": snap_id,
+            "files": files,
+        }
+        return self._commit(
+            "append",
+            cur.data_dirs + [source_dir],
+            list(cur.delete_dirs),
+            eq_deletes=cur.eq_deletes,
+        )
+
     def delete_where(
         self, predicate: str | Column, branch: str | None = None
     ) -> Snapshot:
@@ -1230,6 +1288,9 @@ class LocalTable:
         column had at sequence s (walk the rename log newest->oldest);
         the read projects physical names back to current names. Pure
         metadata resolution — the Iceberg field-id lookup, emulated."""
+        imported = self._meta.get("imported_dirs", {}).get(d)
+        if imported is not None:
+            return self._read_imported_dir(d, ddl, imported)
         renames = self._meta.get("renames", [])
         m = re.search(r"snap-(\d+)", os.path.basename(d))
         seq = int(m.group(1)) if m else 0
@@ -1267,6 +1328,46 @@ class LocalTable:
                 df = df.withColumn(
                     name,
                     F.expr(f"CAST({entry['sql']} AS {entry['dtype']})"),
+                )
+        return df
+
+    def _read_imported_dir(self, d: str, ddl: str, entry: dict) -> DataFrame:
+        """Read a dir registered by ``add_files``: external parquet with
+        no ``_row_id`` column. Row ids are computed V3-lazily — the
+        file's recorded ``first_row_id`` plus the row's position in the
+        file (``_metadata.row_index``, deterministic for parquet) — via a
+        literal file->base map (bounded by file count, pure expression,
+        no join). Columns the files lack (post-import ADD COLUMNs)
+        null-fill; initial-defaults apply via the recorded import seq."""
+        fields = list(self.spark.createDataFrame([], ddl).schema)
+        phys = self.spark.read.parquet(d)
+        base_map = F.create_map(
+            *[
+                x
+                for fp, b in sorted(entry["files"].items())
+                for x in (F.lit(fp), F.lit(int(b)))
+            ]
+        )
+        cols = []
+        for f in fields:  # keep the exact ddl column order
+            if f.name == _ROW_ID:
+                cols.append(
+                    (
+                        F.element_at(base_map, F.col("_metadata.file_path"))
+                        + F.col("_metadata.row_index")
+                    ).alias(_ROW_ID)
+                )
+            elif f.name in phys.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        df = phys.select(*cols)
+        seq = int(entry["seq"])
+        for name, centry in self._meta.get("column_defaults", {}).items():
+            if seq <= centry["seq"] and name in df.columns:
+                df = df.withColumn(
+                    name,
+                    F.expr(f"CAST({centry['sql']} AS {centry['dtype']})"),
                 )
         return df
 
