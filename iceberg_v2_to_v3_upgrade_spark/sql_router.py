@@ -157,6 +157,7 @@ class EngineSQL:
 
     def _truncate(self, sql: str, m: re.Match) -> StatementResult:
         self._authorize_table("DELETE", m.group("db"), m.group("table"))
+        self._deny_row_filtered_mutation(m.group("db"), m.group("table"), "TRUNCATE")
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         snap = t.delete_where("true")
         return StatementResult(sql, "truncate", message=f"snapshot {snap.id}")
@@ -481,6 +482,9 @@ class EngineSQL:
         Requires DELETE as well as INSERT — it removes existing rows."""
         self._authorize_table("INSERT", m.group("db"), m.group("table"))
         self._authorize_table("DELETE", m.group("db"), m.group("table"))
+        self._deny_row_filtered_mutation(
+            m.group("db"), m.group("table"), "INSERT OVERWRITE"
+        )
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         df = self._select(m.group("select")).df
         target = self.spark.createDataFrame([], t.schema_ddl).schema
@@ -532,6 +536,7 @@ class EngineSQL:
 
     def _delete(self, sql: str, m: re.Match) -> StatementResult:
         self._authorize_table("DELETE", m.group("db"), m.group("table"))
+        self._deny_row_filtered_mutation(m.group("db"), m.group("table"), "DELETE")
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         snap = t.delete_where(m.group("pred"))
         return StatementResult(sql, "delete", message=f"snapshot {snap.id}")
@@ -539,6 +544,7 @@ class EngineSQL:
     def _update(self, sql: str, m: re.Match) -> StatementResult:
         # MoR UPDATE = delete + reinsert, so both table grants are required
         self._authorize_table("DELETE", m.group("db"), m.group("table"))
+        self._deny_row_filtered_mutation(m.group("db"), m.group("table"), "UPDATE")
         self._authorize_table("INSERT", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         assignments = {}
@@ -746,7 +752,7 @@ class EngineSQL:
         self._authorize_table("INSERT", db, table)
         t = self.catalog.load_table(db, table)
         snap = t.add_files(m.group("source"))
-        n_files = len(t._meta["imported_dirs"][m.group("source")]["files"])
+        n_files = len(t.imported_dirs[m.group("source")]["files"])
         return StatementResult(
             sql,
             "add_files",
@@ -861,6 +867,7 @@ class EngineSQL:
         """
         self._authorize_table("DELETE", m.group("db"), m.group("table"))
         self._authorize_table("INSERT", m.group("db"), m.group("table"))
+        self._deny_row_filtered_mutation(m.group("db"), m.group("table"), "MERGE")
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         source = self._select(m.group("src")).df
         keys = [
@@ -959,8 +966,25 @@ class EngineSQL:
                 cols.append(F.col(f.name))
         return df.select(*cols)
 
+    def _deny_row_filtered_mutation(self, db: str, table: str, what: str) -> None:
+        """A row-filtered principal must not run statements that READ or
+        REWRITE rows the filter hides: UPDATE/DELETE/MERGE/OVERWRITE scan
+        the raw table and could pull hidden rows into the visible window
+        (or destroy them). Reads stay filtered; whole-row mutations are
+        refused outright — the same conservative stance as the metadata-
+        table denial."""
+        if self.catalog.permissions.row_filter(self.principal, db, table):
+            raise PermissionDenied(
+                f"{what} on {db}.{table} is not available to row-filtered "
+                f"principal {self.principal!r}"
+            )
+
     def _metadata_df(self, db: str, name: str, meta: str) -> DataFrame:
-        """Iceberg metadata tables: `db.t.snapshots|history|files|partitions`."""
+        """Iceberg metadata tables: `db.t.snapshots|history|files|partitions`.
+        Row-filtered principals are denied ALL of them (incl. history/
+        snapshots): record counts, file sizes, and write-activity metadata
+        are computed over hidden rows too."""
+        self._deny_row_filtered_mutation(db, name, "metadata tables")
         t = self.catalog.load_table(db, name)
         if meta == "files":
             return self._mask_metadata_df(t.files(), db, name)

@@ -738,10 +738,17 @@ class LocalTable:
             for name, expr in spec
         ]
         touched = aligned.select(*exprs).distinct()
+        # NULL-safe equality: Iceberg treats NULL as a partition value —
+        # incoming NULL-partition rows must REPLACE existing ones, and a
+        # plain equi-join would never match them
+        cond = F.lit(True)
+        for n in names:
+            cond = cond & F.col(f"t.{n}").eqNullSafe(F.col(f"p.{n}"))
         matched = (
             self._scan_raw(cur)
             .select(_ROW_ID, *exprs)
-            .join(F.broadcast(touched), names, "left_semi")
+            .alias("t")
+            .join(F.broadcast(touched.alias("p")), cond, "left_semi")
             .select(_ROW_ID)
         )
         del_path = self._next_dir("deletes", snap_id)
@@ -752,6 +759,12 @@ class LocalTable:
             cur.delete_dirs + [del_path],
             eq_deletes=cur.eq_deletes,
         )
+
+    @property
+    def imported_dirs(self) -> dict:
+        """Dirs registered via ``add_files``: ``{dir: {"seq": commit_seq,
+        "files": {file_path: first_row_id}}}`` (read-only copy)."""
+        return dict(self._meta.get("imported_dirs", {}))
 
     def add_files(self, source_dir: str) -> Snapshot:
         """CALL system.add_files analog — the Iceberg migration
@@ -772,6 +785,14 @@ class LocalTable:
                 "add_files requires an unpartitioned table (imported "
                 "files carry no partition layout)"
             )
+        # duplicate-import guard (Iceberg add_files check_duplicate_files):
+        # citing the dir twice would read every row twice under the SAME
+        # row ids, and re-basing first_row_id would re-point existing
+        # positional deletes at the wrong rows
+        if source_dir in self._meta.get("imported_dirs", {}):
+            raise TableError(f"{source_dir} was already imported")
+        if source_dir in self.current_snapshot().data_dirs:
+            raise TableError(f"{source_dir} is already table data")
         probe = self.spark.read.parquet(source_dir)
         declared = self.spark.createDataFrame([], self.schema_ddl).schema
         extra = set(probe.columns) - set(declared.fieldNames())
@@ -1048,11 +1069,19 @@ class LocalTable:
                 )
             new_rows.append(unmatched_src.select(*cols))
         elif isinstance(when_not_matched, dict):
-            unknown = [c for c in when_not_matched if c not in cols]
+            # SQL identifiers are case-insensitive: normalize the INSERT
+            # column list to the declared casing before validating
+            canon = {c.lower(): c for c in cols}
+            unknown = [
+                c for c in when_not_matched if c.lower() not in canon
+            ]
             if unknown:
                 raise TableError(
                     f"INSERT column(s) not in table schema: {unknown}"
                 )
+            when_not_matched = {
+                canon[c.lower()]: v for c, v in when_not_matched.items()
+            }
             unmatched_src = s.join(t, cond, "left_anti")
             if not_matched_condition:
                 unmatched_src = unmatched_src.filter(
@@ -1348,8 +1377,21 @@ class LocalTable:
                 for x in (F.lit(fp), F.lit(int(b)))
             ]
         )
+        seq = int(entry["seq"])
+        renames = self._meta.get("renames", [])
+
+        def _physical(name: str) -> str:
+            # the files store the name each column had at import time —
+            # same newest->oldest rename walk as _read_one_dir
+            h = name
+            for r in reversed(renames):
+                if r["to"] == h and seq <= r["seq"]:
+                    h = r["from"]
+            return h
+
         cols = []
         for f in fields:  # keep the exact ddl column order
+            h = _physical(f.name)
             if f.name == _ROW_ID:
                 cols.append(
                     (
@@ -1357,12 +1399,11 @@ class LocalTable:
                         + F.col("_metadata.row_index")
                     ).alias(_ROW_ID)
                 )
-            elif f.name in phys.columns:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            elif h in phys.columns:
+                cols.append(F.col(h).cast(f.dataType).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         df = phys.select(*cols)
-        seq = int(entry["seq"])
         for name, centry in self._meta.get("column_defaults", {}).items():
             if seq <= centry["seq"] and name in df.columns:
                 df = df.withColumn(

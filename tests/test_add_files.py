@@ -109,3 +109,20 @@ def test_add_files_sql_call(spark, catalog, external_dir):
         "SELECT count(*) AS n FROM mig_db.sq"
     ).df.collect()[0].n
     assert n == 20
+
+
+def test_add_files_duplicate_import_rejected(spark, catalog, external_dir):
+    t = catalog.create_table("mig_db", "t6", "id BIGINT, name STRING, v DOUBLE")
+    t.add_files(external_dir)
+    with pytest.raises(TableError, match="already imported"):
+        t.add_files(external_dir)
+
+
+def test_add_files_survives_column_rename(spark, catalog, external_dir):
+    """RENAME COLUMN after import must keep reading the imported files'
+    physical name (the same rename walk managed dirs get)."""
+    t = catalog.create_table("mig_db", "t7", "id BIGINT, name STRING, v DOUBLE")
+    t.add_files(external_dir)
+    t.rename_column("name", "full_name")
+    rows = {r.id: r.full_name for r in t.scan().collect()}
+    assert rows[3] == "row3" and len(rows) == 20

@@ -81,3 +81,21 @@ def test_insert_overwrite_sql_and_permissions(spark, catalog):
         bob.execute_one(
             "INSERT OVERWRITE ow_db.ev SELECT id, day, n FROM ow_db.ev"
         )
+
+
+def test_overwrite_replaces_null_partition(spark, catalog):
+    """Iceberg treats NULL as a partition value: incoming NULL-partition
+    rows must REPLACE the existing NULL partition (null-safe compare —
+    a plain equi-join would never match it)."""
+    t = catalog.create_table(
+        "ow_db", "nullpart", "id BIGINT, region STRING, amt DOUBLE",
+        partition_by=["region"],
+    )
+    t.insert_values([(1, None, 10.0), (2, "apac", 20.0)])
+    t.insert_overwrite(
+        spark.createDataFrame(
+            [(9, None, 99.0)], "id BIGINT, region STRING, amt DOUBLE"
+        )
+    )
+    rows = {r.id: (r.region, r.amt) for r in t.scan().collect()}
+    assert rows == {9: (None, 99.0), 2: ("apac", 20.0)}

@@ -395,3 +395,17 @@ def test_merge_column_list_validation(spark, catalog):
             "ON t.id = s.id "
             "WHEN NOT MATCHED THEN INSERT (bogus) VALUES (s.id)"
         )
+
+
+def test_merge_column_list_case_insensitive(spark, catalog):
+    engine = EngineSQL(catalog)
+    engine.execute(
+        "CREATE TABLE glue_catalog.mdb.ci (id BIGINT, v BIGINT) USING iceberg"
+    )
+    engine.execute_one(
+        "MERGE INTO mdb.ci t USING (SELECT 1 AS id, 2 AS v) s "
+        "ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (ID, V) VALUES (s.id, s.v)"
+    )
+    rows = engine.execute_one("SELECT id, v FROM mdb.ci").df.collect()
+    assert [(r.id, r.v) for r in rows] == [(1, 2)]

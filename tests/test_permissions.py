@@ -450,3 +450,38 @@ def test_row_filter_applies_to_merge_source(masked_people):
         "SELECT id, region FROM sec_db.mirror ORDER BY id"
     ).df.collect()
     assert [(r.id, r.region) for r in rows] == [(1, "emea")]
+
+
+def test_row_filter_denies_whole_row_mutations(masked_people):
+    """UPDATE/DELETE/MERGE/TRUNCATE scan raw rows and could pull hidden
+    rows into the visible window (UPDATE SET region='emea' would expose
+    every hidden row) — refused outright for filtered principals."""
+    catalog, admin, analyst = masked_people
+    for p in ("SELECT", "INSERT", "DELETE", "ALTER"):
+        catalog.permissions.grant_table_permissions(
+            "analyst", "sec_db", "people", [p]
+        )
+    admin.execute_one(
+        "GRANT ROW FILTER (region = 'emea') ON sec_db.people TO 'analyst'"
+    )
+    for stmt in (
+        "UPDATE sec_db.people SET region = 'emea' WHERE id > 0",
+        "DELETE FROM sec_db.people WHERE id > 0",
+        "TRUNCATE TABLE sec_db.people",
+        "MERGE INTO sec_db.people t USING (SELECT 1 AS id) s "
+        "ON t.id = s.id WHEN MATCHED THEN DELETE",
+    ):
+        with pytest.raises(PermissionDenied, match="row-filtered"):
+            analyst.execute_one(stmt)
+    # plain INSERT stays allowed: append-only, reads nothing
+    analyst.execute_one(
+        "INSERT INTO glue_catalog.sec_db.people VALUES "
+        "(7, 'gia', 70.00, 'emea')"
+    )
+    # history/snapshots metadata also refused (not just files/partitions)
+    for q in (
+        "SELECT * FROM sec_db.people.history",
+        "SELECT * FROM sec_db.people.snapshots",
+    ):
+        with pytest.raises(PermissionDenied, match="row-filtered"):
+            analyst.execute_one(q)
