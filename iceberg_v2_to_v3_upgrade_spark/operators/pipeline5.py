@@ -316,3 +316,122 @@ def n106_chat_turn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_turns")
     )
+
+
+# --------------------------------------------------------------- g8
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src,
+                   event_type AS dst
+            FROM events
+        ) t
+        WHERE src IS NOT NULL AND src <> dst
+    ),
+    reach(node, hops) AS (
+        SELECT CAST('view' AS STRING) AS node, 0 AS hops
+        UNION ALL
+        SELECT e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hops < 3
+    )
+    SELECT node,
+           CAST(min(hops) AS BIGINT) AS min_hops,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM reach
+    GROUP BY node
+    ORDER BY node
+"""
+
+
+@declare("g8_recursive_cte", oracle=_RECURSIVE_SQL, tags=("sql", "recursive"))
+def g8_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (SQL:1999 recursive CTE, new engine surface in
+    Spark 4): bounded transitive closure over the event-type transition
+    graph — reachable nodes and path counts within 3 hops of 'view'. The
+    SAME SQL text runs on DuckDB as the oracle (cross-engine SQL
+    portability, like g7's LATERAL). The recursion is driver-coordinated
+    iteration over a 5-node graph: each step is one keyed join against
+    the (tiny, broadcast) edge list, so depth — not data volume — bounds
+    the loop; the 100 TB-scale work (the transition extraction) is a
+    single windowed scan, done once before the recursion starts."""
+    from iceberg_v2_to_v3_upgrade_spark.io import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# --------------------------------------------------------------- k12
+
+
+_AQE_SKEW_ORACLE = """
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 100 < 99 THEN 0
+                    ELSE l_orderkey % 97 END AS k,
+               l_extendedprice
+        FROM lineitem
+    ),
+    dim AS (
+        SELECT DISTINCT l_orderkey % 97 AS k FROM lineitem
+    )
+    SELECT CAST(f.k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(f.l_extendedprice), 2) AS total
+    FROM fact f JOIN dim d ON f.k = d.k
+    GROUP BY f.k ORDER BY k
+"""
+
+
+@declare("k12_aqe_skew_join", oracle=_AQE_SKEW_ORACLE, tags=("scale", "plan"))
+def k12_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join handling — the no-hand-salting alternative to k2:
+    99% of the fact rows share one join key, and instead of salting,
+    AQE's runtime replan splits the oversized shuffle partition into
+    advisory-sized reads (duplicating the matching build rows), so the
+    straggler task disappears WITHOUT touching the query. The skew
+    split is ASSERTED in the executed plan (`skew=true` on the join):
+    this query's claim is the mechanism, not just the numbers. Thresholds
+    are lowered for fixture scale and restored in a finally — on a real
+    100 TB cluster the defaults (256 MB) do the same job."""
+    conf = spark.conf
+    keys = [
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    saved = {k: conf.get(k) for k in keys}
+    conf.set(keys[0], "8KB")
+    conf.set(keys[1], "64KB")
+    conf.set(keys[2], "2")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        fact = li.select(
+            F.when(F.col("l_orderkey") % 100 < 99, F.lit(0).cast("long"))
+            .otherwise(F.col("l_orderkey") % 97)
+            .alias("k"),
+            "l_extendedprice",
+        )
+        dim = li.select((F.col("l_orderkey") % 97).alias("k")).distinct()
+        agg = (
+            fact.hint("MERGE")
+            .join(dim.hint("MERGE"), "k")
+            .groupBy("k")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            )
+            .orderBy("k")
+        )
+        rows = agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE skew-join split did not engage on the hot key"
+        )
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
