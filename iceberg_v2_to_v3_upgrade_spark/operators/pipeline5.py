@@ -376,7 +376,7 @@ _AQE_SKEW_ORACLE = """
         FROM lineitem
     ),
     dim AS (
-        SELECT DISTINCT l_orderkey % 97 AS k FROM lineitem
+        SELECT CAST(range AS BIGINT) AS k FROM range(0, 97)
     )
     SELECT CAST(f.k AS BIGINT) AS k,
            CAST(count(*) AS BIGINT) AS n,
@@ -394,28 +394,48 @@ def k12_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     advisory-sized reads (duplicating the matching build rows), so the
     straggler task disappears WITHOUT touching the query. The skew
     split is ASSERTED in the executed plan (`skew=true` on the join):
-    this query's claim is the mechanism, not just the numbers. Thresholds
-    are lowered for fixture scale and restored in a finally — on a real
-    100 TB cluster the defaults (256 MB) do the same job."""
+    this query's claim is the mechanism, not just the numbers.
+
+    Three fixture-scale accommodations, each mapping to a real-cluster
+    fact (root-caused in round 4 — the round-3 version never engaged):
+    1. AQE splits a skewed reduce partition by MAPPER RANGES
+       (PartialReducerPartitionSpec), so a single-map-task shuffle can
+       never be split. sf0.01 lineitem is ONE parquet file = one map
+       task; `repartition(8)` simulates the many input splits any real
+       table has. On a 100 TB table this line would be deleted.
+    2. OptimizeSkewedJoin pattern-matches SMJ <- Sort <- ShuffleStage
+       with shuffleOrigin=ENSURE_REQUIREMENTS on BOTH sides; a
+       distinct()'s HashAggregate between the Sort and the stage defeats
+       it. The dim is therefore a plain range frame (result identical:
+       every fact key is in [0, 96], so the inner join keeps the same
+       groups either way — the oracle uses range(0,97) too).
+    3. The groupBy(k) downstream reuses the join's partitioning, and the
+       skew split breaks that, so Spark reverts the split unless
+       forceOptimizeSkewedJoin accepts the one extra shuffle — exactly
+       the straggler-vs-shuffle trade a real cluster makes.
+    Thresholds are lowered for fixture scale and restored in a finally —
+    on a real 100 TB cluster the defaults (256 MB) do the same job."""
     conf = spark.conf
     keys = [
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
     ]
     saved = {k: conf.get(k) for k in keys}
-    conf.set(keys[0], "8KB")
-    conf.set(keys[1], "64KB")
+    conf.set(keys[0], "2KB")
+    conf.set(keys[1], "1KB")
     conf.set(keys[2], "2")
+    conf.set(keys[3], "true")
     try:
         li = load_table(spark, sf_dir, "lineitem")
-        fact = li.select(
+        fact = li.repartition(8).select(
             F.when(F.col("l_orderkey") % 100 < 99, F.lit(0).cast("long"))
             .otherwise(F.col("l_orderkey") % 97)
             .alias("k"),
             "l_extendedprice",
         )
-        dim = li.select((F.col("l_orderkey") % 97).alias("k")).distinct()
+        dim = spark.range(0, 97).select(F.col("id").alias("k"))
         agg = (
             fact.hint("MERGE")
             .join(dim.hint("MERGE"), "k")
