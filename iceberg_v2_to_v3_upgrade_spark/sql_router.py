@@ -229,6 +229,7 @@ class EngineSQL:
         db, name = m.group("db"), m.group("table")
         select = m.group("select").strip()
         self._authorize_db("CREATE_TABLE", db)
+        self._deny_mv_security_bypass(db, name, select, "CREATE MATERIALIZED VIEW")
         df = self._select(select).df
         ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema
@@ -268,6 +269,7 @@ class EngineSQL:
         select = t.properties.get("mv.select")
         if not select:
             raise TableError(f"{db}.{name} is not a materialized view")
+        self._deny_mv_security_bypass(db, name, select, "REFRESH MATERIALIZED VIEW")
         base_snaps = json.loads(t.properties.get("mv.base-snapshots", "{}"))
         mode = self._incremental_mv_refresh(t, select, base_snaps)
         if mode is None:
@@ -287,6 +289,28 @@ class EngineSQL:
             "refresh_materialized_view",
             message=f"refreshed {db}.{name} ({mode})",
         )
+
+    def _deny_mv_security_bypass(
+        self, db: str, mv: str, select: str, what: str
+    ) -> None:
+        """(Re)materializing an MV aggregates base-table rows into a new
+        table the principal can read, and the incremental path reads the
+        base CDC changelog directly (``base.changes()``) — NOT through the
+        masked/filtered ``_select`` boundary. A row-filtered or
+        column-masked principal could therefore launder hidden rows /
+        masked columns into the MV. Same conservative stance as DML and
+        metadata tables: deny outright, for the MV itself and for every
+        base table the defining SELECT references."""
+        self._deny_row_filtered_mutation(db, mv, what)
+        perms = self.catalog.permissions
+        for key in self._mv_base_snapshots(select):
+            bdb, btbl = key.split(".", 1)
+            self._deny_row_filtered_mutation(bdb, btbl, what)
+            if perms.masked_columns(self.principal, bdb, btbl):
+                raise PermissionDenied(
+                    f"{what} over column-masked base table {bdb}.{btbl} "
+                    f"is not available to principal {self.principal!r}"
+                )
 
     def _incremental_mv_refresh(
         self, t, select: str, base_snaps: dict[str, int]
@@ -337,7 +361,14 @@ class EngineSQL:
         cur = base._meta["current_snapshot_id"]
         if cur == base_snaps[key]:
             return "incremental, no base changes"
-        ch = base.changes(base_snaps[key], cur)
+        try:
+            ch = base.changes(base_snaps[key], cur)
+        except TableError:
+            # A non-diffable operation (e.g. rollback) in the delta
+            # range: the changelog is undefined there, so the watermark
+            # must NOT advance past it on a partial delta — fall back to
+            # full recompute.
+            return None
         if sm.group("where"):
             ch = ch.filter(sm.group("where"))
         sign = F.when(
@@ -654,20 +685,27 @@ class EngineSQL:
         )
 
     def _authorize_mask_admin(self, db: str, table: str, who: str) -> None:
-        """Mask administration gate. Masks are enforced on every read even
-        when the store is NON-enforcing, so administration cannot ride the
-        non-enforcing ALTER default: a masked principal could simply
-        REVOKE its own mask. Rule: modifying YOUR OWN mask state requires
-        an EXPLICIT ALTER/ALL grant (i.e. you are a real table admin);
-        modifying someone else's rides the ordinary ALTER check."""
+        """Mask/row-filter administration gate. Masks and filters are
+        enforced on every read even when the store is NON-enforcing, so
+        administration cannot ride the non-enforcing ALTER default: a
+        masked principal could REVOKE its own mask — or two masked
+        principals could REVOKE each other's, which is the same bypass
+        one hop removed. Rule: ALL mask/filter administration (grant and
+        revoke, any target principal) requires an EXPLICIT ALTER/ALL
+        grant, i.e. you are a real table admin. The anonymous session
+        (principal None) is the catalog owner — the identity that could
+        hand itself any grant via the store API — so it bypasses."""
         self._authorize_table("ALTER", db, table)
+        if self.principal is None:
+            return
         perms = self.catalog.permissions
-        if who == self.principal and not perms.check_table_explicit(
+        if not perms.check_table_explicit(
             self.principal, db, table, "ALTER"
         ):
             raise PermissionDenied(
-                f"principal {who!r} may not modify its own column masks "
-                f"on {db}.{table} without an explicit ALTER grant"
+                f"principal {self.principal!r} may not administer column "
+                f"masks or row filters on {db}.{table} without an "
+                "explicit ALTER grant"
             )
 
     def _resolve_mask_columns(self, db: str, table: str, cols) -> list[str]:
@@ -773,6 +811,7 @@ class EngineSQL:
         )
 
     def _call_remove_orphans(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         removed = t.remove_orphan_files(dry_run=bool(m.group("dry")))
         return StatementResult(
@@ -782,6 +821,8 @@ class EngineSQL:
     def _call_consolidate_deletes(
         self, sql: str, m: re.Match
     ) -> StatementResult:
+        # Maintenance commits a snapshot — same gate as rewrite_data_files
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         snap = t.consolidate_deletes()
         n = len(snap.delete_dirs)
@@ -792,6 +833,7 @@ class EngineSQL:
         )
 
     def _call_expire(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         older = datetime.datetime.fromisoformat(m.group("ts"))
         expired = t.expire_snapshots(

@@ -1192,11 +1192,25 @@ class LocalTable:
             # same seq convention as the rename log: dirs with
             # snap-seq <= this seq predate the ALTER and read the default
             self._meta.setdefault("column_defaults", {})[name] = {
-                "seq": self._meta["current_snapshot_id"],
+                "seq": self._schema_change_seq(),
                 "sql": default,
                 "dtype": dtype,
             }
         self._write_meta()
+
+    def _schema_change_seq(self) -> int:
+        """Sequence recorded for a metadata-only schema change (rename /
+        initial default). Snapshot ids are allocated GLOBALLY across
+        branches, so the MAIN head alone is not a safe boundary: a branch
+        data dir committed before the ALTER can carry an id greater than
+        the MAIN head and would wrongly classify as post-ALTER. The
+        global high-water mark makes every dir written before the ALTER,
+        on any branch, classify as pre-ALTER."""
+        snaps = self._meta.get("snapshots") or []
+        return max(
+            (s["id"] for s in snaps),
+            default=self._meta["current_snapshot_id"],
+        )
 
     _PROMOTIONS = {
         "tinyint": {"smallint", "int", "bigint"},
@@ -1277,7 +1291,7 @@ class LocalTable:
             for f in schema
         )
         self._meta.setdefault("renames", []).append(
-            {"seq": self._meta["current_snapshot_id"], "from": old, "to": new}
+            {"seq": self._schema_change_seq(), "from": old, "to": new}
         )
         defaults = self._meta.get("column_defaults", {})
         if old in defaults:  # defaults follow the column across renames
@@ -1982,17 +1996,40 @@ class LocalTable:
                 break
             if prev is not None and s.id > from_snapshot_id:
                 step: DataFrame | None = None
-                if s.operation in ("append", "update", "merge", "delete"):
+                if s.operation in (
+                    "append", "update", "merge", "delete", "overwrite"
+                ):
                     new_data = [d for d in s.data_dirs if d not in prev.data_dirs]
                     new_dels = [
                         d for d in s.delete_dirs if d not in prev.delete_dirs
+                    ]
+                    dropped = [
+                        d for d in prev.data_dirs if d not in s.data_dirs
                     ]
                     if new_data:
                         ins = self._read_dirs(
                             new_data, self._data_read_schema()
                         ).withColumn("_change_type", F.lit("insert"))
                         step = ins
-                    if new_dels:
+                    if dropped:
+                        # Unpartitioned INSERT OVERWRITE commits a fresh
+                        # dir list (no delete ledgers), so the delete side
+                        # is every row VISIBLE at prev — prev's scan, not
+                        # a dir diff. Only the full-replace shape drops
+                        # dirs; a partial drop has no defined delta here.
+                        if set(dropped) != set(prev.data_dirs):
+                            raise TableError(
+                                f"changes(): snapshot {s.id} "
+                                f"({s.operation}) drops a strict subset "
+                                "of data dirs — no incremental delta"
+                            )
+                        dels = self._scan_raw(prev).withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                        step = dels if step is None else step.unionByName(
+                            dels, allowMissingColumns=True
+                        )
+                    elif new_dels:
                         dels = (
                             self._scan_raw(prev)
                             .join(
@@ -2008,6 +2045,16 @@ class LocalTable:
                         step = dels if step is None else step.unionByName(
                             dels, allowMissingColumns=True
                         )
+                elif s.operation not in ("replace", "maintenance", "create"):
+                    # 'rollback' (and any future non-linear op) has no
+                    # incremental delta: visibility reverts wholesale.
+                    # Refuse loudly so callers (e.g. incremental MV
+                    # refresh) fall back to a full recompute instead of
+                    # silently missing changes.
+                    raise TableError(
+                        f"changes(): operation {s.operation!r} (snapshot "
+                        f"{s.id}) in range is not incrementally diffable"
+                    )
                 # 'replace' (compaction) and 'create': no logical change
                 if step is not None:
                     step = step.select(

@@ -80,6 +80,7 @@ def main() -> None:
     for n in bad:
         print(n)
     spark.stop()
+    sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":

@@ -142,3 +142,61 @@ def test_mv_refresh_history_is_time_travelable(engine):
         "WHERE region = 'emea'"
     ).df.collect()
     assert was[0].total == 30  # pre-refresh MV state still readable
+
+
+def test_mv_incremental_refresh_sees_insert_overwrite(engine):
+    """INSERT OVERWRITE commits op 'overwrite'; the CDC changelog must
+    surface it (full-replace: deletes of all prev-visible rows + inserts
+    of the new data), so the incremental MV refresh neither misses it nor
+    silently desyncs (round-4 ADVICE high finding)."""
+    engine.execute_one(MV_SQL)
+    engine.execute_one(
+        "INSERT OVERWRITE glue_catalog.db.sales "
+        "SELECT * FROM (VALUES ('emea', 9), ('nord', 4)) v(region, amount)"
+    )
+    res = engine.execute_one("REFRESH MATERIALIZED VIEW db.mv")
+    assert "(incremental)" in res.message
+    # MV must equal the defining SELECT from scratch after the overwrite
+    assert _mv_state(engine) == {"emea": (9, 1), "nord": (4, 1)}
+    # and a SECOND refresh from the advanced watermark stays consistent
+    engine.execute_one("INSERT INTO glue_catalog.db.sales VALUES ('emea', 1)")
+    res = engine.execute_one("REFRESH MATERIALIZED VIEW db.mv")
+    assert "(incremental)" in res.message
+    assert _mv_state(engine) == {"emea": (10, 2), "nord": (4, 1)}
+
+
+def test_mv_refresh_denied_for_filtered_or_masked_principal(spark, tmp_path):
+    """REFRESH/CREATE MATERIALIZED VIEW must not launder hidden rows or
+    masked columns past the row-filter/column-mask read boundary: the
+    incremental path reads base.changes() raw (round-4 ADVICE high
+    finding). Deny for the MV and for every base table of the SELECT."""
+    from iceberg_v2_to_v3_upgrade_spark.tables.permissions import (
+        PermissionDenied,
+    )
+
+    catalog = LocalCatalog(spark, str(tmp_path / "wh"))
+    root = EngineSQL(catalog)
+    root.execute(
+        "CREATE TABLE glue_catalog.db.sales "
+        "(region STRING, amount BIGINT) USING iceberg;"
+        "INSERT INTO glue_catalog.db.sales VALUES ('emea', 10), ('apac', 5)"
+    )
+    root.execute_one(MV_SQL)
+    catalog.permissions.set_row_filter(
+        "analyst", "db", "sales", "region = 'emea'"
+    )
+    analyst = EngineSQL(catalog, principal="analyst")
+    with pytest.raises(PermissionDenied, match="row-filtered"):
+        analyst.execute_one("REFRESH MATERIALIZED VIEW db.mv")
+    with pytest.raises(PermissionDenied, match="row-filtered"):
+        analyst.execute_one(
+            "CREATE MATERIALIZED VIEW db.mv9 AS SELECT region, "
+            "SUM(amount) AS total, COUNT(*) AS cnt "
+            "FROM db.sales GROUP BY region"
+        )
+    catalog.permissions.set_column_mask("masked", "db", "sales", ["amount"])
+    masked = EngineSQL(catalog, principal="masked")
+    with pytest.raises(PermissionDenied, match="column-masked"):
+        masked.execute_one("REFRESH MATERIALIZED VIEW db.mv")
+    # the unrestricted root session still refreshes fine
+    root.execute_one("REFRESH MATERIALIZED VIEW db.mv")

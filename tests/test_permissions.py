@@ -201,7 +201,8 @@ def test_column_mask_nulls_values_for_principal(spark, tmp_path):
 @pytest.fixture()
 def masked_people(spark, tmp_path):
     """sec_db.people with salary+name masked for 'analyst' (admin is a
-    distinct principal, store left non-enforcing — the LF default)."""
+    distinct principal holding an EXPLICIT ALTER grant — ALL mask/filter
+    administration requires one; store left non-enforcing otherwise)."""
     catalog = LocalCatalog(spark, str(tmp_path / "wh"))
     admin = EngineSQL(catalog, principal="admin")
     admin.execute(
@@ -211,25 +212,39 @@ def masked_people(spark, tmp_path):
         ) USING iceberg PARTITIONED BY (region);
         INSERT INTO glue_catalog.sec_db.people VALUES
             (1, 'ada', 100.00, 'emea'), (2, 'bob', 200.00, 'apac');
-        GRANT COLUMN MASK (salary, name) ON sec_db.people TO 'analyst';
         """
+    )
+    catalog.permissions.grant_table_permissions(
+        "admin", "sec_db", "people", ["ALTER"]
+    )
+    admin.execute_one(
+        "GRANT COLUMN MASK (salary, name) ON sec_db.people TO 'analyst'"
     )
     return catalog, admin, EngineSQL(catalog, principal="analyst")
 
 
 def test_column_mask_self_revoke_denied(masked_people):
     """A masked principal must not remove its own mask via the
-    non-enforcing ALTER default — that would make masks self-service."""
+    non-enforcing ALTER default — that would make masks self-service.
+    Nor may it administer ANYONE's masks (two masked principals could
+    otherwise revoke each other's): all administration needs an
+    explicit ALTER grant."""
     catalog, admin, analyst = masked_people
-    with pytest.raises(PermissionDenied, match="own column masks"):
+    with pytest.raises(PermissionDenied, match="explicit ALTER grant"):
         analyst.execute_one(
             "REVOKE COLUMN MASK ON sec_db.people FROM 'analyst'"
         )
-    with pytest.raises(PermissionDenied, match="own column masks"):
+    with pytest.raises(PermissionDenied, match="explicit ALTER grant"):
         analyst.execute_one(
             "GRANT COLUMN MASK (id) ON sec_db.people TO 'analyst'"
         )
-    # a DIFFERENT principal (the admin) still administers freely
+    # the mutual-revoke bypass: an unprivileged THIRD principal may not
+    # administer the analyst's masks either
+    with pytest.raises(PermissionDenied, match="explicit ALTER grant"):
+        EngineSQL(catalog, principal="other").execute_one(
+            "REVOKE COLUMN MASK ON sec_db.people FROM 'analyst'"
+        )
+    # the admin (explicit ALTER grant) still administers freely
     admin.execute_one("REVOKE COLUMN MASK ON sec_db.people FROM 'analyst'")
     rows = analyst.execute_one(
         "SELECT name FROM sec_db.people ORDER BY id"
