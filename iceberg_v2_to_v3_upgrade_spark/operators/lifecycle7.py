@@ -1,0 +1,102 @@
+"""Declared queries, round 4 lifecycle batch: CDC visibility of INSERT
+OVERWRITE.
+
+Round-3 review found that ``changes()`` skipped op 'overwrite' entirely —
+a restatement was invisible to every CDC consumer and silently desynced
+incremental MV refresh. The fix (table.py ``changes``) emits the replaced
+partition's prev-visible rows as deletes plus the new data as inserts;
+``i32`` is the driver-facing evidence for exactly that path.
+
+Reference anchor: the reference's incremental story is snapshot-based
+(README.md:34-38 expire/rewrite maintenance over snapshot history); a
+changelog that misses a whole operation class breaks that story, so this
+arc belongs with the i-series lifecycle queries.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+# --------------------------------------------------------------- i32
+
+
+_OVERWRITE_CDC_ORACLE = """
+    WITH olds AS (
+        SELECT o_orderkey, round(o_totalprice, 2) AS price,
+               'delete' AS change_type
+        FROM orders
+        WHERE o_orderkey <= 2000 AND o_orderpriority = '1-URGENT'
+    ),
+    news AS (
+        SELECT o_orderkey + 5000000 AS o_orderkey,
+               round(o_totalprice * 10, 2) AS price,
+               'insert' AS change_type
+        FROM orders
+        WHERE o_orderkey <= 300 AND o_orderpriority = '1-URGENT'
+    )
+    SELECT * FROM olds
+    UNION ALL SELECT * FROM news
+    ORDER BY change_type, o_orderkey
+"""
+
+
+@declare(
+    "i32_overwrite_cdc",
+    oracle=_OVERWRITE_CDC_ORACLE,
+    tags=("dml", "lifecycle", "cdc"),
+)
+def i32_overwrite_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC visibility of dynamic partition overwrite: after INSERT
+    OVERWRITE replaces the '1-URGENT' partition, ``changes(base)`` must
+    emit exactly that partition's prior rows as deletes (old values) and
+    the restated rows as inserts — the other partitions contribute
+    NOTHING to the changelog, because only the touched partition's delete
+    ledger is new.
+
+    Scale shape: the delta is O(replaced partition), not O(table) — the
+    delete side broadcasts the overwrite's row-id ledger against the
+    prior snapshot scan, and untouched partitions' dirs are carried
+    forward unchanged so they never re-enter the changelog.
+    """
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="owcdc_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "owcdc_db",
+        "orders_ow",
+        "o_orderkey BIGINT, o_orderpriority STRING, price DOUBLE",
+        partition_by=["o_orderpriority"],
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    base = t.insert(
+        orders.filter(F.col("o_orderkey") <= 2000).select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    ).id
+    t.insert_overwrite(
+        orders.filter(
+            (F.col("o_orderkey") <= 300)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        ).select(
+            (F.col("o_orderkey") + 5000000).alias("o_orderkey"),
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 10, 2).alias("price"),
+        )
+    )
+    return (
+        t.changes(base)
+        .select(
+            "o_orderkey",
+            "price",
+            F.col("_change_type").alias("change_type"),
+        )
+        .orderBy("change_type", "o_orderkey")
+    )

