@@ -100,3 +100,87 @@ def i32_overwrite_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type", "o_orderkey")
     )
+
+
+# --------------------------------------------------------------- i33
+
+
+_CHANGELOG_VIEW_ORACLE = """
+    WITH dels AS (
+        SELECT o_orderkey, round(o_totalprice, 2) AS price,
+               'delete' AS change_type
+        FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 10 = 3
+    ),
+    upd_old AS (
+        SELECT o_orderkey, round(o_totalprice, 2) AS price,
+               'delete' AS change_type
+        FROM orders
+        WHERE o_orderkey <= 2000 AND o_orderkey % 10 <> 3
+          AND o_orderpriority = '5-LOW'
+    ),
+    upd_new AS (
+        SELECT o_orderkey, round(round(o_totalprice, 2) * 2, 2) AS price,
+               'insert' AS change_type
+        FROM orders
+        WHERE o_orderkey <= 2000 AND o_orderkey % 10 <> 3
+          AND o_orderpriority = '5-LOW'
+    ),
+    ch AS (
+        SELECT * FROM dels
+        UNION ALL SELECT * FROM upd_old
+        UNION ALL SELECT * FROM upd_new
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(price), 2) AS total_price
+    FROM ch GROUP BY change_type ORDER BY change_type
+"""
+
+
+@declare(
+    "i33_changelog_view",
+    oracle=_CHANGELOG_VIEW_ORACLE,
+    tags=("dml", "lifecycle", "cdc"),
+)
+def i33_changelog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL system.create_changelog_view — Iceberg's changelog procedure
+    through the SQL gateway: after a MoR DELETE and UPDATE, the
+    registered view exposes the CDC rows to plain SQL, and the declared
+    result aggregates it per change type (the shape a downstream audit
+    job consumes). The arc is 100% SQL-gateway statements — no direct
+    table-API calls — proving the procedure surface end to end.
+
+    Scale shape: the changelog is built from new files per commit
+    (O(changed rows)); the per-type rollup is a metadata-sized frame."""
+    from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="clv_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    engine = EngineSQL(catalog)
+    t = catalog.create_table(
+        "clv_db",
+        "orders_clv",
+        "o_orderkey BIGINT, o_orderpriority STRING, price DOUBLE",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    t.insert(
+        orders.filter(F.col("o_orderkey") <= 2000).select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+    engine.execute(
+        "DELETE FROM clv_db.orders_clv WHERE o_orderkey % 10 = 3;"
+        "UPDATE clv_db.orders_clv SET price = round(price * 2, 2) "
+        "WHERE o_orderpriority = '5-LOW';"
+        "CALL system.create_changelog_view(table => 'clv_db.orders_clv', "
+        "view => 'clv_changes')"
+    )
+    return engine.execute_one(
+        "SELECT _change_type AS change_type, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "round(sum(price), 2) AS total_price "
+        "FROM clv_changes GROUP BY _change_type ORDER BY change_type"
+    ).df

@@ -668,3 +668,96 @@ def l11_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("rnk") <= 3).orderBy(
         "window_start", "rnk", "event_type"
     )
+
+
+@declare(
+    "l12_stream_outer_attribution",
+    oracle="""
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               c.ts AS click_ts, p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM events c LEFT JOIN events p
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        WHERE c.event_type = 'click'
+        ORDER BY click_id, purchase_id
+    """,
+    tags=("ext", "streaming"),
+)
+def l12_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (append mode): matched
+    clicks emit with their purchase; unmatched clicks emit a NULL row
+    once the watermark proves their 1-hour window can no longer match —
+    the semantics l4's inner join cannot express ('which clicks provably
+    did NOT convert').
+
+    The tail of the stream can never prove itself unmatched (nothing
+    later advances the watermark), so the stage appends two WATERMARK
+    SENTINEL files — one click + one purchase each at max(ts)+3d, on a
+    later mtime, replayed one file per micro-batch. The first sentinel
+    batch advances both sides' event-time max; the batch after it
+    carries a watermark beyond every real window, flushing ALL remaining
+    NULL rows deterministically. Sentinels use user_id = -1 and are
+    filtered from the declared result, so the sink equals the plain
+    batch left join the oracle states. This is the production heartbeat
+    pattern: outer-join/ window completeness at a stream tail is always
+    driven by a later event, so pipelines emit synthetic ticks.
+
+    Scale shape: state is keyed by user_id and evicted by the time
+    bound; the sentinel adds O(1) rows regardless of corpus size."""
+    import glob
+    import os
+    import time as _time
+
+    from iceberg_v2_to_v3_upgrade_spark.streaming.jobs import (
+        click_purchase_attribution_outer,
+    )
+
+    key = (sf_dir, "l12_outer")
+    if key not in _STAGE_CACHE:
+        stage = tempfile.mkdtemp(prefix="stream_stage_l12_")
+        events = load_table(spark, sf_dir, "events")
+        (
+            events.repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        base = _time.time() - 3600
+        real_parts = sorted(glob.glob(f"{stage}/part-*"))
+        for i, path in enumerate(real_parts):
+            os.utime(path, (base + i, base + i))
+        max_ts = events.agg(F.max("ts")).collect()[0][0]
+        import datetime as _dt
+
+        seen = set(real_parts)
+        for j, i in enumerate((1, 2)):
+            sent_ts = max_ts + _dt.timedelta(days=3, hours=i)
+            spark.createDataFrame(
+                [
+                    (-100 - i, sent_ts, -1, "click", 0.0, "{}"),
+                    (-200 - i, sent_ts, -1, "purchase", 0.0, "{}"),
+                ],
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, props string",
+            ).coalesce(1).write.mode("append").parquet(stage)
+            new = set(glob.glob(f"{stage}/part-*")) - seen
+            seen |= new
+            for path in new:  # one file; replay strictly after the bulk
+                os.utime(path, (base + 100 + j, base + 100 + j))
+        _STAGE_CACHE[key] = stage
+    stage = _STAGE_CACHE[key]
+    stream = read_event_stream(spark, stage, max_files_per_trigger=1)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    name = _drain(
+        click_purchase_attribution_outer(clicks, purchases, streaming=True),
+        "append",
+        "l12_outer",
+    )
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("click_id", "purchase_id")
+    )

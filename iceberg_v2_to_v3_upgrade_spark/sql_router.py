@@ -832,6 +832,50 @@ class EngineSQL:
             message=f"snapshot {snap.id}: {n} delete file(s)",
         )
 
+    def _call_create_changelog_view(
+        self, sql: str, m: re.Match
+    ) -> StatementResult:
+        """CALL system.create_changelog_view(table => 'db.t', view => 'v'
+        [, from_snapshot => N] [, to_snapshot => N]) — Iceberg's
+        changelog-view procedure: registers a queryable view over the
+        table's CDC changes (table columns + _change_type +
+        _commit_snapshot_id). ``from_snapshot`` (exclusive, like
+        changes()) defaults to the first DATA-bearing snapshot — the
+        initial load — so the default view is "changes since the table
+        was loaded", the CDC-watermark idiom; ``to_snapshot`` defaults
+        to the current head.
+
+        Security stance matches metadata tables / MV refresh: the
+        changelog carries OLD values of deleted rows straight off the
+        raw scan, bypassing the masked/filtered read path — row-filtered
+        or column-masked principals are denied outright."""
+        db, table = m.group("db"), m.group("table")
+        self._authorize_table("SELECT", db, table)
+        self._deny_row_filtered_mutation(db, table, "changelog views")
+        if self.catalog.permissions.masked_columns(self.principal, db, table):
+            raise PermissionDenied(
+                f"changelog views on column-masked {db}.{table} are not "
+                f"available to principal {self.principal!r}"
+            )
+        t = self.catalog.load_table(db, table)
+        snaps = t.snapshots()
+        frm = m.group("frm")
+        to = m.group("to")
+        if frm:
+            from_id = int(frm)
+        else:
+            data_snaps = [s for s in snaps if s.operation != "create"]
+            from_id = (data_snaps[0] if data_snaps else snaps[0]).id
+        to_id = int(to) if to else None
+        view = m.group("view")
+        t.changes(from_id, to_id).createOrReplaceTempView(view)
+        return StatementResult(
+            sql,
+            "create_changelog_view",
+            message=f"changelog view {view} over {db}.{table} "
+            f"from snapshot {from_id}",
+        )
+
     def _call_expire(self, sql: str, m: re.Match) -> StatementResult:
         self._authorize_table("ALTER", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
@@ -1451,6 +1495,16 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             re.IGNORECASE,
         ),
         EngineSQL._call_remove_orphans,
+    ),
+    (
+        re.compile(
+            rf"CALL system\.create_changelog_view\s*\(\s*table\s*=>\s*"
+            rf"'{_NAME}'\s*,\s*view\s*=>\s*'(?P<view>\w+)'"
+            rf"(?:\s*,\s*from_snapshot\s*=>\s*(?P<frm>\d+))?"
+            rf"(?:\s*,\s*to_snapshot\s*=>\s*(?P<to>\d+))?\s*\)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._call_create_changelog_view,
     ),
     (
         re.compile(

@@ -348,3 +348,49 @@ def cep_pattern_stream(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def click_purchase_attribution_outer(
+    clicks: DataFrame, purchases: DataFrame, streaming: bool = False
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits — matched
+    clicks with their purchase, UNMATCHED clicks with NULLs once the
+    watermark closes their 1-hour join window (outer emission is the
+    semantics inner joins cannot express: 'which clicks converted, and
+    which provably did not').
+
+    Outer stream-stream joins REQUIRE watermarks on both sides plus a
+    time-bound join condition — that is what lets Spark prove a left row
+    can no longer match and emit its NULL row instead of holding state
+    forever. Same body serves the batch twin.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if streaming:
+        c = c.withWatermark("click_ts", "2 hours")
+        p = p.withWatermark("purchase_ts", "2 hours")
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        )
+    )
+    return c.join(p, on=cond, how="leftOuter").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

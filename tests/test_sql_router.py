@@ -498,3 +498,61 @@ def test_partition_evolution_sql_surface(engine):
         engine.execute_one(
             "ALTER TABLE glue_catalog.evo_db.t DROP PARTITION FIELD nope"
         )
+
+
+def test_changelog_view_procedure(engine):
+    """CALL system.create_changelog_view registers a SQL-queryable CDC
+    view; from_snapshot scopes the delta; security matches metadata
+    tables (row-filtered/masked principals denied)."""
+    engine.execute(
+        "CREATE TABLE glue_catalog.clv.t (id INT, v STRING) USING iceberg;"
+        "INSERT INTO glue_catalog.clv.t VALUES (1, 'a'), (2, 'b'), (3, 'c')"
+    )
+    engine.execute_one("DELETE FROM clv.t WHERE id = 2")
+    t = engine.catalog.load_table("clv", "t")
+    s_del = t.current_snapshot().id
+    engine.execute_one(
+        "CALL system.create_changelog_view(table => 'clv.t', "
+        "view => 'clv_ch')"
+    )
+    rows = engine.execute_one(
+        "SELECT id, _change_type FROM clv_ch ORDER BY id"
+    ).df.collect()
+    assert [(r.id, r._change_type) for r in rows] == [(2, "delete")]
+
+    # a second DML; from_snapshot scopes to changes after it
+    engine.execute_one("INSERT INTO glue_catalog.clv.t VALUES (9, 'z')")
+    engine.execute_one(
+        "CALL system.create_changelog_view(table => 'clv.t', "
+        f"view => 'clv_ch2', from_snapshot => {s_del})"
+    )
+    rows = engine.execute_one(
+        "SELECT id, _change_type FROM clv_ch2 ORDER BY id"
+    ).df.collect()
+    assert [(r.id, r._change_type) for r in rows] == [(9, "insert")]
+
+
+def test_changelog_view_denied_for_filtered_or_masked(spark, tmp_path):
+    from iceberg_v2_to_v3_upgrade_spark.tables.permissions import (
+        PermissionDenied,
+    )
+
+    catalog = LocalCatalog(spark, str(tmp_path / "wh"))
+    root = EngineSQL(catalog)
+    root.execute(
+        "CREATE TABLE glue_catalog.clv.t (id INT, v STRING) USING iceberg;"
+        "INSERT INTO glue_catalog.clv.t VALUES (1, 'a'), (2, 'b');"
+        "DELETE FROM clv.t WHERE id = 1"
+    )
+    catalog.permissions.set_row_filter("analyst", "clv", "t", "id > 1")
+    with pytest.raises(PermissionDenied, match="row-filtered"):
+        EngineSQL(catalog, principal="analyst").execute_one(
+            "CALL system.create_changelog_view(table => 'clv.t', "
+            "view => 'x')"
+        )
+    catalog.permissions.set_column_mask("masked", "clv", "t", ["v"])
+    with pytest.raises(PermissionDenied, match="column-masked"):
+        EngineSQL(catalog, principal="masked").execute_one(
+            "CALL system.create_changelog_view(table => 'clv.t', "
+            "view => 'y')"
+        )
