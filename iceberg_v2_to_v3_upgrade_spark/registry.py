@@ -300,18 +300,25 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
     # un-evidenced stragglers in registration order, then everything with
     # driver evidence on file — the 50-slot budget always reaches the
     # queries that need it, automatically, every round.
-    for name in DRIVER_PRIORITY:
+    #
+    # DRIVER_FOLLOWUP joins the priority tier only once round-4 evidence
+    # is on file: promoting it earlier would displace the round-4
+    # TPC-H/function-breadth window, and a past-the-window re-rank (the
+    # previous approach) was invisible to the next round's recompute,
+    # which rebuilds this ordering from scratch. The evidence-file gate
+    # is re-derived every call, so the promotion survives recomputation.
+    import glob as _glob
+    import os as _os
+
+    _root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    round4_graded = any(
+        _os.path.basename(p) >= "CORRECTNESS_r04.json"
+        for p in _glob.glob(_os.path.join(_root, "CORRECTNESS_r*.json"))
+    )
+    priority = DRIVER_PRIORITY + (DRIVER_FOLLOWUP if round4_graded else ())
+    for name in priority:
         if name in REGISTRY and name not in evidenced:
             ordered[name] = REGISTRY[name]
     deferred = [n for n in REGISTRY if n not in ordered]
     deferred.sort(key=lambda n: n in evidenced)  # stable: keeps reg. order
-    names = list(ordered) + deferred
-    # DRIVER_FOLLOWUP names are promoted to lead the NEXT round's window:
-    # everything past the current 50-slot window is re-ranked so the
-    # un-evidenced followup block comes first there (still behind this
-    # round's window — it must not displace the current crop).
-    head, rest = names[:50], names[50:]
-    rest.sort(
-        key=lambda n: (n in evidenced, n not in DRIVER_FOLLOWUP)
-    )  # stable within each group: keeps the order computed above
-    return {n: REGISTRY[n] for n in head + rest}
+    return {n: REGISTRY[n] for n in list(ordered) + deferred}

@@ -229,7 +229,10 @@ class EngineSQL:
         db, name = m.group("db"), m.group("table")
         select = m.group("select").strip()
         self._authorize_db("CREATE_TABLE", db)
-        self._deny_mv_security_bypass(db, name, select, "CREATE MATERIALIZED VIEW")
+        base_snaps_now = self._mv_base_snapshots(select)
+        self._deny_mv_security_bypass(
+            db, name, "CREATE MATERIALIZED VIEW", base_snaps_now
+        )
         df = self._select(select).df
         ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema
@@ -240,7 +243,7 @@ class EngineSQL:
             {
                 "mv.select": select,
                 "mv.base-snapshots": json.dumps(
-                    self._mv_base_snapshots(select), sort_keys=True
+                    base_snaps_now, sort_keys=True
                 ),
             }
         )
@@ -269,9 +272,16 @@ class EngineSQL:
         select = t.properties.get("mv.select")
         if not select:
             raise TableError(f"{db}.{name} is not a materialized view")
-        self._deny_mv_security_bypass(db, name, select, "REFRESH MATERIALIZED VIEW")
+        # one catalog scan per REFRESH: the deny gate, the incremental
+        # eligibility check, and the stored watermark all consume this
+        base_snaps_now = self._mv_base_snapshots(select)
+        self._deny_mv_security_bypass(
+            db, name, "REFRESH MATERIALIZED VIEW", base_snaps_now
+        )
         base_snaps = json.loads(t.properties.get("mv.base-snapshots", "{}"))
-        mode = self._incremental_mv_refresh(t, select, base_snaps)
+        mode = self._incremental_mv_refresh(
+            t, select, base_snaps, base_snaps_now
+        )
         if mode is None:
             df = self._select(select).df  # reads BASE views, not the MV
             t.delete_where("true")
@@ -280,7 +290,7 @@ class EngineSQL:
         t.set_properties(
             {
                 "mv.base-snapshots": json.dumps(
-                    self._mv_base_snapshots(select), sort_keys=True
+                    base_snaps_now, sort_keys=True
                 )
             }
         )
@@ -291,7 +301,7 @@ class EngineSQL:
         )
 
     def _deny_mv_security_bypass(
-        self, db: str, mv: str, select: str, what: str
+        self, db: str, mv: str, what: str, base_snaps: dict[str, int]
     ) -> None:
         """(Re)materializing an MV aggregates base-table rows into a new
         table the principal can read, and the incremental path reads the
@@ -303,7 +313,7 @@ class EngineSQL:
         base table the defining SELECT references."""
         self._deny_row_filtered_mutation(db, mv, what)
         perms = self.catalog.permissions
-        for key in self._mv_base_snapshots(select):
+        for key in base_snaps:
             bdb, btbl = key.split(".", 1)
             self._deny_row_filtered_mutation(bdb, btbl, what)
             if perms.masked_columns(self.principal, bdb, btbl):
@@ -313,7 +323,11 @@ class EngineSQL:
                 )
 
     def _incremental_mv_refresh(
-        self, t, select: str, base_snaps: dict[str, int]
+        self,
+        t,
+        select: str,
+        base_snaps: dict[str, int],
+        base_snaps_now: dict[str, int],
     ) -> str | None:
         """Try the delta-merge path; None means 'not eligible, do a full
         recompute'. Eligibility: flat single-table GROUP BY over bare
@@ -325,7 +339,7 @@ class EngineSQL:
         bdb, btbl = sm.group("bdb"), sm.group("btbl")
         if not self.catalog.table_exists(bdb, btbl):
             return None
-        if set(self._mv_base_snapshots(select)) != {f"{bdb}.{btbl}"}:
+        if set(base_snaps_now) != {f"{bdb}.{btbl}"}:
             return None
         groups = [g.strip() for g in sm.group("groupby").split(",")]
         if any(not re.fullmatch(_IDENT, g) for g in groups):
@@ -684,7 +698,7 @@ class EngineSQL:
             message=f"replaced partition field {old} with {new} (spec {spec_id})",
         )
 
-    def _authorize_mask_admin(self, db: str, table: str, who: str) -> None:
+    def _authorize_mask_admin(self, db: str, table: str) -> None:
         """Mask/row-filter administration gate. Masks and filters are
         enforced on every read even when the store is NON-enforcing, so
         administration cannot ride the non-enforcing ALTER default: a
@@ -732,7 +746,7 @@ class EngineSQL:
         Formation data-filter shape as a statement. Columns are validated
         against the table schema; see _authorize_mask_admin for the gate."""
         db, table, who = m.group("db"), m.group("table"), m.group("who")
-        self._authorize_mask_admin(db, table, who)
+        self._authorize_mask_admin(db, table)
         cols = self._resolve_mask_columns(
             db, table, m.group("cols").split(",")
         )
@@ -745,7 +759,7 @@ class EngineSQL:
 
     def _revoke_column_mask(self, sql: str, m: re.Match) -> StatementResult:
         db, table, who = m.group("db"), m.group("table"), m.group("who")
-        self._authorize_mask_admin(db, table, who)
+        self._authorize_mask_admin(db, table)
         self.catalog.permissions.drop_column_mask(who, db, table)
         return StatementResult(
             sql, "revoke_column_mask", message=f"unmasked for {who}"
@@ -760,7 +774,7 @@ class EngineSQL:
         predicate is validated against the table schema at grant time —
         a typo'd filter must fail loudly, not silently filter nothing."""
         db, table, who = m.group("db"), m.group("table"), m.group("who")
-        self._authorize_mask_admin(db, table, who)
+        self._authorize_mask_admin(db, table)
         pred = m.group("pred").strip()
         t = self.catalog.load_table(db, table)
         try:
@@ -776,7 +790,7 @@ class EngineSQL:
 
     def _revoke_row_filter(self, sql: str, m: re.Match) -> StatementResult:
         db, table, who = m.group("db"), m.group("table"), m.group("who")
-        self._authorize_mask_admin(db, table, who)
+        self._authorize_mask_admin(db, table)
         self.catalog.permissions.drop_row_filter(who, db, table)
         return StatementResult(
             sql, "revoke_row_filter", message=f"unfiltered for {who}"
@@ -869,6 +883,7 @@ class EngineSQL:
         to_id = int(to) if to else None
         view = m.group("view")
         t.changes(from_id, to_id).createOrReplaceTempView(view)
+        self.catalog.changelog_views[view] = (db, table)
         return StatementResult(
             sql,
             "create_changelog_view",
@@ -1132,6 +1147,23 @@ class EngineSQL:
         (full Catalyst path)."""
         self._register_views()
         self.last_scan_pruning = None
+        # Changelog views are SparkSession-global temp views carrying RAW
+        # old values; the creation-time deny only gates the creator, so
+        # re-check the READING principal here (same stance as metadata
+        # tables) before the name reaches spark.sql.
+        for view, (cdb, ctbl) in self.catalog.changelog_views.items():
+            if not re.search(rf"\b{re.escape(view)}\b", sql, re.IGNORECASE):
+                continue
+            self._authorize_table("SELECT", cdb, ctbl)
+            self._deny_row_filtered_mutation(cdb, ctbl, "changelog views")
+            if self.catalog.permissions.masked_columns(
+                self.principal, cdb, ctbl
+            ):
+                raise PermissionDenied(
+                    f"changelog view {view} over column-masked "
+                    f"{cdb}.{ctbl} is not available to principal "
+                    f"{self.principal!r}"
+                )
         rewritten = sql
         # metadata tables first — the plain-name rewrite below would
         # otherwise consume the `db.t` prefix of `db.t.files`

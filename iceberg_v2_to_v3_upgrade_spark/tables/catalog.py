@@ -28,6 +28,11 @@ class LocalCatalog:
         # J7/J8: grant table + account id (non-enforcing until enabled —
         # Lake Formation's IAM-access default; see tables/permissions.py)
         self.permissions = PermissionStore(self.warehouse)
+        # view name -> (db, table) for CALL system.create_changelog_view;
+        # temp views are SparkSession-global, so _select re-checks the
+        # reading principal's row filters / column masks on the SOURCE
+        # table before letting a statement touch one of these views
+        self.changelog_views: dict[str, tuple[str, str]] = {}
 
     # ------------------------------------------------------------ databases
 

@@ -2045,6 +2045,48 @@ class LocalTable:
                         step = dels if step is None else step.unionByName(
                             dels, allowMissingColumns=True
                         )
+                    new_eq = [
+                        e for e in s.eq_deletes if e not in prev.eq_deletes
+                    ]
+                    if new_eq:
+                        # Equality deletes (delete_by_keys, the streaming
+                        # CDC flavor) grow eq_deletes without touching
+                        # dir lists. Every prev-visible row has a commit
+                        # seq below this snapshot's, so the delta is
+                        # simply prev's visible scan inner-joined with
+                        # the new key sets (broadcast — O(deleted keys)).
+                        types = {
+                            f.name: f.dataType.simpleString()
+                            for f in declared
+                        }
+                        vis_prev = self._scan_raw(prev)
+                        eq_dels: DataFrame | None = None
+                        for entry in new_eq:
+                            cols = entry["cols"]
+                            ddl = ", ".join(
+                                f"{c} {types[c]}" for c in cols
+                            )
+                            keys = (
+                                self.spark.read.schema(ddl)
+                                .parquet(entry["dir"])
+                                .distinct()
+                            )
+                            hit = vis_prev.join(F.broadcast(keys), cols)
+                            eq_dels = (
+                                hit
+                                if eq_dels is None
+                                else eq_dels.unionByName(hit)
+                            )
+                        eq_dels = eq_dels.dropDuplicates(
+                            [_ROW_ID]
+                        ).withColumn("_change_type", F.lit("delete"))
+                        step = (
+                            eq_dels
+                            if step is None
+                            else step.unionByName(
+                                eq_dels, allowMissingColumns=True
+                            )
+                        )
                 elif s.operation not in ("replace", "maintenance", "create"):
                     # 'rollback' (and any future non-linear op) has no
                     # incremental delta: visibility reverts wholesale.

@@ -88,6 +88,25 @@ def main() -> int:
     touched = [f for f in files if f.startswith("iceberg_v2_to_v3_upgrade_spark/")]
     if not touched:
         return 0
+    # The gate imports and runs the WORKING TREE, but the commit ships
+    # the STAGED content — a partially-staged engine file would be
+    # validated against code that is not being committed. Refuse.
+    unstaged = subprocess.run(
+        ["git", "diff", "--name-only"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.splitlines()
+    mixed = sorted(set(touched) & set(unstaged))
+    if mixed:
+        print(
+            "precommit gate: REFUSED — these staged files also have "
+            "unstaged edits, so the sweep would validate code that is "
+            "not being committed:\n  " + "\n  ".join(mixed) + "\n"
+            "Stage the remaining edits (or stash them) and retry."
+        )
+        return 1
     op_modules = {f for f in touched if "/operators/" in f}
     core_touched = any(f.startswith(CORE_PREFIXES) for f in touched)
 

@@ -54,10 +54,32 @@ def main() -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    explicit = bool(sys.argv[2:])
     bad = []
     for name in names:
         q = registry.get(name)
-        if q is None or not q.oracle:
+        if q is None:
+            # an explicitly-requested unknown name is a failure, not a
+            # silent skip — a renamed query must not green the gate
+            if explicit:
+                print(f"{name}: UNKNOWN QUERY", flush=True)
+                bad.append(name)
+            continue
+        if not q.oracle:
+            # rows-only queries self-validate in-query; when named
+            # explicitly (the pre-commit gate path), RUN them so their
+            # internal assertions fire instead of skipping silently
+            if explicit:
+                try:
+                    n = q.fn(spark, sf_dir).count()
+                    print(f"{name}: rows-only smoke rows={n}", flush=True)
+                except Exception as exc:  # noqa: BLE001
+                    print(
+                        f"{name}: ERROR {type(exc).__name__}: "
+                        f"{str(exc)[:200]}",
+                        flush=True,
+                    )
+                    bad.append(name)
             continue
         try:
             sdf = q.fn(spark, sf_dir)

@@ -556,3 +556,19 @@ def test_changelog_view_denied_for_filtered_or_masked(spark, tmp_path):
             "CALL system.create_changelog_view(table => 'clv.t', "
             "view => 'y')"
         )
+
+    # temp views are session-global: a filtered/masked principal must
+    # not be able to READ a changelog view root registered either
+    root.execute_one(
+        "CALL system.create_changelog_view(table => 'clv.t', "
+        "view => 'rootv')"
+    )
+    assert root.execute_one("SELECT * FROM rootv").df.count() == 1
+    with pytest.raises(PermissionDenied, match="row-filtered"):
+        EngineSQL(catalog, principal="analyst").execute_one(
+            "SELECT * FROM rootv"
+        )
+    with pytest.raises(PermissionDenied, match="column-masked"):
+        EngineSQL(catalog, principal="masked").execute_one(
+            "SELECT count(*) FROM rootv"
+        )

@@ -370,6 +370,34 @@ def test_changes_sees_insert_overwrite(catalog):
     assert sorted(r.id for r in p.scan().collect()) == [2, 3]
 
 
+def test_changes_sees_equality_deletes(catalog):
+    """CDC over delete_by_keys (round-4 review high finding): an
+    equality-delete commit grows eq_deletes without touching dir lists,
+    so changes() must recover the deleted rows by joining prev's visible
+    scan against the new key sets — not silently emit nothing."""
+    t = catalog.create_table("cdc_db", "eqcdc", "id int, v string")
+    s0 = t.insert_values([(1, "a"), (2, "b"), (3, "c")]).id
+    keys = t.spark.createDataFrame([(1,), (2,)], "id int")
+    s1 = t.delete_by_keys(keys, ["id"]).id
+    ch = t.changes(s0, s1).collect()
+    assert sorted((r.id, r._change_type) for r in ch) == [
+        (1, "delete"),
+        (2, "delete"),
+    ]
+    assert {r.v for r in ch} == {"a", "b"}  # old values recovered
+
+    # a second eq delete only removes rows still visible: id 1 is
+    # already gone, re-deleting it emits nothing new
+    s2 = t.delete_by_keys(
+        t.spark.createDataFrame([(1,), (3,)], "id int"), ["id"]
+    ).id
+    ch = t.changes(s1, s2).collect()
+    assert [(r.id, r._change_type) for r in ch] == [(3, "delete")]
+
+    # full range composes insert + both delete commits
+    assert t.changes(s0).count() == 3
+
+
 def test_changes_refuses_rollback_range(catalog):
     """'rollback' reverts visibility wholesale — there is no incremental
     delta. changes() must refuse loudly (callers fall back to a full
