@@ -184,3 +184,87 @@ def i33_changelog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(sum(price), 2) AS total_price "
         "FROM clv_changes GROUP BY _change_type ORDER BY change_type"
     ).df
+
+
+# --------------------------------------------------------------- i34
+
+
+_SNAP_MGMT_ORACLE = """
+    WITH final AS (
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderkey <= 1000
+        UNION ALL
+        SELECT o_orderkey, round(o_totalprice, 2)
+        FROM orders WHERE o_orderkey BETWEEN 2001 AND 2500
+    )
+    SELECT CAST(o_orderkey // 1000 AS BIGINT) AS key_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(price), 2) AS total_price
+    FROM final GROUP BY key_bucket ORDER BY key_bucket
+"""
+
+
+@declare(
+    "i34_snapshot_management",
+    oracle=_SNAP_MGMT_ORACLE,
+    tags=("dml", "lifecycle"),
+)
+def i34_snapshot_management(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-management procedure arc through the SQL gateway:
+    rollback_to_timestamp (latest snapshot at-or-before an instant),
+    set_current_snapshot (moving FORWARD — undoing the rollback), a
+    second rollback, then cherrypick_snapshot publishing an append
+    staged on a WAP branch out of order. Final visible state = the
+    first load plus the cherry-picked batch; the second load is rolled
+    away and the oracle never sees it.
+
+    Scale shape: every procedure is a metadata-only commit (dir-list
+    manipulation); cherry-pick's delta resolution compares dir lists,
+    never reads data files."""
+    from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="snapm_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    engine = EngineSQL(catalog)
+    t = catalog.create_table(
+        "snapm_db", "orders_sm", "o_orderkey BIGINT, price DOUBLE"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    first = t.insert(orders.filter(F.col("o_orderkey") <= 1000))
+    second = t.insert(
+        orders.filter(F.col("o_orderkey").between(1001, 2000))
+    )
+    # roll back to the first load, prove forward motion, roll back again
+    engine.execute_one(
+        "CALL system.rollback_to_timestamp(table => 'snapm_db.orders_sm',"
+        f" timestamp => '{first.timestamp}')"
+    )
+    engine.execute_one(
+        "CALL system.set_current_snapshot(table => 'snapm_db.orders_sm',"
+        f" snapshot_id => {second.id})"
+    )
+    engine.execute_one(
+        "CALL system.rollback_to_timestamp(table => 'snapm_db.orders_sm',"
+        f" timestamp => '{first.timestamp}')"
+    )
+    # WAP: stage a batch on a branch, publish ONLY it via cherry-pick
+    t = catalog.load_table("snapm_db", "orders_sm")
+    t.create_branch("wap")
+    staged = t.insert(
+        orders.filter(F.col("o_orderkey").between(2001, 2500)),
+        branch="wap",
+    )
+    engine.execute_one(
+        "CALL system.cherrypick_snapshot(table => 'snapm_db.orders_sm',"
+        f" snapshot_id => {staged.id})"
+    )
+    return engine.execute_one(
+        "SELECT CAST(o_orderkey DIV 1000 AS BIGINT) AS key_bucket, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "round(sum(price), 2) AS total_price "
+        "FROM snapm_db.orders_sm GROUP BY o_orderkey DIV 1000 "
+        "ORDER BY key_bucket"
+    ).df

@@ -944,10 +944,36 @@ class EngineSQL:
         )
 
     def _call_rollback(self, sql: str, m: re.Match) -> StatementResult:
+        # commits a snapshot — same ALTER stance as rewrite/expire
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         snap = t.rollback_to_snapshot(int(m.group("snap")))
         return StatementResult(
             sql, "rollback_to_snapshot", message=f"snapshot {snap.id}"
+        )
+
+    def _call_rollback_ts(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        snap = t.rollback_to_timestamp(m.group("ts"))
+        return StatementResult(
+            sql, "rollback_to_timestamp", message=f"snapshot {snap.id}"
+        )
+
+    def _call_set_current(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        snap = t.set_current_snapshot(int(m.group("snap")))
+        return StatementResult(
+            sql, "set_current_snapshot", message=f"snapshot {snap.id}"
+        )
+
+    def _call_cherrypick(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        snap = t.cherrypick_snapshot(int(m.group("snap")))
+        return StatementResult(
+            sql, "cherrypick_snapshot", message=f"snapshot {snap.id}"
         )
 
     def _merge(self, sql: str, m: re.Match) -> StatementResult:
@@ -1612,6 +1638,30 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             re.IGNORECASE,
         ),
         EngineSQL._call_rollback,
+    ),
+    (
+        re.compile(
+            rf"CALL system\.rollback_to_timestamp\s*\(\s*table\s*=>\s*"
+            rf"'{_NAME}'\s*,\s*timestamp\s*=>\s*'(?P<ts>[^']+)'\s*\)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._call_rollback_ts,
+    ),
+    (
+        re.compile(
+            rf"CALL system\.set_current_snapshot\s*\(\s*table\s*=>\s*"
+            rf"'{_NAME}'\s*,\s*snapshot_id\s*=>\s*(?P<snap>\d+)\s*\)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._call_set_current,
+    ),
+    (
+        re.compile(
+            rf"CALL system\.cherrypick_snapshot\s*\(\s*table\s*=>\s*"
+            rf"'{_NAME}'\s*,\s*snapshot_id\s*=>\s*(?P<snap>\d+)\s*\)\s*$",
+            re.IGNORECASE,
+        ),
+        EngineSQL._call_cherrypick,
     ),
     (
         re.compile(

@@ -1740,6 +1740,64 @@ class LocalTable:
             eq_deletes=target.eq_deletes,
         )
 
+    def rollback_to_timestamp(self, ts: str) -> Snapshot:
+        """CALL system.rollback_to_timestamp analog: roll back to the
+        latest snapshot whose commit timestamp is <= the given ISO-8601
+        UTC instant (same resolution rule as TIMESTAMP AS OF reads)."""
+        eligible = [s for s in self.snapshots() if s.timestamp <= ts]
+        if not eligible:
+            raise TableError(f"no snapshot at or before {ts!r}")
+        target = max(eligible, key=lambda s: (s.timestamp, s.id))
+        return self.rollback_to_snapshot(target.id)
+
+    def set_current_snapshot(self, snapshot_id: int) -> Snapshot:
+        """CALL system.set_current_snapshot analog: point the table at
+        ANY existing snapshot — unlike rollback it may also move FORWARD
+        (e.g. undo a rollback). Committed as an auditable 'rollback' op
+        (same non-linear visibility semantics: changes() refuses ranges
+        crossing it)."""
+        return self.rollback_to_snapshot(snapshot_id)
+
+    def cherrypick_snapshot(self, snapshot_id: int) -> Snapshot:
+        """CALL system.cherrypick_snapshot analog: apply one snapshot's
+        APPEND delta on top of the current head (Iceberg limits
+        cherry-pick to appends / dynamic overwrites; this models the
+        append case — the WAP idiom of publishing a single staged commit
+        out of order). Refuses non-append sources: their deltas are
+        entangled with the visibility state they were committed against.
+        """
+        snaps = self.snapshots()
+        by_id = {s.id: s for s in snaps}
+        target = by_id.get(snapshot_id)
+        if target is None:
+            raise TableError(f"no snapshot {snapshot_id}")
+        if target.operation != "append":
+            raise TableError(
+                f"cherrypick_snapshot: snapshot {snapshot_id} is "
+                f"{target.operation!r} — only append snapshots can be "
+                "cherry-picked"
+            )
+        # The append's OWN dirs are those no earlier snapshot carries —
+        # robust to branch commits, where the positional predecessor in
+        # the global snapshot list is not the actual parent (ids are
+        # allocated globally across branches).
+        idx = next(i for i, s in enumerate(snaps) if s.id == snapshot_id)
+        earlier = {d for s in snaps[:idx] for d in s.data_dirs}
+        new_data = [d for d in target.data_dirs if d not in earlier]
+        cur = self.current_snapshot()
+        add = [d for d in new_data if d not in cur.data_dirs]
+        if not add:
+            raise TableError(
+                f"cherrypick_snapshot: snapshot {snapshot_id}'s data is "
+                "already present in the current snapshot"
+            )
+        return self._commit(
+            "append",
+            list(cur.data_dirs) + add,
+            list(cur.delete_dirs),
+            eq_deletes=cur.eq_deletes,
+        )
+
     def files(self) -> DataFrame:
         """Iceberg `table.files` metadata-table analog: every live data /
         delete file of the current snapshot with size and record count."""

@@ -500,6 +500,45 @@ def test_partition_evolution_sql_surface(engine):
         )
 
 
+def test_snapshot_management_procedures(engine):
+    """CALL system.rollback_to_timestamp / set_current_snapshot /
+    cherrypick_snapshot through the SQL gateway."""
+    engine.execute(
+        "CREATE TABLE glue_catalog.snapm.t (id INT) USING iceberg;"
+        "INSERT INTO glue_catalog.snapm.t VALUES (1)"
+    )
+    t = engine.catalog.load_table("snapm", "t")
+    s1 = t.current_snapshot()
+    engine.execute_one("INSERT INTO glue_catalog.snapm.t VALUES (2)")
+    s2 = engine.catalog.load_table("snapm", "t").current_snapshot()
+
+    engine.execute_one(
+        "CALL system.rollback_to_timestamp(table => 'snapm.t', "
+        f"timestamp => '{s1.timestamp}')"
+    )
+    rows = engine.execute_one("SELECT id FROM snapm.t ORDER BY id").df
+    assert [r.id for r in rows.collect()] == [1]
+
+    engine.execute_one(
+        "CALL system.set_current_snapshot(table => 'snapm.t', "
+        f"snapshot_id => {s2.id})"
+    )
+    rows = engine.execute_one("SELECT id FROM snapm.t ORDER BY id").df
+    assert [r.id for r in rows.collect()] == [1, 2]
+
+    t = engine.catalog.load_table("snapm", "t")
+    t.create_branch("wap")
+    staged = t.insert(
+        t.spark.createDataFrame([(9,)], t.schema_ddl), branch="wap"
+    )
+    engine.execute_one(
+        "CALL system.cherrypick_snapshot(table => 'snapm.t', "
+        f"snapshot_id => {staged.id})"
+    )
+    rows = engine.execute_one("SELECT id FROM snapm.t ORDER BY id").df
+    assert [r.id for r in rows.collect()] == [1, 2, 9]
+
+
 def test_changelog_view_procedure(engine):
     """CALL system.create_changelog_view registers a SQL-queryable CDC
     view; from_snapshot scopes the delta; security matches metadata

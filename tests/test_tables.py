@@ -370,6 +370,43 @@ def test_changes_sees_insert_overwrite(catalog):
     assert sorted(r.id for r in p.scan().collect()) == [2, 3]
 
 
+def test_rollback_timestamp_set_current_cherrypick(catalog):
+    """The remaining snapshot-management procedures: rollback by
+    timestamp (latest snapshot at-or-before the instant),
+    set_current_snapshot (may move FORWARD — undo a rollback), and
+    cherrypick_snapshot (apply one append's delta onto head; refuses
+    non-appends)."""
+    t = catalog.create_table("cdc_db", "snapmgmt", "id int")
+    s1 = t.insert_values([(1,)])
+    s2 = t.insert_values([(2,)])
+
+    # rollback_to_timestamp: s1's own commit instant resolves to s1
+    t.rollback_to_timestamp(s1.timestamp)
+    assert sorted(r.id for r in t.scan().collect()) == [1]
+    with pytest.raises(TableError, match="no snapshot at or before"):
+        t.rollback_to_timestamp("1999-01-01T00:00:00")
+
+    # set_current_snapshot moves FORWARD again
+    t.set_current_snapshot(s2.id)
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2]
+
+    # cherrypick: stage an append on a branch, pick it onto main
+    t.create_branch("wap")
+    staged = t.insert(
+        t.spark.createDataFrame([(9,)], t.schema_ddl), branch="wap"
+    )
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2]  # unstaged
+    t.cherrypick_snapshot(staged.id)
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2, 9]
+
+    # refuses: re-pick (already present) and non-append snapshots
+    with pytest.raises(TableError, match="already present"):
+        t.cherrypick_snapshot(staged.id)
+    t.delete_where("id = 1")
+    with pytest.raises(TableError, match="only append"):
+        t.cherrypick_snapshot(t.current_snapshot().id)
+
+
 def test_changes_sees_equality_deletes(catalog):
     """CDC over delete_by_keys (round-4 review high finding): an
     equality-delete commit grows eq_deletes without touching dir lists,
