@@ -290,6 +290,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         pipeline5,
         lifecycle7,
         analytics13,
+        analytics14,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
