@@ -93,6 +93,16 @@ def _utcnow() -> str:
     return datetime.datetime.now(datetime.timezone.utc).isoformat()
 
 
+def _norm_ts(ts: str) -> str:
+    """Normalize a user-supplied instant for lexicographic comparison
+    against stored snapshot timestamps (``isoformat()`` — 'T' separator,
+    '+00:00' offset). SQL convention writes '2026-08-15 04:07:24' with a
+    space; since ' ' < 'T' that form would otherwise sort BEFORE every
+    same-day stored timestamp and silently resolve to the wrong
+    snapshot."""
+    return ts.strip().replace(" ", "T", 1)
+
+
 class LocalTable:
     """One mutable table rooted at ``root`` (see module docstring)."""
 
@@ -1631,6 +1641,7 @@ class LocalTable:
         if as_of is not None:
             if snapshot_id is not None:
                 raise TableError("pass snapshot_id or as_of, not both")
+            as_of = _norm_ts(as_of)
             eligible = [s for s in self.snapshots() if s.timestamp <= as_of]
             if not eligible:
                 raise TableError(f"no snapshot at or before {as_of!r}")
@@ -1743,7 +1754,9 @@ class LocalTable:
     def rollback_to_timestamp(self, ts: str) -> Snapshot:
         """CALL system.rollback_to_timestamp analog: roll back to the
         latest snapshot whose commit timestamp is <= the given ISO-8601
-        UTC instant (same resolution rule as TIMESTAMP AS OF reads)."""
+        UTC instant (same resolution rule as TIMESTAMP AS OF reads;
+        space-separated SQL instants are normalized to the 'T' form)."""
+        ts = _norm_ts(ts)
         eligible = [s for s in self.snapshots() if s.timestamp <= ts]
         if not eligible:
             raise TableError(f"no snapshot at or before {ts!r}")

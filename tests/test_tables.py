@@ -386,6 +386,17 @@ def test_rollback_timestamp_set_current_cherrypick(catalog):
     with pytest.raises(TableError, match="no snapshot at or before"):
         t.rollback_to_timestamp("1999-01-01T00:00:00")
 
+    # SQL-convention space separator normalizes to the stored 'T' form:
+    # without it, ' ' < 'T' makes a same-day instant sort BEFORE every
+    # stored timestamp and resolve to the wrong (or no) snapshot.
+    t.set_current_snapshot(s2.id)
+    t.rollback_to_timestamp(s1.timestamp.replace("T", " ", 1))
+    assert sorted(r.id for r in t.scan().collect()) == [1]
+    assert sorted(
+        r.id
+        for r in t.scan(as_of=s1.timestamp.replace("T", " ", 1)).collect()
+    ) == [1]
+
     # set_current_snapshot moves FORWARD again
     t.set_current_snapshot(s2.id)
     assert sorted(r.id for r in t.scan().collect()) == [1, 2]
