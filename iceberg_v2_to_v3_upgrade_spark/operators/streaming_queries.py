@@ -18,6 +18,7 @@ memory sink that IS the declared (small, aggregated) result.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -95,7 +96,18 @@ def _stage_events(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
 def _drain(stream_df: DataFrame, mode: str, prefix: str) -> str:
     """Run a stream to completion into a uniquely-named memory table (fresh
     checkpoint per invocation so availableNow reprocesses from scratch) and
-    return the sink table name."""
+    return the sink table name.
+
+    State-partition sizing: a streaming query pins its state-store count
+    to ``spark.sql.shuffle.partitions`` at START and keeps it for the
+    query's lifetime — it is a deployment knob, sized to the cluster, not
+    an optimizer decision. For these availableNow micro-bench drains the
+    session default (32) means every stateful micro-batch pays 32 state
+    stores x checkpoint round-trips for a few thousand rows of state, so
+    the drain sets SPARK_GRAFT_STREAM_SHUFFLE (default 8) around start()
+    and restores the session value afterwards. On a real cluster the same
+    knob is simply set larger than the executor count; semantics are
+    identical at any value."""
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{prefix}_")
     runner = {
@@ -103,7 +115,14 @@ def _drain(stream_df: DataFrame, mode: str, prefix: str) -> str:
         "append": run_append_to_memory_sink,
         "update": run_update_to_memory_sink,
     }[mode]
-    runner(stream_df, name, ckpt)
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    try:
+        runner(stream_df, name, ckpt)
+    finally:
+        spark.conf.set(key, prev)
     return name
 
 
