@@ -155,8 +155,9 @@ _EMD_ORACLE = f"""
     )
     SELECT source,
            CAST(max(tot_s) AS BIGINT) AS n_docs,
-           round(sum(CAST(abs(cum_s * tot_c - cum_c * tot_s) AS DOUBLE))
-                 / (max(tot_s) * max(tot_c)), 6) AS emd_buckets
+           round(CAST(sum(abs(cum_s * tot_c - cum_c * tot_s)) AS DOUBLE)
+                 / (CAST(max(tot_s) AS DOUBLE) * CAST(max(tot_c) AS DOUBLE)),
+                 6) AS emd_buckets
     FROM cums
     GROUP BY source
     ORDER BY emd_buckets DESC, source
@@ -176,9 +177,12 @@ def n109_length_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite even when supports are disjoint, unlike KL (n21) / PSI (n96).
 
     Exactness: the per-bucket term is |cum_s*tot_c - cum_c*tot_s| /
-    (tot_s*tot_c); numerators are exact BIGINT products summed as
-    integers, so Spark and DuckDB agree bit-for-bit with one double
-    division at the end.
+    (tot_s*tot_c); numerator products and their sum are computed in
+    exact integer arithmetic on BOTH engines — DECIMAL(19,0) operands ->
+    DECIMAL(38,0) products in Spark, HUGEINT (128-bit) in DuckDB — so
+    the engines agree bit-for-bit up to the single double division at
+    the end (operands cast to double first, identically on both sides;
+    exact for any corpus below ~10^19 docs).
 
     Scale: one scan reduces the corpus to O(sources x buckets) count
     rows; the dense grid, cumsums, and EMD all run on that
@@ -216,16 +220,25 @@ def n109_length_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot_c = per_bucket.agg(F.sum("bn").alias("tot_c"))
     cums = cums.crossJoin(F.broadcast(tot_c))
+    # exact integer numerators: DECIMAL(19,0) operands so the products
+    # land in DECIMAL(38,0) (no BIGINT wraparound at extreme counts);
+    # the decimal sum is exact, and the only inexact step is the final
+    # double division — performed identically by the DuckDB oracle.
+    dec = "decimal(19,0)"
     num = F.abs(
-        F.col("cum_s") * F.col("tot_c") - F.col("cum_c") * F.col("tot_s")
+        F.col("cum_s").cast(dec) * F.col("tot_c").cast(dec)
+        - F.col("cum_c").cast(dec) * F.col("tot_s").cast(dec)
     )
     return (
         cums.groupBy("source")
         .agg(
             F.max("tot_s").alias("n_docs"),
             F.round(
-                F.sum(num.cast("double"))
-                / (F.max("tot_s") * F.max("tot_c")),
+                F.sum(num).cast("double")
+                / (
+                    F.max("tot_s").cast("double")
+                    * F.max("tot_c").cast("double")
+                ),
                 6,
             ).alias("emd_buckets"),
         )

@@ -943,39 +943,6 @@ class EngineSQL:
             sql, "fast_forward", message=f"published {m.group('branch')}"
         )
 
-    def _call_rollback(self, sql: str, m: re.Match) -> StatementResult:
-        # commits a snapshot — same ALTER stance as rewrite/expire
-        self._authorize_table("ALTER", m.group("db"), m.group("table"))
-        t = self.catalog.load_table(m.group("db"), m.group("table"))
-        snap = t.rollback_to_snapshot(int(m.group("snap")))
-        return StatementResult(
-            sql, "rollback_to_snapshot", message=f"snapshot {snap.id}"
-        )
-
-    def _call_rollback_ts(self, sql: str, m: re.Match) -> StatementResult:
-        self._authorize_table("ALTER", m.group("db"), m.group("table"))
-        t = self.catalog.load_table(m.group("db"), m.group("table"))
-        snap = t.rollback_to_timestamp(m.group("ts"))
-        return StatementResult(
-            sql, "rollback_to_timestamp", message=f"snapshot {snap.id}"
-        )
-
-    def _call_set_current(self, sql: str, m: re.Match) -> StatementResult:
-        self._authorize_table("ALTER", m.group("db"), m.group("table"))
-        t = self.catalog.load_table(m.group("db"), m.group("table"))
-        snap = t.set_current_snapshot(int(m.group("snap")))
-        return StatementResult(
-            sql, "set_current_snapshot", message=f"snapshot {snap.id}"
-        )
-
-    def _call_cherrypick(self, sql: str, m: re.Match) -> StatementResult:
-        self._authorize_table("ALTER", m.group("db"), m.group("table"))
-        t = self.catalog.load_table(m.group("db"), m.group("table"))
-        snap = t.cherrypick_snapshot(int(m.group("snap")))
-        return StatementResult(
-            sql, "cherrypick_snapshot", message=f"snapshot {snap.id}"
-        )
-
     def _merge(self, sql: str, m: re.Match) -> StatementResult:
         """MERGE INTO t USING (<query>) s ON t.k = s.k
         [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET c = expr, ... | DELETE]
@@ -1317,6 +1284,25 @@ class EngineSQL:
         return w
 
 
+def _snapshot_proc(proc: str, arg):
+    """One handler for every snapshot-management CALL (they differ only
+    in the LocalTable method and how its argument is read off the
+    match): authorize ALTER — a snapshot procedure commits — then call
+    and report the resulting snapshot id."""
+
+    def handler(self, sql: str, m: re.Match) -> StatementResult:
+        self._authorize_table("ALTER", m.group("db"), m.group("table"))
+        t = self.catalog.load_table(m.group("db"), m.group("table"))
+        snap = getattr(t, proc)(arg(m))
+        return StatementResult(sql, proc, message=f"snapshot {snap.id}")
+
+    return handler
+
+
+def _snap_arg(m: re.Match) -> int:
+    return int(m.group("snap"))
+
+
 # route table (class attribute referencing unbound methods)
 EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
     (
@@ -1637,7 +1623,7 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             rf"'{_NAME}'\s*,\s*snapshot_id\s*=>\s*(?P<snap>\d+)\s*\)\s*$",
             re.IGNORECASE,
         ),
-        EngineSQL._call_rollback,
+        _snapshot_proc("rollback_to_snapshot", _snap_arg),
     ),
     (
         re.compile(
@@ -1645,7 +1631,7 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             rf"'{_NAME}'\s*,\s*timestamp\s*=>\s*'(?P<ts>[^']+)'\s*\)\s*$",
             re.IGNORECASE,
         ),
-        EngineSQL._call_rollback_ts,
+        _snapshot_proc("rollback_to_timestamp", lambda m: m.group("ts")),
     ),
     (
         re.compile(
@@ -1653,7 +1639,7 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             rf"'{_NAME}'\s*,\s*snapshot_id\s*=>\s*(?P<snap>\d+)\s*\)\s*$",
             re.IGNORECASE,
         ),
-        EngineSQL._call_set_current,
+        _snapshot_proc("set_current_snapshot", _snap_arg),
     ),
     (
         re.compile(
@@ -1661,7 +1647,7 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             rf"'{_NAME}'\s*,\s*snapshot_id\s*=>\s*(?P<snap>\d+)\s*\)\s*$",
             re.IGNORECASE,
         ),
-        EngineSQL._call_cherrypick,
+        _snapshot_proc("cherrypick_snapshot", _snap_arg),
     ),
     (
         re.compile(

@@ -66,6 +66,12 @@ class Snapshot:
     # each applies only to data committed BEFORE seq (Iceberg sequence-
     # number semantics)
     eq_deletes: list[dict] = field(default_factory=list)
+    # Iceberg parent-snapshot-id: the snapshot this commit built on (the
+    # branch head for branch-staged writes, else the then-current main
+    # head). None only for the initial 'create' snapshot and metadata
+    # written before this field existed (readers fall back to the
+    # positional predecessor in the global list).
+    parent_id: int | None = None
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -75,6 +81,7 @@ class Snapshot:
             "data_dirs": self.data_dirs,
             "delete_dirs": self.delete_dirs,
             "eq_deletes": self.eq_deletes,
+            "parent_id": self.parent_id,
         }
 
     @staticmethod
@@ -86,6 +93,7 @@ class Snapshot:
             data_dirs=list(d["data_dirs"]),
             delete_dirs=list(d["delete_dirs"]),
             eq_deletes=list(d.get("eq_deletes", [])),
+            parent_id=d.get("parent_id"),
         )
 
 
@@ -94,13 +102,21 @@ def _utcnow() -> str:
 
 
 def _norm_ts(ts: str) -> str:
-    """Normalize a user-supplied instant for lexicographic comparison
-    against stored snapshot timestamps (``isoformat()`` — 'T' separator,
-    '+00:00' offset). SQL convention writes '2026-08-15 04:07:24' with a
-    space; since ' ' < 'T' that form would otherwise sort BEFORE every
-    same-day stored timestamp and silently resolve to the wrong
-    snapshot."""
-    return ts.strip().replace(" ", "T", 1)
+    """Canonicalize a user-supplied instant so lexicographic comparison
+    against stored snapshot timestamps (``isoformat()`` at UTC — 'T'
+    separator, '+00:00' offset) is chronologically correct. Handles the
+    SQL space separator, the 'Z' UTC suffix (which sorts AFTER the
+    fractional-seconds digits and would wrongly admit later snapshots),
+    and non-UTC offsets (converted to UTC). A naive instant is taken as
+    UTC, matching the session timezone pin."""
+    raw = ts.strip().replace(" ", "T", 1)
+    try:
+        parsed = datetime.datetime.fromisoformat(raw.replace("Z", "+00:00"))
+    except ValueError:
+        return raw  # not ISO-8601; compare as given (legacy behavior)
+    if parsed.tzinfo is None:
+        parsed = parsed.replace(tzinfo=datetime.timezone.utc)
+    return parsed.astimezone(datetime.timezone.utc).isoformat()
 
 
 class LocalTable:
@@ -209,6 +225,47 @@ class LocalTable:
                 return Snapshot.from_json(s)
         raise TableError(f"current snapshot {cur} missing")
 
+    def ancestry(self, head_id: int | None = None) -> list[Snapshot]:
+        """The parent chain from the initial snapshot to ``head_id``
+        (default: the current main head), oldest first — Iceberg's
+        snapshot ancestry. Branch-staged commits that were never
+        published are NOT in main's ancestry; after a fast_forward or
+        cherrypick publish, the adopted commits are. Snapshots written
+        before parent_id existed fall back to the positional predecessor
+        in the global list (exactly the legacy traversal)."""
+        snaps = self.snapshots()
+        by_id = {s.id: s for s in snaps}
+        pos = {s.id: i for i, s in enumerate(snaps)}
+        cur = by_id.get(
+            head_id if head_id is not None
+            else self._meta["current_snapshot_id"]
+        )
+        if cur is None:
+            raise TableError(f"no snapshot {head_id}")
+        chain = [cur]
+        while True:
+            if chain[-1].parent_id is not None:
+                parent = by_id.get(chain[-1].parent_id)
+            elif pos[chain[-1].id] > 0:  # legacy metadata: positional
+                parent = snaps[pos[chain[-1].id] - 1]
+            else:
+                parent = None
+            if parent is None:
+                break
+            chain.append(parent)
+        chain.reverse()
+        return chain
+
+    def _snapshot_at(self, ts: str, head_id: int | None = None) -> Snapshot:
+        """TIMESTAMP AS OF resolution: the latest snapshot in the MAIN
+        ancestry (never an unpublished branch staging commit) whose
+        commit timestamp is <= the given instant."""
+        ts = _norm_ts(ts)
+        eligible = [s for s in self.ancestry(head_id) if s.timestamp <= ts]
+        if not eligible:
+            raise TableError(f"no snapshot at or before {ts!r}")
+        return max(eligible, key=lambda s: (s.timestamp, s.id))
+
     def history(self) -> DataFrame:
         """Snapshot log as a DataFrame (Iceberg `table.history` analog)."""
         rows = [
@@ -274,6 +331,13 @@ class LocalTable:
             data_dirs=data_dirs,
             delete_dirs=delete_dirs,
             eq_deletes=list(eq_deletes or []),
+            # parent = the head this commit builds on (branch head for
+            # staged writes, else main) — Iceberg parent-snapshot-id
+            parent_id=(
+                self._meta["branches"][branch]
+                if branch is not None
+                else self._meta["current_snapshot_id"]
+            ),
         )
         self._meta["snapshots"].append(snap.to_json())
         if branch is None:
@@ -1641,11 +1705,7 @@ class LocalTable:
         if as_of is not None:
             if snapshot_id is not None:
                 raise TableError("pass snapshot_id or as_of, not both")
-            as_of = _norm_ts(as_of)
-            eligible = [s for s in self.snapshots() if s.timestamp <= as_of]
-            if not eligible:
-                raise TableError(f"no snapshot at or before {as_of!r}")
-            snapshot_id = max(eligible, key=lambda s: (s.timestamp, s.id)).id
+            snapshot_id = self._snapshot_at(as_of).id
         if isinstance(snapshot_id, str):  # tag/branch name -> snapshot
             refs = {
                 **self._meta.get("refs", {}),
@@ -1753,15 +1813,12 @@ class LocalTable:
 
     def rollback_to_timestamp(self, ts: str) -> Snapshot:
         """CALL system.rollback_to_timestamp analog: roll back to the
-        latest snapshot whose commit timestamp is <= the given ISO-8601
-        UTC instant (same resolution rule as TIMESTAMP AS OF reads;
-        space-separated SQL instants are normalized to the 'T' form)."""
-        ts = _norm_ts(ts)
-        eligible = [s for s in self.snapshots() if s.timestamp <= ts]
-        if not eligible:
-            raise TableError(f"no snapshot at or before {ts!r}")
-        target = max(eligible, key=lambda s: (s.timestamp, s.id))
-        return self.rollback_to_snapshot(target.id)
+        latest MAIN-ancestry snapshot whose commit timestamp is <= the
+        given ISO-8601 UTC instant (same resolution rule as TIMESTAMP AS
+        OF reads, via the shared ``_snapshot_at``; space/'Z'/offset
+        instants are canonicalized; unpublished branch staging commits
+        are never eligible — rolling back must not publish them)."""
+        return self.rollback_to_snapshot(self._snapshot_at(ts).id)
 
     def set_current_snapshot(self, snapshot_id: int) -> Snapshot:
         """CALL system.set_current_snapshot analog: point the table at
@@ -2051,20 +2108,33 @@ class LocalTable:
         layout-only and correctly produce no changes. Deleted rows are
         recovered by joining new delete ledgers against the data visible
         at the preceding snapshot — O(changed rows), not O(table).
+
+        The walk follows ``to_snapshot_id``'s parent-id ANCESTRY, not the
+        global snapshot list: branch-staged (WAP) commits interleaved in
+        the list are invisible until published (fast_forward adopts the
+        staged chain into the ancestry; cherrypick re-commits the delta
+        on main), so a changelog over a linear main history never sees —
+        or misattributes rows to — an unpublished staging commit.
         """
-        snaps = self.snapshots()
-        by_id = {s.id: s for s in snaps}
+        by_id = {s.id: s for s in self.snapshots()}
         if from_snapshot_id not in by_id:
             raise TableError(f"no snapshot {from_snapshot_id}")
         to_snapshot_id = to_snapshot_id or self._meta["current_snapshot_id"]
         if to_snapshot_id not in by_id:
             raise TableError(f"no snapshot {to_snapshot_id}")
+        chain = self.ancestry(to_snapshot_id)
+        if not any(s.id == from_snapshot_id for s in chain):
+            raise TableError(
+                f"changes(): snapshot {from_snapshot_id} is not an "
+                f"ancestor of {to_snapshot_id} — no linear delta exists"
+            )
         declared = self.spark.createDataFrame([], self.schema_ddl).schema
         out: DataFrame | None = None
         prev = None
-        for s in snaps:
-            if s.id > to_snapshot_id:
-                break
+        # ids strictly increase along the parent chain (allocation is a
+        # global max+1), so the numeric guard selects exactly the
+        # ancestors after `from`.
+        for s in chain:
             if prev is not None and s.id > from_snapshot_id:
                 step: DataFrame | None = None
                 if s.operation in (

@@ -472,3 +472,79 @@ def test_schema_change_seq_uses_global_high_water(catalog):
     t.set_properties({"format-version": "3"})
     t.add_column("tag", "string", default="'legacy'")
     assert t._meta["column_defaults"]["tag"]["seq"] >= branch_head
+
+
+def test_rollback_timestamp_never_publishes_staged_branch(catalog):
+    """rollback_to_timestamp resolves over MAIN ancestry only: an
+    unpublished branch-staged (WAP) commit with a later timestamp must
+    never become main's head via a timestamp rollback (round-4 review
+    finding — the staged batch is unaudited by definition)."""
+    t = catalog.create_table("cdc_db", "rbts_wap", "id int")
+    t.insert_values([(1,)])
+    s2 = t.insert_values([(2,)])
+    t.create_branch("wap")
+    staged = t.insert(
+        t.spark.createDataFrame([(9,)], t.schema_ddl), branch="wap"
+    )
+    # an instant at/after the staged commit must resolve to s2, not to
+    # the staged snapshot
+    t.rollback_to_timestamp(staged.timestamp)
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2]
+    assert t._meta["current_snapshot_id"] != staged.id
+    # TIMESTAMP AS OF takes the same rule
+    assert sorted(
+        r.id for r in t.scan(as_of=staged.timestamp).collect()
+    ) == [1, 2]
+    del s2
+
+
+def test_changes_skips_unpublished_branch_commits(catalog):
+    """changes() walks the parent-id ancestry, not the global snapshot
+    list: a staged branch commit interleaved between two main commits
+    must be invisible to a main changelog (round-4 review finding — the
+    positional walk either raised or attributed staged rows), and after
+    a cherrypick the published rows are attributed to the CHERRYPICK
+    commit on main, not the staging commit."""
+    t = catalog.create_table("cdc_db", "cdc_wap", "id int")
+    s1 = t.insert_values([(1,)])
+    t.create_branch("wap")
+    staged = t.insert(
+        t.spark.createDataFrame([(9,)], t.schema_ddl), branch="wap"
+    )
+    s3 = t.insert_values([(2,)])  # main commit AFTER the staged one
+    ch = t.changes(s1.id).collect()
+    assert sorted(r.id for r in ch) == [2]  # staged row invisible
+    assert all(r._commit_snapshot_id == s3.id for r in ch)
+    pub = t.cherrypick_snapshot(staged.id)
+    ch2 = t.changes(s3.id).collect()
+    assert sorted(r.id for r in ch2) == [9]
+    assert all(r._commit_snapshot_id == pub.id for r in ch2)
+    # a staged snapshot is not a valid `from` for a main changelog
+    with pytest.raises(TableError, match="not an ancestor"):
+        t.changes(staged.id).count()
+
+
+def test_norm_ts_z_suffix_and_offsets(catalog):
+    """'Z'-suffixed and offset ISO-8601 instants must compare
+    chronologically, not lexically: 'Z' sorts after the fractional
+    digits and would otherwise admit snapshots committed strictly after
+    the requested instant (round-4 review finding)."""
+    from iceberg_v2_to_v3_upgrade_spark.tables.table import _norm_ts
+
+    assert _norm_ts("2026-08-15T04:07:24Z") == "2026-08-15T04:07:24+00:00"
+    assert (
+        _norm_ts("2026-08-15 06:07:24+02:00") == "2026-08-15T04:07:24+00:00"
+    )
+    assert _norm_ts("2026-08-15T04:07:24") == "2026-08-15T04:07:24+00:00"
+    # stored form: a snapshot at 04:07:24.5 must NOT be <= the 24.0 instant
+    assert not ("2026-08-15T04:07:24.500000+00:00" <= _norm_ts("2026-08-15T04:07:24Z"))
+    t = catalog.create_table("cdc_db", "zts", "id int")
+    s1 = t.insert_values([(1,)])
+    t.insert_values([(2,)])
+    # reuse s1's own timestamp spelled with Z at microsecond precision
+    import datetime as _dt
+
+    iso = _dt.datetime.fromisoformat(s1.timestamp).strftime(
+        "%Y-%m-%dT%H:%M:%S.%fZ"
+    )
+    assert sorted(r.id for r in t.scan(as_of=iso).collect()) == [1]
