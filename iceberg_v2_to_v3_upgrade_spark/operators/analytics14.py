@@ -244,3 +244,72 @@ def n109_length_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("emd_buckets"), F.asc("source"))
     )
+
+
+# --------------------------------------------------------------- h24
+
+_PERMISSIVE_ORACLE = """
+    WITH raw AS (
+        SELECT event_type,
+               CASE WHEN event_id % 11 = 0
+                    THEN substr(props, 1, length(props) - 1)  -- drop '}'
+                    ELSE props END AS payload
+        FROM events
+    ),
+    parsed AS (
+        SELECT event_type,
+               CASE WHEN json_valid(payload)
+                    THEN CAST(json_extract_string(payload, '$.k') AS INTEGER)
+               END AS k,
+               NOT json_valid(payload) AS corrupt
+        FROM raw
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE corrupt) AS BIGINT) AS n_corrupt,
+           round(avg(k), 4) AS avg_k,
+           CAST(max(k) AS INTEGER) AS max_k
+    FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+
+
+@declare(
+    "h24_permissive_json_parse",
+    oracle=_PERMISSIVE_ORACLE,
+    tags=("functions", "ingest"),
+)
+def h24_permissive_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-enforced JSON parsing with PERMISSIVE corrupt-record
+    capture: `from_json` with a `_corrupt_record` column — the ingest
+    idiom where a malformed payload must never kill the job but must be
+    COUNTED (silently nulling it hides upstream breakage). The fixture
+    has no malformed rows, so every 11th payload is deterministically
+    truncated (closing brace dropped) on both engines before parsing;
+    the oracle mirrors with json_valid().
+
+    Scale: one scan, per-row JVM-side Jackson parse (no UDF), one
+    partial aggregate to O(event_types) rows. At 100 TB the corrupt
+    count per type is the data-quality dashboard's first line."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 11 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    parsed = ev.select(
+        "event_type",
+        F.from_json(
+            payload,
+            "k int, _corrupt_record string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("p"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.col("p._corrupt_record")).alias("n_corrupt"),
+            F.round(F.avg("p.k"), 4).alias("avg_k"),
+            F.max("p.k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
