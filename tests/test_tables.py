@@ -548,3 +548,25 @@ def test_norm_ts_z_suffix_and_offsets(catalog):
         "%Y-%m-%dT%H:%M:%S.%fZ"
     )
     assert sorted(r.id for r in t.scan(as_of=iso).collect()) == [1]
+
+
+def test_changes_across_fast_forward_publish(catalog):
+    """fast_forward adopts the staged branch chain into main's ancestry:
+    a changelog crossing the publish must emit the staged rows,
+    attributed to the staging commits that produced them (they ARE
+    main's history after the publish — unlike cherrypick, which
+    re-commits the delta as a new main snapshot)."""
+    t = catalog.create_table("cdc_db", "cdc_ff", "id int")
+    s1 = t.insert_values([(1,)])
+    t.create_branch("wap")
+    st1 = t.insert(
+        t.spark.createDataFrame([(7,)], t.schema_ddl), branch="wap"
+    )
+    st2 = t.insert(
+        t.spark.createDataFrame([(8,)], t.schema_ddl), branch="wap"
+    )
+    t.fast_forward("wap")
+    assert sorted(r.id for r in t.scan().collect()) == [1, 7, 8]
+    ch = t.changes(s1.id).collect()
+    assert sorted(r.id for r in ch) == [7, 8]
+    assert {r._commit_snapshot_id for r in ch} == {st1.id, st2.id}
