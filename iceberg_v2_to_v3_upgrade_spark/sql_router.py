@@ -878,8 +878,13 @@ class EngineSQL:
         if frm:
             from_id = int(frm)
         else:
-            data_snaps = [s for s in snaps if s.operation != "create"]
-            from_id = (data_snaps[0] if data_snaps else snaps[0]).id
+            # default-from must come from MAIN ancestry: the first
+            # data-bearing snapshot in the GLOBAL list can be an
+            # unpublished branch staging commit, which changes() (parent-
+            # chain walk) correctly rejects as a non-ancestor.
+            chain = t.ancestry()
+            data_snaps = [s for s in chain if s.operation != "create"]
+            from_id = (data_snaps[0] if data_snaps else chain[0]).id
         to_id = int(to) if to else None
         view = m.group("view")
         t.changes(from_id, to_id).createOrReplaceTempView(view)

@@ -323,6 +323,7 @@ class LocalTable:
         delete_dirs,
         branch: str | None = None,
         eq_deletes: list[dict] | None = None,
+        parent_id: int | None = None,
     ) -> Snapshot:
         snap = Snapshot(
             id=max(s["id"] for s in self._meta["snapshots"]) + 1,
@@ -332,9 +333,13 @@ class LocalTable:
             delete_dirs=delete_dirs,
             eq_deletes=list(eq_deletes or []),
             # parent = the head this commit builds on (branch head for
-            # staged writes, else main) — Iceberg parent-snapshot-id
+            # staged writes, else main) — Iceberg parent-snapshot-id.
+            # Rollback/set_current override it with the TARGET so the
+            # abandoned line leaves the ancestry (Iceberg ancestorsOf).
             parent_id=(
-                self._meta["branches"][branch]
+                parent_id
+                if parent_id is not None
+                else self._meta["branches"][branch]
                 if branch is not None
                 else self._meta["current_snapshot_id"]
             ),
@@ -1796,7 +1801,12 @@ class LocalTable:
     def rollback_to_snapshot(self, snapshot_id: int) -> Snapshot:
         """CALL system.rollback_to_snapshot analog: commit a NEW snapshot
         whose state is the old snapshot's (history is preserved — a
-        rollback is itself an auditable commit, exactly like Iceberg)."""
+        rollback is itself an auditable commit, exactly like Iceberg).
+        The rollback commit's parent is the TARGET, not the abandoned
+        head: the rolled-back-away line must leave main's ancestry so
+        TIMESTAMP AS OF / rollback_to_timestamp can never resolve back
+        onto it (Iceberg ancestorsOf(current) semantics); the abandoned
+        snapshots stay in the global list for VERSION AS OF and audit."""
         target = None
         for s in self.snapshots():
             if s.id == snapshot_id:
@@ -1809,6 +1819,7 @@ class LocalTable:
             list(target.data_dirs),
             list(target.delete_dirs),
             eq_deletes=target.eq_deletes,
+            parent_id=target.id,
         )
 
     def rollback_to_timestamp(self, ts: str) -> Snapshot:
@@ -2458,6 +2469,19 @@ class LocalTable:
             for d in expired_dirs:
                 if d not in referenced and os.path.exists(d):
                     shutil.rmtree(d)
+        # Reparent survivors through expired nodes: a survivor whose
+        # parent was expired hops to its nearest SURVIVING ancestor, so
+        # the ancestry chain (time travel, changes(), rollback-by-
+        # timestamp) stays intact for every retained snapshot instead of
+        # silently truncating at the first expired parent.
+        parent_of = {s.id: s.parent_id for s in snaps}
+        def _nearest_survivor(pid):
+            while pid is not None and pid in expired_ids:
+                pid = parent_of.get(pid)
+            return pid
+        for s in survivors:
+            if s.parent_id in expired_ids:
+                s.parent_id = _nearest_survivor(s.parent_id)
         self._meta["snapshots"] = [s.to_json() for s in survivors]
         self._write_meta()
         return sorted(expired_ids)

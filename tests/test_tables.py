@@ -570,3 +570,45 @@ def test_changes_across_fast_forward_publish(catalog):
     ch = t.changes(s1.id).collect()
     assert sorted(r.id for r in ch) == [7, 8]
     assert {r._commit_snapshot_id for r in ch} == {st1.id, st2.id}
+
+
+def test_rollback_removes_abandoned_line_from_ancestry(catalog):
+    """A rollback commit's parent is the TARGET: the rolled-back-away
+    snapshot leaves main ancestry, so TIMESTAMP AS OF can never resolve
+    onto abandoned data (Iceberg ancestorsOf semantics) — while VERSION
+    AS OF by id still reaches it for audit."""
+    t = catalog.create_table("cdc_db", "rb_anc", "id int")
+    t.insert_values([(1,)])
+    s2 = t.insert_values([(2,)])
+    bad = t.insert_values([(66,)])
+    t.rollback_to_snapshot(s2.id)
+    ids = [s.id for s in t.ancestry()]
+    assert bad.id not in ids and s2.id in ids
+    # an instant at the bad commit resolves to s2, not to the bad line
+    assert sorted(r.id for r in t.scan(as_of=bad.timestamp).collect()) == [1, 2]
+    # audit path still works by explicit id
+    assert sorted(r.id for r in t.scan(snapshot_id=bad.id).collect()) == [1, 2, 66]
+    # re-adopting the line via set_current restores its ancestry
+    t.set_current_snapshot(bad.id)
+    assert bad.id in [s.id for s in t.ancestry()]
+
+
+def test_expire_reparents_ancestry_through_expired_nodes(catalog):
+    """expire_snapshots must not sever the parent chain: survivors whose
+    parent expired hop to the nearest surviving ancestor, so time travel
+    to a RETAINED (tagged) snapshot keeps working after expiry."""
+    import datetime as _dt
+
+    t = catalog.create_table("cdc_db", "exp_anc", "id int")
+    t.insert_values([(1,)])
+    s2 = t.insert_values([(2,)])
+    t.create_tag("keeper", s2.id)
+    t.insert_values([(3,)])
+    t.insert_values([(4,)])
+    expired = t.expire_snapshots(
+        older_than=_dt.datetime(2030, 1, 1), retain_last=1
+    )
+    assert expired  # something was expired
+    ids = [s.id for s in t.ancestry()]
+    assert s2.id in ids  # tagged survivor reachable through the chain
+    assert sorted(r.id for r in t.scan(as_of=s2.timestamp).collect()) == [1, 2]
