@@ -19,13 +19,15 @@ from iceberg_v2_to_v3_upgrade_spark.registry import declare
 
 _HISTORY_ORACLE = """
     SELECT * FROM (VALUES
-        (1, 'create', 0, 0),
-        (2, 'append', 1, 0),
-        (3, 'append', 2, 0),
-        (4, 'delete', 2, 1),
-        (5, 'update', 3, 2),
-        (6, 'replace', 1, 0)
-    ) AS t(snapshot_id, operation, n_data_dirs, n_delete_dirs)
+        (1, 'create', 0, 0, true),
+        (2, 'append', 1, 0, true),
+        (3, 'append', 2, 0, true),
+        (4, 'delete', 2, 1, true),
+        (5, 'update', 3, 2, false),
+        (6, 'rollback', 2, 1, true),
+        (7, 'replace', 1, 0, true)
+    ) AS t(snapshot_id, operation, n_data_dirs, n_delete_dirs,
+           is_current_ancestor)
     ORDER BY snapshot_id
 """
 
@@ -58,14 +60,23 @@ def i10_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.insert(part.filter(F.col("p_partkey") % 2 == 0))
     t.insert(part.filter(F.col("p_partkey") % 2 == 1))
-    t.delete_where("p_partkey IN (2, 4, 6)")
+    delete_snap = t.delete_where("p_partkey IN (2, 4, 6)")
     t.update_set(
         {"p_retailprice": "round(p_retailprice * 1.1, 2)"}, "p_brand = 'BrandA'"
     )
+    # roll the update back: its snapshot stays in the log but leaves the
+    # current ancestry — is_current_ancestor goes false for exactly it
+    t.rollback_to_snapshot(delete_snap.id)
     t.rewrite_data_files()
     return (
         t.history()
-        .select("snapshot_id", "operation", "n_data_dirs", "n_delete_dirs")
+        .select(
+            "snapshot_id",
+            "operation",
+            "n_data_dirs",
+            "n_delete_dirs",
+            "is_current_ancestor",
+        )
         .orderBy("snapshot_id")
     )
 

@@ -267,15 +267,26 @@ class LocalTable:
         return max(eligible, key=lambda s: (s.timestamp, s.id))
 
     def history(self) -> DataFrame:
-        """Snapshot log as a DataFrame (Iceberg `table.history` analog)."""
+        """Snapshot log as a DataFrame (Iceberg `table.history` analog,
+        including its `is_current_ancestor` column: false for snapshots
+        outside the current head's parent chain — rolled-back-away lines
+        and unpublished branch staging commits)."""
+        ancestors = {s.id for s in self.ancestry()}
         rows = [
-            (s.id, s.timestamp, s.operation, len(s.data_dirs), len(s.delete_dirs))
+            (
+                s.id,
+                s.timestamp,
+                s.operation,
+                len(s.data_dirs),
+                len(s.delete_dirs),
+                s.id in ancestors,
+            )
             for s in self.snapshots()
         ]
         return self.spark.createDataFrame(
             rows,
             "snapshot_id int, committed_at string, operation string, "
-            "n_data_dirs int, n_delete_dirs int",
+            "n_data_dirs int, n_delete_dirs int, is_current_ancestor boolean",
         )
 
     def set_properties(self, props: dict[str, str]) -> None:
