@@ -595,3 +595,30 @@ def test_round3b_new_ops_plan_shapes(spark, registry):
     # both windows AND the (user, session) assembly aggregate reuse ONE
     # user_id exchange (the group key's prefix satisfies distribution)
     assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_maxsim_broadcasts_query_tokens(spark, registry):
+    """n108 MaxSim: the query-token frame must broadcast (BNLJ over the
+    corpus scan — never a shuffled cross product), both aggregates carry
+    a map-side partial phase, and the scan reads only
+    (vec_id, label, embedding)."""
+    p = plan(spark, registry, "n108_maxsim_multivector")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "partial_max" in p or "partial" in p.lower()
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "label" in read_schema and "embedding" in read_schema
+
+
+def test_permissive_parse_is_single_scan_agg(spark, registry):
+    """h24: one events scan, JVM-side Jackson parse (no Python), one
+    exchange for the final (event_type) aggregate plus at most the
+    deterministic display sort."""
+    import re
+
+    p = plan(spark, registry, "h24_permissive_json_parse")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    assert n_exchanges <= 2, f"h24 has {n_exchanges} exchanges"
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "props" in read_schema and "event_type" in read_schema
