@@ -268,3 +268,65 @@ def i34_snapshot_management(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM snapm_db.orders_sm GROUP BY o_orderkey DIV 1000 "
         "ORDER BY key_bucket"
     ).df
+
+
+# --------------------------------------------------------------- i35
+
+
+_POSITION_DELETES_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey <= 1000
+    ),
+    d3 AS (SELECT count(*) AS n FROM base WHERE o_orderkey % 3 = 0),
+    d5 AS (
+        SELECT count(*) AS n FROM base
+        WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0
+    )
+    SELECT CAST(2 AS BIGINT) AS n_delete_files,
+           CAST(d3.n + d5.n AS BIGINT) AS n_delete_entries,
+           CAST((SELECT count(*) FROM base) - d3.n - d5.n AS BIGINT)
+               AS live_rows
+    FROM d3, d5
+"""
+
+
+@declare(
+    "i35_position_deletes",
+    oracle=_POSITION_DELETES_ORACLE,
+    tags=("dml", "lifecycle", "metadata"),
+)
+def i35_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`table.position_deletes` metadata read: after two MoR DELETEs,
+    the delete-side metadata alone must account for every masked row —
+    2 delete files, entry count equal to the rows each DELETE saw as
+    visible (the second delete never re-deletes the first's rows), and
+    live_rows + entries = the original insert. This is the input to
+    delete-file-threshold compaction decisions (i16): the metadata read
+    NEVER touches a data file.
+
+    Scale: the table build is O(inserted rows); the metadata read is
+    O(delete entries) — at 100 TB you read delete ledgers, not data."""
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="posdel_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "pd_db", "pos_del", "o_orderkey BIGINT, o_totalprice DOUBLE"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.insert(orders.filter(F.col("o_orderkey") <= 1000))
+    t.delete_where("o_orderkey % 3 = 0")
+    t.delete_where("o_orderkey % 5 = 0")
+    pd = t.position_deletes()
+    return (
+        pd.agg(
+            F.countDistinct("delete_dir").alias("n_delete_files"),
+            F.count(F.lit(1)).alias("n_delete_entries"),
+        )
+        .crossJoin(
+            t.scan().agg(F.count(F.lit(1)).alias("live_rows"))
+        )
+        .select("n_delete_files", "n_delete_entries", "live_rows")
+    )
