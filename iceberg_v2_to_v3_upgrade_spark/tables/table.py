@@ -245,6 +245,10 @@ class LocalTable:
         chain = [cur]
         while True:
             if chain[-1].parent_id is not None:
+                # parent_id 0 is the explicit root sentinel written by
+                # expire_snapshots when the whole chain below was expired
+                # — the walk ends here, it must NOT fall through to the
+                # positional guess (by_id has no 0, so get() ends it).
                 parent = by_id.get(chain[-1].parent_id)
             elif pos[chain[-1].id] > 0:  # legacy metadata: positional
                 parent = snaps[pos[chain[-1].id] - 1]
@@ -2492,7 +2496,13 @@ class LocalTable:
             return pid
         for s in survivors:
             if s.parent_id in expired_ids:
-                s.parent_id = _nearest_survivor(s.parent_id)
+                # when the WHOLE chain below expired, record the explicit
+                # root sentinel 0 (no snapshot has id 0) rather than None:
+                # None means "legacy metadata, use the positional
+                # fallback", which would adopt an arbitrary neighbor —
+                # e.g. a tag-pinned rolled-back-away snapshot — as parent
+                # and flip its is_current_ancestor back to true.
+                s.parent_id = _nearest_survivor(s.parent_id) or 0
         self._meta["snapshots"] = [s.to_json() for s in survivors]
         self._write_meta()
         return sorted(expired_ids)

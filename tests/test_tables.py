@@ -612,3 +612,27 @@ def test_expire_reparents_ancestry_through_expired_nodes(catalog):
     ids = [s.id for s in t.ancestry()]
     assert s2.id in ids  # tagged survivor reachable through the chain
     assert sorted(r.id for r in t.scan(as_of=s2.timestamp).collect()) == [1, 2]
+
+
+def test_expire_whole_chain_keeps_abandoned_line_out_of_ancestry(catalog):
+    """When a survivor's ENTIRE parent chain expires, reparenting must
+    record the explicit root sentinel, not None: None re-enables the
+    legacy positional fallback, which adopted the positional neighbor —
+    a tag-pinned rolled-back-away snapshot — as parent and flipped its
+    is_current_ancestor back to true (round-4 review repro)."""
+    import datetime as _dt
+
+    t = catalog.create_table("cdc_db", "exp_root", "id int")
+    t.insert_values([(1,)])
+    t.insert_values([(2,)])
+    s3 = t.current_snapshot()
+    bad = t.insert_values([(66,)])
+    t.create_tag("pinned_bad", bad.id)
+    t.rollback_to_snapshot(s3.id)
+    t.insert_values([(3,)])
+    t.expire_snapshots(older_than=_dt.datetime(2030, 1, 1), retain_last=2)
+    anc = {s.id for s in t.ancestry()}
+    assert bad.id not in anc  # the abandoned line must stay abandoned
+    hist = {r.snapshot_id: r.is_current_ancestor for r in t.history().collect()}
+    assert hist[bad.id] is False
+    assert sorted(r.id for r in t.scan(as_of=t.current_snapshot().timestamp).collect()) == [1, 2, 3]
