@@ -313,3 +313,61 @@ def h24_permissive_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------- h25
+
+_COLLATION_ORACLE = """
+    WITH mixed AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                    ELSE lower(p_brand) END AS brand_mixed,
+               p_retailprice
+        FROM part
+    )
+    SELECT lower(brand_mixed) AS brand_ci,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(p_retailprice), 2) AS total_price
+    FROM mixed GROUP BY brand_ci ORDER BY brand_ci
+"""
+
+
+@declare(
+    "h25_collated_grouping",
+    oracle=_COLLATION_ORACLE,
+    tags=("functions", "collation"),
+)
+def h25_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 string collation: the key
+    is `collate(col, 'UTF8_LCASE')`, so 'Brand#11' and 'BRAND#11' land
+    in one group WITHOUT rewriting the data — the collation is a
+    comparison property of the type, exactly how warehouse engines
+    expose locale/case rules. (The oracle normalizes with lower(),
+    which is semantically equal for this data; the Spark side
+    deliberately exercises the collated-comparison path, and the output
+    key is lower()-canonicalized only for the cross-engine hash.)
+
+    Scale: one scan, one partial-aggregated shuffle on the collated
+    key — identical shape to any groupBy; collation adds no extra
+    pass."""
+    part = load_table(spark, sf_dir, "part")
+    mixed = part.select(
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper("p_brand")
+        ).otherwise(F.lower("p_brand")).alias("brand_mixed"),
+        "p_retailprice",
+    )
+    return (
+        mixed.groupBy(
+            F.collate("brand_mixed", "UTF8_LCASE").alias("k")
+        )
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.lower(F.col("k")).cast("string").alias("brand_ci"),
+            "n_parts",
+            "total_price",
+        )
+        .orderBy("brand_ci")
+    )
