@@ -363,3 +363,99 @@ def a9_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------- a10
+
+
+_PY_SINK_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@declare(
+    "a10_python_datasource_sink",
+    oracle=_PY_SINK_ORACLE,
+    tags=("sources", "datasource-api", "sink"),
+)
+def a10_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITE path (Spark 4 DataSourceWriter) —
+    the other half of a8's reader: each executor partition streams its
+    rows through Python `write(iterator)` into a JSON-lines file and
+    returns a commit message with its row count; `commit()` sees every
+    partition's message (the two-phase contract any REST/feature-store
+    sink builds on). The query proves exactly-once delivery by reading
+    the sink's files back and matching the source aggregate.
+
+    Scale: the writer is embarrassingly parallel (one file per
+    partition, no coordination until commit); on a cluster the path is
+    shared storage or an idempotent external endpoint — the contract
+    (per-partition write, global commit) is identical. Classes are
+    defined in-function so cloudpickle ships them by value (a8's
+    ModuleNotFoundError trap)."""
+    import json as _json
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    sink_dir = tempfile.mkdtemp(prefix="py_sink_")
+
+    class _Wrote(WriterCommitMessage):
+        def __init__(self, n: int):
+            self.n = n
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            os.makedirs(self.path, exist_ok=True)
+            fn = os.path.join(
+                self.path, f"part-{uuid.uuid4().hex}.jsonl"
+            )
+            n = 0
+            with open(fn, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            if n == 0:
+                os.remove(fn)
+            return _Wrote(n)
+
+    class _JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter(self.options)
+
+    spark.dataSource.register(_JsonlSink)
+    sub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    sub.write.format("jsonl_sink").option("path", sink_dir).mode(
+        "append"
+    ).save()
+    back = spark.read.schema(
+        "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).json(f"{sink_dir}/*.jsonl")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
