@@ -780,3 +780,113 @@ def l12_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") >= 0)
         .orderBy("click_id", "purchase_id")
     )
+
+
+@declare(
+    "l13_stream_late_data_drop",
+    oracle="""
+        WITH base AS (
+            SELECT event_id, user_id, value FROM events
+            WHERE event_id < 400
+        ),
+        ontime AS (  -- files A (hours 0-1) and B (hours 4-5); the LATE
+                     -- replay of A's first 100 rows is fully dropped
+            SELECT TIMESTAMP '2024-06-01 00:00:00'
+                   + INTERVAL (event_id % 60) MINUTE AS ts, value
+            FROM base
+            UNION ALL
+            SELECT TIMESTAMP '2024-06-01 04:00:00'
+                   + INTERVAL (event_id % 60) MINUTE, value
+            FROM base WHERE event_id < 200
+        )
+        SELECT date_trunc('hour', ts) AS window_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM ontime GROUP BY 1 ORDER BY 1
+    """,
+    tags=("ext", "streaming", "watermark"),
+)
+def l13_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data DROP accounting: the one watermark behavior l1-l12 do
+    not isolate. Three replayed files: A (event hour 0), B (event hour
+    4 — advances the watermark to 4h - 1h = 3h, past every hour-0
+    window), then a LATE file replaying 100 of A's rows. Because their
+    windows closed before the late file arrived, append mode must drop
+    ALL of them — the oracle aggregates A and B only. A final sentinel
+    (hour 10, filtered out) flushes B's windows at the stream tail.
+    This pins the contract production pipelines size watermarks around:
+    data later than the delay is LOST, deterministically, not partially.
+
+    Scale: the state store holds only open windows (bounded by the
+    watermark delay x window width); late rows are dropped BEFORE the
+    aggregate, so a late-data flood costs scan time, not state."""
+    import glob
+    import os
+    import time as _time
+
+    from iceberg_v2_to_v3_upgrade_spark.streaming.jobs import (
+        read_event_stream,
+    )
+
+    key = (sf_dir, "l13_late")
+    if key not in _STAGE_CACHE:
+        stage = tempfile.mkdtemp(prefix="stream_stage_l13_")
+        base = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 400)
+            .select("event_id", "user_id", "value")
+        )
+        t0 = "2024-06-01 00:00:00"
+
+        def mk(df, hour_off):
+            return df.select(
+                F.col("event_id"),
+                (
+                    F.to_timestamp(F.lit(t0))
+                    + F.make_interval(
+                        hours=F.lit(hour_off),
+                        mins=F.col("event_id") % 60,
+                    )
+                ).alias("ts"),
+                "user_id",
+                F.lit("late_demo").alias("event_type"),
+                "value",
+                F.lit("{}").alias("props"),
+            )
+
+        files = [
+            mk(base, 0),                                   # A: hour 0
+            mk(base.filter(F.col("event_id") < 200), 4),   # B: hour 4
+            mk(base.filter(F.col("event_id") < 100), 0),   # LATE replay
+            mk(base.filter(F.col("event_id") < 2), 10),    # flush tick
+        ]
+        t_base = _time.time() - 3600
+        seen: set[str] = set()
+        for i, df in enumerate(files):
+            df.coalesce(1).write.mode("append").parquet(stage)
+            new = set(glob.glob(f"{stage}/part-*")) - seen
+            seen |= new
+            for path in new:
+                os.utime(path, (t_base + i, t_base + i))
+        _STAGE_CACHE[key] = stage
+    stage = _STAGE_CACHE[key]
+    stream = read_event_stream(spark, stage, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = _drain(agg, "append", "l13_late")
+    return (
+        spark.table(name)
+        .filter(F.col("window_start") < F.to_timestamp(F.lit("2024-06-01 08:00:00")))
+        .orderBy("window_start")
+    )
