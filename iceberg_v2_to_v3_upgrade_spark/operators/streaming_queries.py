@@ -44,6 +44,10 @@ from iceberg_v2_to_v3_upgrade_spark.streaming.jobs import (
 #: streaming operator being measured.
 _STAGE_CACHE: dict[tuple[str, int], str] = {}
 
+#: Per-prefix micro-batch progress (dict-like StreamingQueryProgress rows)
+#: of the most recent _drain — lets queries assert batch structure.
+_LAST_PROGRESS: dict[str, list] = {}
+
 
 def _stage_table(
     spark: SparkSession,
@@ -120,7 +124,12 @@ def _drain(stream_df: DataFrame, mode: str, prefix: str) -> str:
     prev = spark.conf.get(key)
     spark.conf.set(key, os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
     try:
-        runner(stream_df, name, ckpt)
+        q = runner(stream_df, name, ckpt)
+        # Keep the micro-batch progress log (batch sizes, watermarks,
+        # numRowsDroppedByWatermark) so queries/tests can assert the
+        # batching STRUCTURE, not just the result values — a silent
+        # file-ordering or trigger change must fail loudly (l13).
+        _LAST_PROGRESS[prefix] = list(q.recentProgress or [])
     finally:
         spark.conf.set(key, prev)
     return name
@@ -808,14 +817,28 @@ def l12_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l13_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data DROP accounting: the one watermark behavior l1-l12 do
-    not isolate. Three replayed files: A (event hour 0), B (event hour
-    4 — advances the watermark to 4h - 1h = 3h, past every hour-0
-    window), then a LATE file replaying 100 of A's rows. Because their
-    windows closed before the late file arrived, append mode must drop
-    ALL of them — the oracle aggregates A and B only. A final sentinel
-    (hour 10, filtered out) flushes B's windows at the stream tail.
-    This pins the contract production pipelines size watermarks around:
-    data later than the delay is LOST, deterministically, not partially.
+    not isolate. Four replayed files: A (event hour 0), B (event hour 4
+    — its max event time sets the watermark to 4h59 - 1h = 3h59, past
+    every hour-0 window), a CARRIER tick (hour 10, filtered from the
+    result), then a LATE file replaying 100 of A's rows; append mode
+    must drop ALL of them — the oracle aggregates A and B only. This
+    pins the contract production pipelines size watermarks around: data
+    later than the delay is LOST, deterministically, not partially.
+
+    WHY the carrier batch exists (the subtle part): since Spark 3.4
+    (SPARK-40925 watermark propagation) every stateful operator carries
+    TWO watermarks — late-record filtering uses the watermark of the
+    PREVIOUS micro-batch, state eviction uses the current one (visible
+    in the plan: ``StateStoreSave ... Append, <lateEvents>, <eviction>``).
+    A late file arriving in the batch right after B is therefore
+    filtered with B's pre-update watermark (still behind hour 0) and
+    silently merged before eviction emits the window — the drop only
+    engages once the advanced watermark is one batch old. The carrier
+    gives the watermark that one-batch head start; its own rows sit at
+    hour 10, outside the result filter. The function asserts the
+    batching structure itself (4 batches, exactly 100 rows dropped by
+    the watermark) so a trigger/file-ordering change fails loudly
+    instead of un-dropping the late data.
 
     Scale: the state store holds only open windows (bounded by the
     watermark delay x window width); late rows are dropped BEFORE the
@@ -857,8 +880,8 @@ def l13_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         files = [
             mk(base, 0),                                   # A: hour 0
             mk(base.filter(F.col("event_id") < 200), 4),   # B: hour 4
+            mk(base.filter(F.col("event_id") < 2), 10),    # carrier tick
             mk(base.filter(F.col("event_id") < 100), 0),   # LATE replay
-            mk(base.filter(F.col("event_id") < 2), 10),    # flush tick
         ]
         t_base = _time.time() - 3600
         seen: set[str] = set()
@@ -885,6 +908,31 @@ def l13_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = _drain(agg, "append", "l13_late")
+    progress = _LAST_PROGRESS["l13_late"]
+    data_batches = [p for p in progress if p.numInputRows > 0]
+    # numRowsDroppedByWatermark counts rows AFTER the partial aggregate
+    # (the late filter sits above it in the plan), so the 100 late input
+    # rows surface as >=1 dropped merged window row — in the late batch
+    # and nowhere else.
+    per_batch_drops = [
+        sum(so["numRowsDroppedByWatermark"] for so in p.stateOperators)
+        for p in data_batches
+    ]
+    ok = (
+        len(data_batches) == 4
+        and data_batches[-1].numInputRows == 100
+        and per_batch_drops[-1] >= 1
+        and sum(per_batch_drops[:-1]) == 0
+    )
+    if not ok:
+        raise AssertionError(
+            "l13 batching contract broken: expected 4 data micro-batches "
+            "with the 100-row late file last and its window row dropped by "
+            f"the watermark; got inputs="
+            f"{[p.numInputRows for p in data_batches]} drops="
+            f"{per_batch_drops} — the file source replay order or trigger "
+            "batching changed"
+        )
     return (
         spark.table(name)
         .filter(F.col("window_start") < F.to_timestamp(F.lit("2024-06-01 08:00:00")))

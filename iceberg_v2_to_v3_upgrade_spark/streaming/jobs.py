@@ -205,7 +205,7 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
 
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
-) -> None:
+):
     """Drain a stream with availableNow into an in-memory table (tests)."""
     q = (
         stream_df.writeStream.format("memory")
@@ -216,11 +216,12 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+    return q
 
 
 def run_append_to_memory_sink(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
-) -> None:
+):
     """Append mode: only FINALIZED windows (watermark passed) are emitted —
     the mode where late-data dropping is observable."""
     q = (
@@ -232,11 +233,12 @@ def run_append_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+    return q
 
 
 def run_update_to_memory_sink(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
-) -> None:
+):
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -246,6 +248,7 @@ def run_update_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+    return q
 
 
 def enrich_with_segment(
