@@ -106,7 +106,13 @@ def i32_overwrite_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CHANGELOG_VIEW_ORACLE = """
-    WITH dels AS (
+    WITH initial AS (  -- default from = CREATE snapshot: the initial
+                       -- load is inside the range, emitted as inserts
+        SELECT o_orderkey, round(o_totalprice, 2) AS price,
+               'insert' AS change_type
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    dels AS (
         SELECT o_orderkey, round(o_totalprice, 2) AS price,
                'delete' AS change_type
         FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 10 = 3
@@ -126,7 +132,8 @@ _CHANGELOG_VIEW_ORACLE = """
           AND o_orderpriority = '5-LOW'
     ),
     ch AS (
-        SELECT * FROM dels
+        SELECT * FROM initial
+        UNION ALL SELECT * FROM dels
         UNION ALL SELECT * FROM upd_old
         UNION ALL SELECT * FROM upd_new
     )

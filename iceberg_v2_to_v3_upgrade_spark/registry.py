@@ -310,10 +310,12 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
     # is re-derived every call, so the promotion survives recomputation.
     import glob as _glob
     import os as _os
+    import re as _re
 
     _root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     round4_graded = any(
-        _os.path.basename(p) >= "CORRECTNESS_r04.json"
+        (m := _re.match(r"CORRECTNESS_r(\d+)\.json$", _os.path.basename(p)))
+        and int(m.group(1)) >= 4
         for p in _glob.glob(_os.path.join(_root, "CORRECTNESS_r*.json"))
     )
     priority = DRIVER_PRIORITY + (DRIVER_FOLLOWUP if round4_graded else ())

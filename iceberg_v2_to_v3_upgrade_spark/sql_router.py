@@ -854,10 +854,10 @@ class EngineSQL:
         changelog-view procedure: registers a queryable view over the
         table's CDC changes (table columns + _change_type +
         _commit_snapshot_id). ``from_snapshot`` (exclusive, like
-        changes()) defaults to the first DATA-bearing snapshot — the
-        initial load — so the default view is "changes since the table
-        was loaded", the CDC-watermark idiom; ``to_snapshot`` defaults
-        to the current head.
+        changes()) defaults to the table's CREATE snapshot, so the first
+        data commit is INSIDE the range and the initial load appears as
+        inserts — matching Iceberg's default of reading from the first
+        snapshot; ``to_snapshot`` defaults to the current head.
 
         Security stance matches metadata tables / MV refresh: the
         changelog carries OLD values of deleted rows straight off the
@@ -878,17 +878,19 @@ class EngineSQL:
         if frm:
             from_id = int(frm)
         else:
-            # default-from must come from MAIN ancestry: the first
-            # data-bearing snapshot in the GLOBAL list can be an
-            # unpublished branch staging commit, which changes() (parent-
-            # chain walk) correctly rejects as a non-ancestor.
-            chain = t.ancestry()
-            data_snaps = [s for s in chain if s.operation != "create"]
-            from_id = (data_snaps[0] if data_snaps else chain[0]).id
+            # default-from is the root of MAIN ancestry — the 'create'
+            # snapshot (or the post-expiry surviving root). changes()
+            # treats `from` as exclusive, so this puts the first data
+            # commit inside the range and the initial load shows up as
+            # inserts, matching Iceberg's create_changelog_view default.
+            # Must come from the ancestry chain, not the global snapshot
+            # list, which can lead with unpublished staging commits that
+            # changes() (parent-chain walk) rejects as non-ancestors.
+            from_id = t.ancestry()[0].id
         to_id = int(to) if to else None
         view = m.group("view")
         t.changes(from_id, to_id).createOrReplaceTempView(view)
-        self.catalog.changelog_views[view] = (db, table)
+        self.catalog.register_changelog_view(view, db, table)
         return StatementResult(
             sql,
             "create_changelog_view",

@@ -28,11 +28,38 @@ class LocalCatalog:
         # J7/J8: grant table + account id (non-enforcing until enabled —
         # Lake Formation's IAM-access default; see tables/permissions.py)
         self.permissions = PermissionStore(self.warehouse)
-        # view name -> (db, table) for CALL system.create_changelog_view;
-        # temp views are SparkSession-global, so _select re-checks the
-        # reading principal's row filters / column masks on the SOURCE
-        # table before letting a statement touch one of these views
-        self.changelog_views: dict[str, tuple[str, str]] = {}
+        # view name -> (db, table) registrations for CALL
+        # system.create_changelog_view live in register_changelog_view /
+        # the changelog_views property — persisted per-warehouse (see
+        # below), NOT an in-memory dict: temp views are SparkSession-
+        # global, so a SECOND LocalCatalog/EngineSQL over the same
+        # session or a reopened warehouse must still see the
+        # registration, or its _select falls through to plain spark.sql
+        # without re-checking the reading principal's row filters /
+        # column masks on the source table.
+
+    # ------------------------------------------------- changelog views
+
+    @property
+    def _changelog_views_path(self) -> str:
+        return os.path.join(self.warehouse, "_changelog_views.json")
+
+    @property
+    def changelog_views(self) -> dict[str, tuple[str, str]]:
+        """view name -> (db, table) for registered changelog views,
+        read from warehouse metadata so every catalog instance over this
+        warehouse applies the read-time permission re-check."""
+        try:
+            with open(self._changelog_views_path) as f:
+                return {k: tuple(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def register_changelog_view(self, view: str, db: str, table: str) -> None:
+        views = self.changelog_views
+        views[view] = (db, table)
+        with open(self._changelog_views_path, "w") as f:
+            json.dump({k: list(v) for k, v in views.items()}, f)
 
     # ------------------------------------------------------------ databases
 

@@ -1553,19 +1553,34 @@ class LocalTable:
             out = out.unionByName(df)
         return out
 
+    def _delete_scope_seq(self, d: str) -> int:
+        """The commit sequence deletes are scoped against for data dir
+        ``d``: a recorded per-dir override (cherry-picked dirs adopt the
+        PUBLISH snapshot's seq — Iceberg assigns cherry-picked files the
+        new snapshot's sequence number, so eq/pos deletes committed
+        between staging and publish do not apply to them), else the seq
+        encoded in the dir name. Schema/rename/spec scoping deliberately
+        keeps the dir-name seq: the files' physical layout is the one
+        they were WRITTEN with, only their delete visibility moves."""
+        override = self._meta.get("seq_overrides", {}).get(d)
+        if override is not None:
+            return int(override)
+        m = re.search(r"snap-(\d+)", os.path.basename(d))
+        return int(m.group(1)) if m else 0
+
     def _read_data_with_seq(
         self, snap: Snapshot, partition_filter: str | None = None
     ) -> DataFrame | None:
         """Union of the snapshot's data dirs, each row tagged with the
-        commit sequence parsed from its dir name (`.../snap-00007`).
+        commit sequence parsed from its dir name (`.../snap-00007`),
+        or the cherry-pick override (``_delete_scope_seq``).
         ``partition_filter`` follows the same per-dir spec-scoped rule as
         ``_read_dirs`` (shared ``_maybe_filter_dir``)."""
         dfs = []
         ddl = self._data_read_schema()
         scope = self._pf_scope(partition_filter) if partition_filter else None
         for d in snap.data_dirs:
-            m = re.search(r"snap-(\d+)", os.path.basename(d))
-            seq = int(m.group(1)) if m else 0
+            seq = self._delete_scope_seq(d)
             df = self._read_one_dir(d, ddl).withColumn("_seq", F.lit(seq))
             dfs.append(self._maybe_filter_dir(df, d, partition_filter, scope))
         if not dfs:
@@ -1887,6 +1902,15 @@ class LocalTable:
                 f"cherrypick_snapshot: snapshot {snapshot_id}'s data is "
                 "already present in the current snapshot"
             )
+        # Iceberg assigns cherry-picked files the NEW snapshot's sequence
+        # number: eq/pos deletes committed on main between staging and
+        # publish must NOT mask the picked rows. The adopted dirs keep
+        # their staged snap-N names (metadata-only publish, no rewrite),
+        # so record a per-dir seq override for delete scoping.
+        publish_seq = max(s["id"] for s in self._meta["snapshots"]) + 1
+        overrides = self._meta.setdefault("seq_overrides", {})
+        for d in add:
+            overrides[d] = publish_seq
         return self._commit(
             "append",
             list(cur.data_dirs) + add,
@@ -2050,7 +2074,9 @@ class LocalTable:
                 s[1] += size
             df = (
                 self._read_one_dir(d, ddl)
-                .withColumn("_seq", F.lit(seq))
+                # delete scoping honors the cherry-pick seq override;
+                # spec/schema scoping above stays on the dir-name seq
+                .withColumn("_seq", F.lit(self._delete_scope_seq(d)))
                 .withColumn("_spec_id", F.lit(spec_id))
             )
             for i, n in enumerate(union_names):
@@ -2490,12 +2516,30 @@ class LocalTable:
         # timestamp) stays intact for every retained snapshot instead of
         # silently truncating at the first expired parent.
         parent_of = {s.id: s.parent_id for s in snaps}
+        # positional predecessor in the PRE-compaction list: the parent a
+        # legacy (parent_id=None) snapshot resolves to via ancestry()'s
+        # fallback — captured now, because after compaction "whatever
+        # precedes it in the list" can be an unrelated rolled-back or
+        # branch-staged snapshot.
+        pos_pred = {
+            snaps[i].id: (snaps[i - 1].id if i > 0 else None)
+            for i in range(len(snaps))
+        }
+        def _parent(pid):
+            p = parent_of.get(pid)
+            return p if p is not None else pos_pred.get(pid)
         def _nearest_survivor(pid):
             while pid is not None and pid in expired_ids:
-                pid = parent_of.get(pid)
+                pid = _parent(pid)
             return pid
         for s in survivors:
-            if s.parent_id in expired_ids:
+            if s.parent_id is None:
+                # materialize the legacy positional parent as an explicit
+                # id BEFORE compacting, resolved through expired nodes —
+                # otherwise the survivor silently re-binds to its new
+                # list neighbor after expiry.
+                s.parent_id = _nearest_survivor(pos_pred.get(s.id)) or 0
+            elif s.parent_id in expired_ids:
                 # when the WHOLE chain below expired, record the explicit
                 # root sentinel 0 (no snapshot has id 0) rather than None:
                 # None means "legacy metadata, use the positional

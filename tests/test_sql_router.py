@@ -555,9 +555,16 @@ def test_changelog_view_procedure(engine):
         "view => 'clv_ch')"
     )
     rows = engine.execute_one(
-        "SELECT id, _change_type FROM clv_ch ORDER BY id"
+        "SELECT id, _change_type FROM clv_ch ORDER BY id, _change_type"
     ).df.collect()
-    assert [(r.id, r._change_type) for r in rows] == [(2, "delete")]
+    # default from = CREATE snapshot (Iceberg semantics): the initial
+    # load appears as inserts, then the DELETE
+    assert [(r.id, r._change_type) for r in rows] == [
+        (1, "insert"),
+        (2, "delete"),
+        (2, "insert"),
+        (3, "insert"),
+    ]
 
     # a second DML; from_snapshot scopes to changes after it
     engine.execute_one("INSERT INTO glue_catalog.clv.t VALUES (9, 'z')")
@@ -602,7 +609,8 @@ def test_changelog_view_denied_for_filtered_or_masked(spark, tmp_path):
         "CALL system.create_changelog_view(table => 'clv.t', "
         "view => 'rootv')"
     )
-    assert root.execute_one("SELECT * FROM rootv").df.count() == 1
+    # initial load (2 inserts) + the delete = 3 CDC rows
+    assert root.execute_one("SELECT * FROM rootv").df.count() == 3
     with pytest.raises(PermissionDenied, match="row-filtered"):
         EngineSQL(catalog, principal="analyst").execute_one(
             "SELECT * FROM rootv"
@@ -610,4 +618,14 @@ def test_changelog_view_denied_for_filtered_or_masked(spark, tmp_path):
     with pytest.raises(PermissionDenied, match="column-masked"):
         EngineSQL(catalog, principal="masked").execute_one(
             "SELECT count(*) FROM rootv"
+        )
+
+    # the registration is warehouse metadata, not instance state: a
+    # SECOND catalog over the same warehouse (same SparkSession, where
+    # the temp view still resolves) must apply the same read-time gate
+    # instead of falling through to plain spark.sql
+    catalog2 = LocalCatalog(spark, str(tmp_path / "wh"))
+    with pytest.raises(PermissionDenied, match="row-filtered"):
+        EngineSQL(catalog2, principal="analyst").execute_one(
+            "SELECT * FROM rootv"
         )

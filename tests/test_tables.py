@@ -418,6 +418,59 @@ def test_rollback_timestamp_set_current_cherrypick(catalog):
         t.cherrypick_snapshot(t.current_snapshot().id)
 
 
+def test_expire_materializes_legacy_parent_before_compacting(catalog):
+    """A legacy survivor (parent_id=None, written before parent_id
+    existed) resolves its parent POSITIONALLY; expire must materialize
+    that resolution as an explicit id BEFORE compacting the snapshot
+    list — otherwise the survivor silently re-binds to whatever now
+    precedes it, e.g. a tag-pinned rolled-back-away snapshot."""
+    import datetime as _dt
+
+    t = catalog.create_table("cdc_db", "exp_legacy", "id int")
+    s1 = t.insert_values([(1,)])
+    bad = t.insert_values([(66,)])
+    t.create_tag("pin_bad", bad.id)
+    t.rollback_to_snapshot(s1.id)  # rollback commit: parent = s1
+    t.insert_values([(2,)])
+    # simulate a legacy engine writing the newest commit without
+    # parent_id: positional fallback resolves it through the rollback
+    t._meta["snapshots"][-1]["parent_id"] = None
+    t._write_meta()
+    pre = {s.id for s in t.ancestry()}
+    assert bad.id not in pre  # rolled-back-away line is out, pre-expiry
+    t.expire_snapshots(older_than=_dt.datetime(2030, 1, 1), retain_last=1)
+    post = {s.id for s in t.ancestry()}
+    assert bad.id not in post, (
+        "legacy survivor re-bound to the pinned abandoned snapshot "
+        "after compaction"
+    )
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2]
+
+
+def test_cherrypick_gets_new_sequence_number(catalog):
+    """Iceberg assigns cherry-picked files the NEW snapshot's sequence
+    number: an equality delete committed on main AFTER the branch staged
+    the append but BEFORE the cherry-pick must NOT mask the picked rows
+    (its seq is lower than the publish seq), while a delete committed
+    after publish must."""
+    t = catalog.create_table("cdc_db", "cherryseq", "id int")
+    t.insert_values([(1,), (2,)])
+    t.create_branch("wap")
+    staged = t.insert(
+        t.spark.createDataFrame([(9,)], t.schema_ddl), branch="wap"
+    )
+    # main moves on: an eq delete targeting the staged key, committed
+    # between staging and publish — higher seq than the staged dir name
+    t.delete_by_keys(t.spark.createDataFrame([(9,)], "id int"), ["id"])
+    t.cherrypick_snapshot(staged.id)
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2, 9], (
+        "pre-publish eq delete must not apply to cherry-picked data"
+    )
+    # a delete committed AFTER publish does mask the picked row
+    t.delete_by_keys(t.spark.createDataFrame([(9,)], "id int"), ["id"])
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2]
+
+
 def test_changes_sees_equality_deletes(catalog):
     """CDC over delete_by_keys (round-4 review high finding): an
     equality-delete commit grows eq_deletes without touching dir lists,
