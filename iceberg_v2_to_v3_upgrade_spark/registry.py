@@ -291,6 +291,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         lifecycle7,
         analytics13,
         analytics14,
+        analytics15,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
