@@ -185,10 +185,18 @@ class EngineSQL:
 
     def _drop_view(self, sql: str, m: re.Match) -> StatementResult:
         name = m.group("view")
-        if name not in self._views and not m.group("ifex"):
+        if (
+            name not in self._views
+            and name not in self.catalog.changelog_views
+            and not m.group("ifex")
+        ):
             raise TableError(f"view {name} not found")
         self._views.pop(name, None)
         self.spark.catalog.dropTempView(name)
+        # a changelog-view registration must die with the view, or its
+        # persisted (db, table) gate keeps firing on any future statement
+        # that happens to mention the name — in every session, forever
+        self.catalog.unregister_changelog_views(view=name)
         return StatementResult(sql, "drop_view", message=f"dropped {name}")
 
     # ------------------------------------------------ materialized views

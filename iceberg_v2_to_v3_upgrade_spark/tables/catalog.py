@@ -48,18 +48,57 @@ class LocalCatalog:
     def changelog_views(self) -> dict[str, tuple[str, str]]:
         """view name -> (db, table) for registered changelog views,
         read from warehouse metadata so every catalog instance over this
-        warehouse applies the read-time permission re-check."""
+        warehouse applies the read-time permission re-check. Parsed once
+        per file mtime (the property sits on the per-statement _select
+        hot path); a truncated/corrupt file reads as empty rather than
+        poisoning every subsequent SELECT — writes are atomic (tmp +
+        os.replace, same pattern as table metadata), so corruption only
+        means an out-of-band writer died mid-write."""
+        path = self._changelog_views_path
         try:
-            with open(self._changelog_views_path) as f:
-                return {k: tuple(v) for k, v in json.load(f).items()}
+            mtime = os.stat(path).st_mtime_ns
         except FileNotFoundError:
+            self._clv_cache = (None, {})
             return {}
+        cached = getattr(self, "_clv_cache", None)
+        if cached is not None and cached[0] == mtime:
+            return dict(cached[1])
+        try:
+            with open(path) as f:
+                views = {k: tuple(v) for k, v in json.load(f).items()}
+        except (FileNotFoundError, json.JSONDecodeError, ValueError):
+            views = {}
+        self._clv_cache = (mtime, views)
+        return dict(views)
+
+    def _write_changelog_views(
+        self, views: dict[str, tuple[str, str]]
+    ) -> None:
+        tmp = self._changelog_views_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({k: list(v) for k, v in views.items()}, f)
+        os.replace(tmp, self._changelog_views_path)
+        self._clv_cache = None
 
     def register_changelog_view(self, view: str, db: str, table: str) -> None:
         views = self.changelog_views
         views[view] = (db, table)
-        with open(self._changelog_views_path, "w") as f:
-            json.dump({k: list(v) for k, v in views.items()}, f)
+        self._write_changelog_views(views)
+
+    def unregister_changelog_views(self, *, view: str | None = None,
+                                   db: str | None = None,
+                                   table: str | None = None) -> None:
+        """Drop registrations by view name, or every registration over
+        ``db.table`` (called from DROP VIEW / drop_table so a dead
+        registration can't keep gating unrelated statements forever)."""
+        views = self.changelog_views
+        kept = {
+            v: (d, t)
+            for v, (d, t) in views.items()
+            if not (v == view or (d == db and t == table))
+        }
+        if kept != views:
+            self._write_changelog_views(kept)
 
     # ------------------------------------------------------------ databases
 
@@ -122,7 +161,14 @@ class LocalCatalog:
         )
 
     def drop_table(self, db: str, table: str, if_exists: bool = True) -> bool:
-        return LocalTable.drop(self.table_root(db, table), if_exists=if_exists)
+        dropped = LocalTable.drop(
+            self.table_root(db, table), if_exists=if_exists
+        )
+        if dropped:
+            # changelog views over the dropped table are dead: keeping
+            # their registrations would gate unrelated future statements
+            self.unregister_changelog_views(db=db, table=table)
+        return dropped
 
     def get_table_info(self, db: str, table: str) -> dict[str, Any] | None:
         """J1 (reference upgrade_table.py:33-56): location, table_type,

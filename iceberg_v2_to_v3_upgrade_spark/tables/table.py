@@ -72,9 +72,16 @@ class Snapshot:
     # written before this field existed (readers fall back to the
     # positional predecessor in the global list).
     parent_id: int | None = None
+    # cherry-pick seq overrides, scoped to THIS snapshot and inherited by
+    # descendants at commit time: {data_dir: publish_seq}. Iceberg gives
+    # cherry-picked files the publish snapshot's sequence number, but only
+    # in the publish lineage — the branch snapshot that originally staged
+    # the dir keeps its staged seq, so branch-side deletes still apply
+    # there (a global per-table map would resurrect branch-deleted rows).
+    seq_overrides: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
-        return {
+        out = {
             "id": self.id,
             "timestamp": self.timestamp,
             "operation": self.operation,
@@ -83,6 +90,9 @@ class Snapshot:
             "eq_deletes": self.eq_deletes,
             "parent_id": self.parent_id,
         }
+        if self.seq_overrides:
+            out["seq_overrides"] = self.seq_overrides
+        return out
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "Snapshot":
@@ -94,6 +104,9 @@ class Snapshot:
             delete_dirs=list(d["delete_dirs"]),
             eq_deletes=list(d.get("eq_deletes", [])),
             parent_id=d.get("parent_id"),
+            seq_overrides={
+                k: int(v) for k, v in d.get("seq_overrides", {}).items()
+            },
         )
 
 
@@ -339,7 +352,26 @@ class LocalTable:
         branch: str | None = None,
         eq_deletes: list[dict] | None = None,
         parent_id: int | None = None,
+        seq_overrides: dict[str, int] | None = None,
     ) -> Snapshot:
+        resolved_parent = (
+            parent_id
+            if parent_id is not None
+            else self._meta["branches"][branch]
+            if branch is not None
+            else self._meta["current_snapshot_id"]
+        )
+        # Inherit the parent's seq overrides (cherry-pick scoping follows
+        # the publish lineage), merge any new ones, and prune entries for
+        # dirs this snapshot no longer carries.
+        parent_rec = next(
+            (s for s in self._meta["snapshots"] if s["id"] == resolved_parent),
+            None,
+        )
+        merged = dict((parent_rec or {}).get("seq_overrides", {}))
+        merged.update(seq_overrides or {})
+        live = set(data_dirs)
+        merged = {d: int(s) for d, s in merged.items() if d in live}
         snap = Snapshot(
             id=max(s["id"] for s in self._meta["snapshots"]) + 1,
             timestamp=_utcnow(),
@@ -351,13 +383,8 @@ class LocalTable:
             # staged writes, else main) — Iceberg parent-snapshot-id.
             # Rollback/set_current override it with the TARGET so the
             # abandoned line leaves the ancestry (Iceberg ancestorsOf).
-            parent_id=(
-                parent_id
-                if parent_id is not None
-                else self._meta["branches"][branch]
-                if branch is not None
-                else self._meta["current_snapshot_id"]
-            ),
+            parent_id=resolved_parent,
+            seq_overrides=merged,
         )
         self._meta["snapshots"].append(snap.to_json())
         if branch is None:
@@ -1553,16 +1580,20 @@ class LocalTable:
             out = out.unionByName(df)
         return out
 
-    def _delete_scope_seq(self, d: str) -> int:
+    def _delete_scope_seq(self, d: str, snap: Snapshot) -> int:
         """The commit sequence deletes are scoped against for data dir
-        ``d``: a recorded per-dir override (cherry-picked dirs adopt the
-        PUBLISH snapshot's seq — Iceberg assigns cherry-picked files the
-        new snapshot's sequence number, so eq/pos deletes committed
-        between staging and publish do not apply to them), else the seq
-        encoded in the dir name. Schema/rename/spec scoping deliberately
-        keeps the dir-name seq: the files' physical layout is the one
-        they were WRITTEN with, only their delete visibility moves."""
-        override = self._meta.get("seq_overrides", {}).get(d)
+        ``d`` when read through snapshot ``snap``: the snapshot's per-dir
+        override if one is recorded (cherry-picked dirs adopt the PUBLISH
+        snapshot's seq — Iceberg assigns cherry-picked files the new
+        snapshot's sequence number, so eq/pos deletes committed between
+        staging and publish do not apply to them), else the seq encoded
+        in the dir name. The override lives on the publish snapshot and
+        its descendants ONLY — the branch snapshot that staged the dir
+        keeps the staged seq, so branch-side deletes still apply there.
+        Schema/rename/spec scoping deliberately keeps the dir-name seq:
+        the files' physical layout is the one they were WRITTEN with,
+        only their delete visibility moves."""
+        override = snap.seq_overrides.get(d)
         if override is not None:
             return int(override)
         m = re.search(r"snap-(\d+)", os.path.basename(d))
@@ -1580,7 +1611,7 @@ class LocalTable:
         ddl = self._data_read_schema()
         scope = self._pf_scope(partition_filter) if partition_filter else None
         for d in snap.data_dirs:
-            seq = self._delete_scope_seq(d)
+            seq = self._delete_scope_seq(d, snap)
             df = self._read_one_dir(d, ddl).withColumn("_seq", F.lit(seq))
             dfs.append(self._maybe_filter_dir(df, d, partition_filter, scope))
         if not dfs:
@@ -1906,16 +1937,17 @@ class LocalTable:
         # number: eq/pos deletes committed on main between staging and
         # publish must NOT mask the picked rows. The adopted dirs keep
         # their staged snap-N names (metadata-only publish, no rewrite),
-        # so record a per-dir seq override for delete scoping.
+        # so record a per-dir seq override ON THE PUBLISH SNAPSHOT (it
+        # inherits to descendants at commit); the staging branch's own
+        # snapshots keep the staged seq, so deletes committed on the
+        # branch after staging still apply when reading the branch.
         publish_seq = max(s["id"] for s in self._meta["snapshots"]) + 1
-        overrides = self._meta.setdefault("seq_overrides", {})
-        for d in add:
-            overrides[d] = publish_seq
         return self._commit(
             "append",
             list(cur.data_dirs) + add,
             list(cur.delete_dirs),
             eq_deletes=cur.eq_deletes,
+            seq_overrides={d: publish_seq for d in add},
         )
 
     def files(self) -> DataFrame:
@@ -2076,7 +2108,7 @@ class LocalTable:
                 self._read_one_dir(d, ddl)
                 # delete scoping honors the cherry-pick seq override;
                 # spec/schema scoping above stays on the dir-name seq
-                .withColumn("_seq", F.lit(self._delete_scope_seq(d)))
+                .withColumn("_seq", F.lit(self._delete_scope_seq(d, snap)))
                 .withColumn("_spec_id", F.lit(spec_id))
             )
             for i, n in enumerate(union_names):

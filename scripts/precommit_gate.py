@@ -124,19 +124,29 @@ def main() -> int:
     # already matching len(queries()). update_counts.py is idempotent, so
     # "running it changes nothing" IS the check; on drift it leaves the
     # refreshed file in the worktree ready to stage.
+    # The commit ships the STAGED COVERAGE.md, so that is what must match
+    # the regenerated counts — comparing the worktree copy lets a stale
+    # staged file through (and spuriously refuses a fresh one) whenever
+    # the two differ.
     cov = os.path.join(REPO, "COVERAGE.md")
-    before = open(cov).read()
     subprocess.run(
         [sys.executable, "scripts/update_counts.py"],
         cwd=REPO,
         capture_output=True,
         check=True,
     )
-    if open(cov).read() != before:
+    regenerated = open(cov).read()
+    staged = subprocess.run(
+        ["git", "show", ":COVERAGE.md"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    if staged.returncode != 0 or staged.stdout != regenerated:
         print(
-            "precommit gate: REFUSED — COVERAGE.md query counts drifted "
-            "from the registry; scripts/update_counts.py has refreshed "
-            "it, `git add COVERAGE.md` and retry."
+            "precommit gate: REFUSED — the staged COVERAGE.md does not "
+            "match the registry counts; scripts/update_counts.py has "
+            "refreshed the worktree copy, `git add COVERAGE.md` and retry."
         )
         return 1
 

@@ -629,3 +629,59 @@ def test_changelog_view_denied_for_filtered_or_masked(spark, tmp_path):
         EngineSQL(catalog2, principal="analyst").execute_one(
             "SELECT * FROM rootv"
         )
+
+
+def test_changelog_registration_dies_with_view_and_table(spark, tmp_path):
+    """Round-5 review finding: the persisted registration must be removed
+    by DROP VIEW / drop_table — otherwise a dead entry keeps gating any
+    future statement mentioning the name, in every session, forever; and
+    a corrupt registration file must read as empty, not poison every
+    SELECT over the warehouse."""
+    import json as _json
+
+    from iceberg_v2_to_v3_upgrade_spark.tables.permissions import (
+        PermissionDenied,
+    )
+
+    catalog = LocalCatalog(spark, str(tmp_path / "wh"))
+    root = EngineSQL(catalog)
+    root.execute(
+        "CREATE TABLE glue_catalog.clv.t (id INT, v STRING) USING iceberg;"
+        "INSERT INTO glue_catalog.clv.t VALUES (1, 'a');"
+        "DELETE FROM clv.t WHERE id = 1"
+    )
+    catalog.permissions.set_row_filter("analyst", "clv", "t", "id > 1")
+    root.execute_one(
+        "CALL system.create_changelog_view(table => 'clv.t', "
+        "view => 'deadv')"
+    )
+    with pytest.raises(PermissionDenied):
+        EngineSQL(catalog, principal="analyst").execute_one(
+            "SELECT * FROM deadv"
+        )
+    # DROP VIEW removes the registration: an unrelated temp view reusing
+    # the name must not inherit the dead gate
+    root.execute_one("DROP VIEW deadv")
+    assert "deadv" not in catalog.changelog_views
+    spark.range(3).createOrReplaceTempView("deadv")
+    assert (
+        EngineSQL(catalog, principal="analyst")
+        .execute_one("SELECT count(*) AS n FROM deadv")
+        .df.collect()[0].n
+        == 3
+    )
+    spark.catalog.dropTempView("deadv")
+
+    # drop_table removes registrations over the dropped table
+    root.execute_one(
+        "CALL system.create_changelog_view(table => 'clv.t', "
+        "view => 'deadv2')"
+    )
+    catalog.drop_table("clv", "t")
+    assert "deadv2" not in catalog.changelog_views
+
+    # a truncated registration file reads as empty instead of raising
+    # on every subsequent statement
+    with open(catalog._changelog_views_path, "w") as f:
+        f.write('{"trunc')
+    assert catalog.changelog_views == {}

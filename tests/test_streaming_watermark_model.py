@@ -148,8 +148,34 @@ def _run_real(spark, files: list[list[int]], tag: str) -> dict[int, list[float]]
     for r in spark.table(name).collect():
         minute = int((r.ws - BASE).total_seconds() // 60)
         out[minute] = [int(r.n), float(r.v)]
-    # cross-check the model's watermark trajectory against the engine's
-    # reported per-batch watermark (data batches only, in order)
+    # Cross-check the model's watermark trajectory against the engine's
+    # reported per-batch watermark (data batches only, in order): batch i
+    # must run under wm_during(i) = max event time of batches 0..i-1
+    # minus the delay. A trajectory drift with coincidentally-identical
+    # emitted windows is exactly the silent-change class this suite
+    # exists to catch.
+    data_batches = [
+        p for p in _LAST_PROGRESS[tag] if p.numInputRows > 0
+    ]
+    assert len(data_batches) == len(files), (
+        f"{tag}: expected one data batch per file, got "
+        f"{len(data_batches)} for {len(files)} files"
+    )
+    cum_max = None
+    for i, (p, rows) in enumerate(zip(data_batches, files)):
+        expected = (
+            BASE + datetime.timedelta(minutes=cum_max - DELAY_MIN)
+            if i >= 1
+            else datetime.datetime(1970, 1, 1)
+        )
+        reported = datetime.datetime.fromisoformat(
+            p.eventTime["watermark"].replace("Z", "")
+        )
+        assert reported == expected, (
+            f"{tag}: batch {i} ran under watermark {reported}, model "
+            f"says {expected}"
+        )
+        cum_max = max([cum_max, *rows]) if cum_max is not None else max(rows)
     return out
 
 

@@ -471,6 +471,34 @@ def test_cherrypick_gets_new_sequence_number(catalog):
     assert sorted(r.id for r in t.scan().collect()) == [1, 2]
 
 
+def test_cherrypick_override_scoped_to_publish_lineage(catalog):
+    """Round-5 review high finding: the cherry-pick seq override must be
+    scoped to the publish snapshot and its descendants, NOT recorded
+    globally — a global per-dir map retroactively re-sequences the
+    staged dir inside the BRANCH's own snapshots, un-applying a
+    branch-side equality delete (the deleted row resurrected on the
+    branch after an unrelated main-side publish)."""
+    t = catalog.create_table("cdc_db", "cherryscope", "id int")
+    t.insert_values([(1,), (2,)])
+    t.create_branch("wap")
+    staged = t.insert(
+        t.spark.createDataFrame([(9,)], t.schema_ddl), branch="wap"
+    )
+    # branch-side delete of the staged row: branch head reads [1, 2]
+    t.delete_by_keys(
+        t.spark.createDataFrame([(9,)], "id int"), ["id"], branch="wap"
+    )
+    assert sorted(r.id for r in t.scan(snapshot_id="wap").collect()) == [1, 2]
+    # main publishes the staged append out of band
+    t.cherrypick_snapshot(staged.id)
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2, 9]
+    # the SAME branch head must still read [1, 2]: the publish-side seq
+    # override must not leak into the branch snapshot's delete scoping
+    assert sorted(r.id for r in t.scan(snapshot_id="wap").collect()) == [1, 2], (
+        "branch-deleted row resurrected by a main-side cherrypick"
+    )
+
+
 def test_changes_sees_equality_deletes(catalog):
     """CDC over delete_by_keys (round-4 review high finding): an
     equality-delete commit grows eq_deletes without touching dir lists,
