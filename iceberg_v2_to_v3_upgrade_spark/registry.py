@@ -289,6 +289,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         lifecycle6,
         pipeline5,
         lifecycle7,
+        lifecycle8,
         analytics13,
         analytics14,
         analytics15,

@@ -906,6 +906,35 @@ class EngineSQL:
             f"from snapshot {from_id}",
         )
 
+    def _call_snapshot_table(self, sql: str, m: re.Match) -> StatementResult:
+        """CALL system.snapshot(source_table => 'db.src', table =>
+        'db2.dst') — Iceberg's snapshot procedure: a zero-copy table
+        referencing the source's current files (catalog.snapshot_table).
+
+        Security stance matches changelog views: the snapshot table is a
+        full raw read path onto the source's data — a row-filtered or
+        column-masked principal could snapshot the table and read the
+        copy unfiltered — so both are denied outright; everyone else
+        needs SELECT on the source."""
+        sdb, stbl = m.group("sdb"), m.group("stbl")
+        self._authorize_table("SELECT", sdb, stbl)
+        self._deny_row_filtered_mutation(sdb, stbl, "snapshot tables")
+        if self.catalog.permissions.masked_columns(self.principal, sdb, stbl):
+            raise PermissionDenied(
+                f"snapshot tables over column-masked {sdb}.{stbl} are "
+                f"not available to principal {self.principal!r}"
+            )
+        ddb, dtbl = m.group("ddb"), m.group("dtbl")
+        t = self.catalog.snapshot_table(sdb, stbl, ddb, dtbl)
+        return StatementResult(
+            sql,
+            "snapshot",
+            message=(
+                f"snapshot table {ddb}.{dtbl} of {sdb}.{stbl} at "
+                f"snapshot {t.current_snapshot().id}"
+            ),
+        )
+
     def _call_expire(self, sql: str, m: re.Match) -> StatementResult:
         self._authorize_table("ALTER", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
@@ -1103,6 +1132,10 @@ class EngineSQL:
             return self._mask_metadata_df(t.partitions(), db, name)
         if meta == "position_deletes":
             return self._mask_metadata_df(t.position_deletes(), db, name)
+        if meta == "metadata_log_entries":
+            return t.metadata_log_entries()
+        if meta == "all_data_files":
+            return t.all_data_files()
         snaps = t.snapshots()
         rows = [
             (
@@ -1177,7 +1210,8 @@ class EngineSQL:
         # otherwise consume the `db.t` prefix of `db.t.files`
         for tm in re.finditer(
             rf"(?:{_IDENT}\.)?(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})"
-            rf"\.(?P<meta>snapshots|history|files|partitions|position_deletes)\b",
+            rf"\.(?P<meta>snapshots|history|files|partitions"
+            rf"|position_deletes|metadata_log_entries|all_data_files)\b",
             rewritten,
             re.IGNORECASE,
         ):
@@ -1529,6 +1563,16 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
             re.IGNORECASE,
         ),
         EngineSQL._call_add_files,
+    ),
+    (
+        re.compile(
+            rf"CALL system\.snapshot\s*\(\s*source_table\s*=>\s*"
+            rf"'(?:{_IDENT}\.)?(?P<sdb>{_IDENT})\.(?P<stbl>{_IDENT})'\s*,"
+            rf"\s*table\s*=>\s*"
+            rf"'(?:{_IDENT}\.)?(?P<ddb>{_IDENT})\.(?P<dtbl>{_IDENT})'\s*\)",
+            re.IGNORECASE,
+        ),
+        EngineSQL._call_snapshot_table,
     ),
     (
         re.compile(

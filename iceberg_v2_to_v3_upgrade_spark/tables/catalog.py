@@ -170,6 +170,65 @@ class LocalCatalog:
             self.unregister_changelog_views(db=db, table=table)
         return dropped
 
+    def snapshot_table(
+        self, src_db: str, src_table: str, dst_db: str, dst_table: str
+    ) -> LocalTable:
+        """CALL system.snapshot analog: create a zero-copy table whose
+        initial state REFERENCES the source's current data/delete files
+        (no data is copied — the commit is pure metadata). The snapshot
+        table then lives its own life: DML writes new files under ITS
+        root, the source is never touched, and dropping the snapshot
+        never deletes source data (its dirs live under the source root,
+        which remove_orphan_files on the snapshot also never walks).
+
+        The adopted dirs keep their source snap-N names, whose encoded
+        seqs belong to the SOURCE's commit numbering — meaningless here
+        and dangerous both ways (a source seq above the snapshot table's
+        own counter would shield adopted rows from future deletes; a
+        single flattened seq would wrongly apply adopted eq deletes to
+        adopted data committed AFTER them in the source). So the adopt
+        commit remaps every involved source seq — data-dir encoded seqs
+        and eq-delete seqs — order-preservingly into the destination's
+        numbering, topping out at the adopt commit's own id: relative
+        delete visibility is exactly the source's, and every future
+        destination commit outranks all of it. The source's row-id
+        watermark carries over too, so destination inserts never reuse
+        an adopted row id (a reused id would be masked by an adopted
+        positional tombstone)."""
+        src = self.load_table(src_db, src_table)
+        cur = src.current_snapshot()
+        self.create_database(dst_db)
+        dst = self.create_table(
+            dst_db,
+            dst_table,
+            src.schema_ddl,
+            partition_by=src.partition_by or None,
+            properties=src.properties,
+        )
+        dst._meta["next_row_id"] = int(src._meta.get("next_row_id", 0))
+        src_seqs = sorted(
+            {src._delete_scope_seq(d, cur) for d in cur.data_dirs}
+            | {int(e["seq"]) for e in cur.eq_deletes}
+        )
+        adopt_id = max(s["id"] for s in dst._meta["snapshots"]) + 1
+        remap = {
+            s: adopt_id - (len(src_seqs) - 1 - i)
+            for i, s in enumerate(src_seqs)
+        }
+        dst._commit(
+            "snapshot",
+            list(cur.data_dirs),
+            list(cur.delete_dirs),
+            eq_deletes=[
+                {**e, "seq": remap[int(e["seq"])]} for e in cur.eq_deletes
+            ],
+            seq_overrides={
+                d: remap[src._delete_scope_seq(d, cur)]
+                for d in cur.data_dirs
+            },
+        )
+        return dst
+
     def get_table_info(self, db: str, table: str) -> dict[str, Any] | None:
         """J1 (reference upgrade_table.py:33-56): location, table_type,
         format-version, metadata_location — None when absent, like the

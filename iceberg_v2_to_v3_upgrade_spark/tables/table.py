@@ -207,10 +207,36 @@ class LocalTable:
             return json.load(f)
 
     def _write_meta(self) -> None:
+        """Atomically replace metadata.json and append a versioned copy
+        to the metadata log (Iceberg writes v{N}.metadata.json per commit
+        and `metadata_log_entries` reads the trail). Retention follows
+        `write.metadata.previous-versions-max` (Iceberg property, default
+        100): oldest versioned copies beyond the cap are deleted — the
+        current metadata.json itself is never at risk."""
+        ver = int(self._meta.get("last_metadata_version", 0)) + 1
+        self._meta["last_metadata_version"] = ver
         tmp = os.path.join(self.root, "metadata.json.tmp")
         with open(tmp, "w") as f:
             json.dump(self._meta, f, indent=2)
         os.replace(tmp, os.path.join(self.root, "metadata.json"))
+        log_dir = os.path.join(self.root, "metadata")
+        os.makedirs(log_dir, exist_ok=True)
+        shutil.copyfile(
+            os.path.join(self.root, "metadata.json"),
+            os.path.join(log_dir, f"v{ver:06d}.metadata.json"),
+        )
+        keep = int(
+            self._meta["properties"].get(
+                "write.metadata.previous-versions-max", "100"
+            )
+        )
+        versions = sorted(
+            f
+            for f in os.listdir(log_dir)
+            if re.fullmatch(r"v\d+\.metadata\.json", f)
+        )
+        for old in versions[: max(0, len(versions) - keep)]:
+            os.remove(os.path.join(log_dir, old))
 
     @property
     def properties(self) -> dict[str, str]:
@@ -1993,6 +2019,69 @@ class LocalTable:
                 [], "delete_dir string, deleted_row_id long"
             )
         return out
+
+    def metadata_log_entries(self) -> DataFrame:
+        """Iceberg `table.metadata_log_entries` metadata-table analog:
+        one row per retained metadata-file version (the trail _write_meta
+        leaves under metadata/), oldest first — file name, the snapshot
+        that was current when it was written, and how many snapshots it
+        recorded. Reading the log is pure metadata IO: O(retained
+        versions) small JSON files, never a data file."""
+        import glob as _glob
+
+        rows = []
+        for path in sorted(
+            _glob.glob(os.path.join(self.root, "metadata", "v*.metadata.json"))
+        ):
+            with open(path) as f:
+                meta = json.load(f)
+            m = re.fullmatch(r"v(\d+)\.metadata\.json", os.path.basename(path))
+            rows.append(
+                (
+                    int(m.group(1)),
+                    os.path.basename(path),
+                    meta.get("current_snapshot_id"),
+                    len(meta.get("snapshots", [])),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows or [],
+            "metadata_version int, file string, latest_snapshot_id int, "
+            "n_snapshots int",
+        )
+
+    def all_data_files(self) -> DataFrame:
+        """Iceberg `table.all_data_files` / `all_delete_files` analog in
+        one table: every data / delete dir referenced by ANY retained
+        snapshot (not just the current one — the difference is what
+        expire_snapshots/remove_orphan_files would reclaim), with the
+        first referencing snapshot and whether the CURRENT snapshot still
+        reads it. Dir-level like files(): a pure metadata walk over
+        snapshot dir lists, no data IO."""
+        cur = self.current_snapshot()
+        live = {
+            "data": set(cur.data_dirs),
+            "deletes": set(cur.delete_dirs),
+            "eq-deletes": {e["dir"] for e in cur.eq_deletes},
+        }
+        first_ref: dict[tuple[str, str], int] = {}
+        for s in self.snapshots():
+            for kind, dirs in (
+                ("data", s.data_dirs),
+                ("deletes", s.delete_dirs),
+                ("eq-deletes", [e["dir"] for e in s.eq_deletes]),
+            ):
+                for d in dirs:
+                    first_ref.setdefault((kind, d), s.id)
+        rows = [
+            (kind, os.path.basename(d), snap_id, d in live[kind])
+            for (kind, d), snap_id in sorted(first_ref.items())
+        ]
+        return self.spark.createDataFrame(
+            rows or [],
+            "content string, dir string, first_snapshot_id int, "
+            "is_live boolean",
+        )
 
     def partitions(self) -> DataFrame:
         """Iceberg `table.partitions` metadata-table analog: per-partition

@@ -685,3 +685,74 @@ def test_changelog_registration_dies_with_view_and_table(spark, tmp_path):
     with open(catalog._changelog_views_path, "w") as f:
         f.write('{"trunc')
     assert catalog.changelog_views == {}
+
+
+def test_snapshot_proc_denied_for_filtered_or_masked(spark, tmp_path):
+    """CALL system.snapshot is a raw-read bypass if granted to a
+    filtered/masked principal (snapshot the table, read the copy) —
+    both are denied outright; plain principals need SELECT on the
+    source."""
+    from iceberg_v2_to_v3_upgrade_spark.tables.permissions import (
+        PermissionDenied,
+    )
+
+    catalog = LocalCatalog(spark, str(tmp_path / "wh"))
+    root = EngineSQL(catalog)
+    root.execute(
+        "CREATE TABLE glue_catalog.sp.t (id INT, v STRING) USING iceberg;"
+        "INSERT INTO sp.t VALUES (1, 'a'), (2, 'b')"
+    )
+    catalog.permissions.set_row_filter("analyst", "sp", "t", "id > 1")
+    with pytest.raises(PermissionDenied, match="row-filtered"):
+        EngineSQL(catalog, principal="analyst").execute_one(
+            "CALL system.snapshot(source_table => 'sp.t', "
+            "table => 'sp2.leak')"
+        )
+    catalog.permissions.set_column_mask("masked", "sp", "t", ["v"])
+    with pytest.raises(PermissionDenied, match="column-masked"):
+        EngineSQL(catalog, principal="masked").execute_one(
+            "CALL system.snapshot(source_table => 'sp.t', "
+            "table => 'sp2.leak')"
+        )
+    assert not catalog.table_exists("sp2", "leak")
+    root.execute_one(
+        "CALL system.snapshot(source_table => 'sp.t', table => 'sp2.ok')"
+    )
+    assert (
+        root.execute_one("SELECT count(*) AS n FROM sp2.ok").df.collect()[0].n
+        == 2
+    )
+
+
+def test_new_metadata_tables_routed(spark, tmp_path):
+    """db.t.metadata_log_entries and db.t.all_data_files resolve through
+    the SQL gateway like the other metadata tables, and row-filtered
+    principals are denied."""
+    from iceberg_v2_to_v3_upgrade_spark.tables.permissions import (
+        PermissionDenied,
+    )
+
+    catalog = LocalCatalog(spark, str(tmp_path / "wh"))
+    root = EngineSQL(catalog)
+    root.execute(
+        "CREATE TABLE glue_catalog.mt.t (id INT) USING iceberg;"
+        "INSERT INTO mt.t VALUES (1), (2);"
+        "DELETE FROM mt.t WHERE id = 1"
+    )
+    n = (
+        root.execute_one(
+            "SELECT count(*) AS n FROM mt.t.metadata_log_entries"
+        )
+        .df.collect()[0]
+        .n
+    )
+    assert n >= 2
+    live = root.execute_one(
+        "SELECT count(*) AS n FROM mt.t.all_data_files WHERE is_live"
+    ).df.collect()[0].n
+    assert live >= 1
+    catalog.permissions.set_row_filter("analyst", "mt", "t", "id > 1")
+    with pytest.raises(PermissionDenied):
+        EngineSQL(catalog, principal="analyst").execute_one(
+            "SELECT count(*) AS n FROM mt.t.all_data_files"
+        )

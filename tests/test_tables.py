@@ -717,3 +717,69 @@ def test_expire_whole_chain_keeps_abandoned_line_out_of_ancestry(catalog):
     hist = {r.snapshot_id: r.is_current_ancestor for r in t.history().collect()}
     assert hist[bad.id] is False
     assert sorted(r.id for r in t.scan(as_of=t.current_snapshot().timestamp).collect()) == [1, 2, 3]
+
+
+def test_metadata_log_versioning_and_retention(catalog):
+    """Every _write_meta appends a versioned metadata file; retention
+    honors write.metadata.previous-versions-max; each retained version
+    is a complete, loadable metadata document (metadata-file time
+    travel)."""
+    import json as _json
+    import os as _os
+
+    t = catalog.create_table(
+        "cdc_db", "mlog", "id int",
+        properties={"write.metadata.previous-versions-max": "3"},
+    )
+    for i in range(6):
+        t.insert_values([(i,)])
+    log = t.metadata_log_entries().collect()
+    assert len(log) == 3  # retention pruned the older versions
+    versions = [r.metadata_version for r in log]
+    assert versions == sorted(versions)
+    # each retained version parses and records a strictly growing
+    # snapshot count ending at the current one
+    counts = [r.n_snapshots for r in log]
+    assert counts == sorted(counts)
+    assert counts[-1] == len(t.snapshots())
+    latest = log[-1]
+    vpath = _os.path.join(t.root, "metadata", latest.file)
+    with open(vpath) as f:
+        meta = _json.load(f)
+    assert meta["current_snapshot_id"] == t.current_snapshot().id
+
+
+def test_snapshot_table_zero_copy_independence(catalog):
+    """CALL system.snapshot semantics: the snapshot references the
+    source's files without copying; DML on either side never leaks to
+    the other; dropping the snapshot leaves source data intact; the
+    adopted-seq remap keeps eq-delete relative order (a source eq
+    delete must not mask source rows appended after it)."""
+    src = catalog.create_table("cdc_db", "snap_src", "id int, v string")
+    src.insert_values([(1, "a"), (2, "b")])
+    src.delete_by_keys(src.spark.createDataFrame([(1,)], "id int"), ["id"])
+    # appended AFTER the eq delete: must stay visible on both sides
+    src.insert_values([(1, "reborn"), (3, "c")])
+    snap = catalog.snapshot_table("cdc_db", "snap_src", "cdc_db", "snap_dst")
+    assert sorted(r.id for r in snap.scan().collect()) == [1, 2, 3]
+    assert len(snap.current_snapshot().data_dirs) == len(
+        src.current_snapshot().data_dirs
+    )  # same dirs referenced, nothing copied
+    assert set(snap.current_snapshot().data_dirs) == set(
+        src.current_snapshot().data_dirs
+    )
+    # snapshot-side DML: delete an ADOPTED row (seq remap) + insert
+    snap.delete_by_keys(snap.spark.createDataFrame([(2,)], "id int"), ["id"])
+    snap.insert_values([(9, "z")])
+    assert sorted(r.id for r in snap.scan().collect()) == [1, 3, 9]
+    assert sorted(r.id for r in src.scan().collect()) == [1, 2, 3]
+    # source-side DML after the snapshot: invisible to the snapshot
+    src.insert_values([(7, "q")])
+    assert sorted(r.id for r in snap.scan().collect()) == [1, 3, 9]
+    # row-id spaces must not collide: snapshot inserts continue past the
+    # source watermark, so adopted positional tombstones can never mask
+    # a fresh snapshot-side row
+    assert int(snap._meta["next_row_id"]) >= int(src._meta["next_row_id"])
+    # dropping the snapshot leaves the source readable
+    catalog.drop_table("cdc_db", "snap_dst")
+    assert sorted(r.id for r in src.scan().collect()) == [1, 2, 3, 7]
