@@ -459,3 +459,138 @@ def a10_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------- a11
+
+
+_PY_STREAM_SINK_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@declare(
+    "a11_python_stream_sink",
+    oracle=_PY_STREAM_SINK_ORACLE,
+    tags=("sources", "datasource-api", "sink", "streaming"),
+)
+def a11_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource STREAMING write path (Spark 4
+    DataSourceStreamWriter) — completes the a8/a9/a10 matrix (batch
+    read, stream read, batch write): each micro-batch fans out to
+    per-partition Python `write(iterator)` calls producing one
+    JSON-lines file each, and the driver-side `commit(messages,
+    batchId)` sees every partition's row count per EPOCH — the
+    two-phase, per-batch contract an exactly-once external sink builds
+    on (`abort` is the rollback half). The query replays the staged
+    events corpus through the sink with availableNow, then proves
+    delivery: the per-epoch commit ledger must total exactly the rows
+    read back, and the read-back aggregate must match the source
+    (the oracle states it directly).
+
+    Scale: per-batch parallelism is the stream's shuffle width; no
+    coordination except the O(partitions) commit messages per epoch —
+    the same contract at 32 or 32,000 partitions. Classes defined
+    in-function so cloudpickle ships them by value.
+
+    Reference: the reference's result sinks are REST data_array posts
+    (SURVEY §2.A6); this is that surface for continuous pipelines."""
+    import glob as _glob
+    import json as _json
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    from iceberg_v2_to_v3_upgrade_spark.operators.streaming_queries import (
+        _stage_events,
+    )
+    from iceberg_v2_to_v3_upgrade_spark.streaming.jobs import (
+        read_event_stream,
+    )
+
+    sink_dir = tempfile.mkdtemp(prefix="py_stream_sink_")
+
+    class _Wrote(WriterCommitMessage):
+        def __init__(self, n: int):
+            self.n = n
+
+    class _JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            os.makedirs(self.path, exist_ok=True)
+            fn = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(fn, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            if n == 0:
+                os.remove(fn)
+            return _Wrote(n)
+
+        def commit(self, messages, batchId):
+            # per-epoch ledger: the exactly-once contract under test
+            with open(
+                os.path.join(self.path, f"_committed_{batchId}"), "w"
+            ) as f:
+                f.write(str(sum(m.n for m in messages if m is not None)))
+
+        def abort(self, messages, batchId):
+            with open(
+                os.path.join(self.path, f"_aborted_{batchId}"), "w"
+            ) as f:
+                f.write("aborted")
+
+    class _JsonlStreamSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return _JsonlStreamWriter(self.options)
+
+    spark.dataSource.register(_JsonlStreamSink)
+    stage = _stage_events(spark, sf_dir)
+    ck = tempfile.mkdtemp(prefix="a11_ck_")
+    q = (
+        read_event_stream(spark, stage, max_files_per_trigger=4)
+        .select("event_type", "value")
+        .writeStream.format("jsonl_stream_sink")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.schema("event_type string, value double").json(
+        f"{sink_dir}/part-*.jsonl"
+    )
+    n_back = back.count()
+    ledger = 0
+    for marker in _glob.glob(f"{sink_dir}/_committed_*"):
+        with open(marker) as f:
+            ledger += int(f.read())
+    assert not _glob.glob(f"{sink_dir}/_aborted_*"), "epoch aborted"
+    assert ledger == n_back, (
+        f"commit ledger says {ledger} rows, sink holds {n_back} — "
+        "the per-epoch two-phase contract is broken"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
