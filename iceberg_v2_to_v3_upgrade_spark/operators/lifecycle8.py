@@ -66,9 +66,10 @@ _METADATA_LOG_ORACLE = """
 )
 def i36_metadata_log_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-log arc: two loads, a delete, a rollback, and a
-    property change against a table retaining only the last 4 metadata
-    versions (`write.metadata.previous-versions-max` — the oldest
-    version, the first load's, is pruned). Each retained version is
+    property change against a table retaining 3 PREVIOUS metadata
+    versions plus the current one (`write.metadata.previous-versions-max`
+    counts previous versions, Iceberg semantics — the oldest version,
+    the first load's, is pruned). Each retained version is
     joined with the row count visible AT ITS pinned snapshot, proving
     the trail supports metadata-file time travel: v2 sees both loads,
     v3 the delete, v4/v5 the rolled-back first load (the property
@@ -81,7 +82,7 @@ def i36_metadata_log_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mld",
         "orders_ml",
         "o_orderkey BIGINT, price DOUBLE",
-        properties={"write.metadata.previous-versions-max": "4"},
+        properties={"write.metadata.previous-versions-max": "3"},
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.round("o_totalprice", 2).alias("price")

@@ -519,33 +519,60 @@ def a11_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_dir = tempfile.mkdtemp(prefix="py_stream_sink_")
 
     class _Wrote(WriterCommitMessage):
-        def __init__(self, n: int):
+        def __init__(self, n: int, stem: str | None):
             self.n = n
+            self.stem = stem
 
     class _JsonlStreamWriter(DataSourceStreamWriter):
         def __init__(self, options):
             self.path = options["path"]
 
         def write(self, iterator):
+            # Stage-then-publish: each ATTEMPT writes a staging file and
+            # only commit() renames it into the readable part- namespace.
+            # A retried/speculative attempt's orphan staging file is
+            # never published, so the read-back sees exactly the rows
+            # the per-epoch ledger accounts for — without this, a task
+            # retry leaves a duplicate (or torn) part file and the
+            # exactly-once claim is a lie.
             os.makedirs(self.path, exist_ok=True)
-            fn = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+            stem = uuid.uuid4().hex
+            tmp = os.path.join(self.path, f".staged-{stem}.jsonl")
             n = 0
-            with open(fn, "w") as f:
+            with open(tmp, "w") as f:
                 for row in iterator:
                     f.write(_json.dumps(row.asDict()) + "\n")
                     n += 1
             if n == 0:
-                os.remove(fn)
-            return _Wrote(n)
+                os.remove(tmp)
+                return _Wrote(0, None)
+            return _Wrote(n, stem)
 
         def commit(self, messages, batchId):
-            # per-epoch ledger: the exactly-once contract under test
+            # driver-side publish + per-epoch ledger: the two-phase
+            # exactly-once contract under test
+            total = 0
+            for m in messages:
+                if m is None or m.stem is None:
+                    continue
+                os.replace(
+                    os.path.join(self.path, f".staged-{m.stem}.jsonl"),
+                    os.path.join(self.path, f"part-{m.stem}.jsonl"),
+                )
+                total += m.n
             with open(
                 os.path.join(self.path, f"_committed_{batchId}"), "w"
             ) as f:
-                f.write(str(sum(m.n for m in messages if m is not None)))
+                f.write(str(total))
 
         def abort(self, messages, batchId):
+            for m in messages:
+                if m is not None and m.stem is not None:
+                    staged = os.path.join(
+                        self.path, f".staged-{m.stem}.jsonl"
+                    )
+                    if os.path.exists(staged):
+                        os.remove(staged)
             with open(
                 os.path.join(self.path, f"_aborted_{batchId}"), "w"
             ) as f:

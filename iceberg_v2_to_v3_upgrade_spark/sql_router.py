@@ -915,16 +915,19 @@ class EngineSQL:
         full raw read path onto the source's data — a row-filtered or
         column-masked principal could snapshot the table and read the
         copy unfiltered — so both are denied outright; everyone else
-        needs SELECT on the source."""
+        needs SELECT on the source AND CREATE_TABLE on the destination
+        database (the procedure creates a table — without the target
+        check it would bypass the CREATE TABLE grant gate)."""
         sdb, stbl = m.group("sdb"), m.group("stbl")
+        ddb, dtbl = m.group("ddb"), m.group("dtbl")
         self._authorize_table("SELECT", sdb, stbl)
+        self._authorize_db("CREATE_TABLE", ddb)
         self._deny_row_filtered_mutation(sdb, stbl, "snapshot tables")
         if self.catalog.permissions.masked_columns(self.principal, sdb, stbl):
             raise PermissionDenied(
                 f"snapshot tables over column-masked {sdb}.{stbl} are "
                 f"not available to principal {self.principal!r}"
             )
-        ddb, dtbl = m.group("ddb"), m.group("dtbl")
         t = self.catalog.snapshot_table(sdb, stbl, ddb, dtbl)
         return StatementResult(
             sql,

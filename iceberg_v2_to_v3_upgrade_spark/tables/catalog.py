@@ -182,16 +182,16 @@ class LocalCatalog:
         which remove_orphan_files on the snapshot also never walks).
 
         The adopted dirs keep their source snap-N names, whose encoded
-        seqs belong to the SOURCE's commit numbering — meaningless here
-        and dangerous both ways (a source seq above the snapshot table's
-        own counter would shield adopted rows from future deletes; a
-        single flattened seq would wrongly apply adopted eq deletes to
-        adopted data committed AFTER them in the source). So the adopt
-        commit remaps every involved source seq — data-dir encoded seqs
-        and eq-delete seqs — order-preservingly into the destination's
-        numbering, topping out at the adopt commit's own id: relative
-        delete visibility is exactly the source's, and every future
-        destination commit outranks all of it. The source's row-id
+        seqs belong to the SOURCE's commit numbering. Rather than remap
+        them, the adopt commit FLOORS the destination's own numbering
+        above the source's maximum seq: every adopted structure —
+        dir-name seqs, eq-delete seqs, cherry-pick overrides, seq-keyed
+        renames/defaults/spec-log entries, imported-dir row-id maps, the
+        carried-row-id flag — copies VERBATIM and stays mutually
+        consistent (scan interprets them through the unchanged dir
+        names), while every future destination commit outranks all of
+        it, so destination deletes apply to adopted data and adopted
+        deletes never touch destination writes. The source's row-id
         watermark carries over too, so destination inserts never reuse
         an adopted row id (a reused id would be masked by an adopted
         positional tombstone)."""
@@ -206,26 +206,25 @@ class LocalCatalog:
             properties=src.properties,
         )
         dst._meta["next_row_id"] = int(src._meta.get("next_row_id", 0))
-        src_seqs = sorted(
-            {src._delete_scope_seq(d, cur) for d in cur.data_dirs}
-            | {int(e["seq"]) for e in cur.eq_deletes}
-        )
-        adopt_id = max(s["id"] for s in dst._meta["snapshots"]) + 1
-        remap = {
-            s: adopt_id - (len(src_seqs) - 1 - i)
-            for i, s in enumerate(src_seqs)
-        }
+        # seq-keyed column/partition interpretation and row-lineage
+        # state must travel with the files they describe (scan keys them
+        # off dir-name seqs, which are preserved verbatim)
+        for k in (
+            "renames",
+            "column_defaults",
+            "partition_spec_log",
+            "imported_dirs",
+            "carried_row_ids",
+        ):
+            if src._meta.get(k):
+                dst._meta[k] = json.loads(json.dumps(src._meta[k]))
         dst._commit(
             "snapshot",
             list(cur.data_dirs),
             list(cur.delete_dirs),
-            eq_deletes=[
-                {**e, "seq": remap[int(e["seq"])]} for e in cur.eq_deletes
-            ],
-            seq_overrides={
-                d: remap[src._delete_scope_seq(d, cur)]
-                for d in cur.data_dirs
-            },
+            eq_deletes=[dict(e) for e in cur.eq_deletes],
+            seq_overrides=dict(cur.seq_overrides),
+            min_id=max(s["id"] for s in src._meta["snapshots"]) + 1,
         )
         return dst
 

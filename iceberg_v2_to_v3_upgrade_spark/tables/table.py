@@ -235,7 +235,11 @@ class LocalTable:
             for f in os.listdir(log_dir)
             if re.fullmatch(r"v\d+\.metadata\.json", f)
         )
-        for old in versions[: max(0, len(versions) - keep)]:
+        # Iceberg semantics: the property counts PREVIOUS versions, so
+        # keep+1 files survive (the current version's copy plus `keep`
+        # older ones) — at max=1 the immediately preceding version must
+        # remain reachable
+        for old in versions[: max(0, len(versions) - (keep + 1))]:
             os.remove(os.path.join(log_dir, old))
 
     @property
@@ -379,6 +383,7 @@ class LocalTable:
         eq_deletes: list[dict] | None = None,
         parent_id: int | None = None,
         seq_overrides: dict[str, int] | None = None,
+        min_id: int | None = None,
     ) -> Snapshot:
         resolved_parent = (
             parent_id
@@ -399,7 +404,13 @@ class LocalTable:
         live = set(data_dirs)
         merged = {d: int(s) for d, s in merged.items() if d in live}
         snap = Snapshot(
-            id=max(s["id"] for s in self._meta["snapshots"]) + 1,
+            # min_id lets an adopting commit (snapshot_table) floor the
+            # numbering above every adopted source seq, so the two
+            # numbering systems never interleave
+            id=max(
+                max(s["id"] for s in self._meta["snapshots"]) + 1,
+                min_id or 0,
+            ),
             timestamp=_utcnow(),
             operation=operation,
             data_dirs=data_dirs,
@@ -2628,8 +2639,19 @@ class LocalTable:
                 + list(s.delete_dirs)
                 + [e["dir"] for e in s.eq_deletes]
             )
+            own_root = os.path.abspath(self.root) + os.sep
             for d in expired_dirs:
-                if d not in referenced and os.path.exists(d):
+                # Never physically delete a dir outside this table's
+                # root: dirs adopted by the snapshot procedure live
+                # under the SOURCE table's root — expiry here must only
+                # unreference them, or it corrupts the source (round-5
+                # review repro; Iceberg snapshot tables set
+                # gc.enabled=false for exactly this hazard).
+                if (
+                    d not in referenced
+                    and os.path.abspath(d).startswith(own_root)
+                    and os.path.exists(d)
+                ):
                     shutil.rmtree(d)
         # Reparent survivors through expired nodes: a survivor whose
         # parent was expired hops to its nearest SURVIVING ancestor, so

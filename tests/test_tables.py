@@ -734,7 +734,9 @@ def test_metadata_log_versioning_and_retention(catalog):
     for i in range(6):
         t.insert_values([(i,)])
     log = t.metadata_log_entries().collect()
-    assert len(log) == 3  # retention pruned the older versions
+    # Iceberg semantics: the property counts PREVIOUS versions — 3
+    # previous + the current version's copy = 4 retained
+    assert len(log) == 4
     versions = [r.metadata_version for r in log]
     assert versions == sorted(versions)
     # each retained version parses and records a strictly growing
@@ -783,3 +785,96 @@ def test_snapshot_table_zero_copy_independence(catalog):
     # dropping the snapshot leaves the source readable
     catalog.drop_table("cdc_db", "snap_dst")
     assert sorted(r.id for r in src.scan().collect()) == [1, 2, 3, 7]
+
+
+def test_snapshot_table_expire_never_deletes_source_files(catalog):
+    """Round-5 review high finding: expire_snapshots on a snapshot table
+    must only UNREFERENCE adopted dirs (they live under the source's
+    root) — physically deleting them corrupts the source table."""
+    import datetime as _dt
+
+    src = catalog.create_table("cdc_db", "gc_src", "id int")
+    src.insert_values([(1,), (2,)])
+    dst = catalog.snapshot_table("cdc_db", "gc_src", "cdc_db", "gc_dst")
+    dst.rewrite_data_files()  # adopted dirs leave dst's live set
+    dst.expire_snapshots(older_than=_dt.datetime(2030, 1, 1), retain_last=1)
+    assert sorted(r.id for r in src.scan().collect()) == [1, 2], (
+        "source data deleted by snapshot-table expiry"
+    )
+    assert sorted(r.id for r in dst.scan().collect()) == [1, 2]
+
+
+def test_snapshot_table_carries_seq_keyed_metadata(catalog):
+    """Round-5 review high findings: a snapshot table must carry every
+    seq-keyed interpretation structure — carried row ids (V3 MoR
+    update), renames, and the partition spec log — or adopted dirs read
+    wrong."""
+    # V3 carried-row-id update
+    src = catalog.create_table(
+        "cdc_db", "v3_src", "id int, v string",
+        properties={"format-version": "3"},
+    )
+    src.insert_values([(1, "a"), (2, "b")])
+    src.update_set({"v": "'upd'"}, "id = 1")
+    snap = catalog.snapshot_table("cdc_db", "v3_src", "cdc_db", "v3_dst")
+    assert sorted((r.id, r.v) for r in snap.scan().collect()) == [
+        (1, "upd"), (2, "b"),
+    ], "carried MoR update lost in the snapshot"
+
+    # rename: adopted dirs written under the OLD name must still map
+    src2 = catalog.create_table("cdc_db", "rn_src", "id int, v string")
+    src2.insert_values([(1, "a"), (2, "b")])
+    src2.rename_column("v", "w")
+    snap2 = catalog.snapshot_table("cdc_db", "rn_src", "cdc_db", "rn_dst")
+    assert sorted((r.id, r.w) for r in snap2.scan().collect()) == [
+        (1, "a"), (2, "b"),
+    ], "pre-rename dir read as NULL in the snapshot"
+
+    # partition evolution: filters must not hit pre-evolution dirs
+    src3 = catalog.create_table(
+        "cdc_db", "pe_src", "id int, brand string",
+        partition_by=["brand"],
+    )
+    src3.insert_values([(i, "x") for i in range(10)])
+    src3.evolve_partition_spec(["bucket(4, id)"])
+    src3.insert_values([(100 + i, "y") for i in range(10)])
+    snap3 = catalog.snapshot_table("cdc_db", "pe_src", "cdc_db", "pe_dst")
+    for flt in ("id_bucket = '1'", "id_bucket = '2'"):
+        a = src3.scan(partition_filter=flt).count()
+        b = snap3.scan(partition_filter=flt).count()
+        assert a == b, f"partition filter {flt}: src {a} != snapshot {b}"
+
+
+def test_snapshot_proc_requires_create_table_on_destination(spark, tmp_path):
+    """Round-5 review high finding: CALL system.snapshot creates a table,
+    so it must pass the destination CREATE_TABLE gate — SELECT on the
+    source alone must not mint tables in arbitrary databases."""
+    from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+    from iceberg_v2_to_v3_upgrade_spark.tables.permissions import (
+        PermissionDenied,
+    )
+
+    catalog = LocalCatalog(spark, str(tmp_path / "wh"))
+    root = EngineSQL(catalog)
+    root.execute(
+        "CREATE TABLE glue_catalog.pd.t (id INT) USING iceberg;"
+        "INSERT INTO pd.t VALUES (1), (2)"
+    )
+    catalog.permissions.grant_table_permissions(
+        "analyst", "pd", "t", ["SELECT", "DESCRIBE"]
+    )
+    catalog.permissions.enable_enforcement()
+    with pytest.raises(PermissionDenied):
+        EngineSQL(catalog, principal="analyst").execute_one(
+            "CALL system.snapshot(source_table => 'pd.t', "
+            "table => 'other.sneak')"
+        )
+    assert not catalog.table_exists("other", "sneak")
+    catalog.permissions.grant_database_permissions(
+        "analyst", "other", ["CREATE_TABLE"]
+    )
+    EngineSQL(catalog, principal="analyst").execute_one(
+        "CALL system.snapshot(source_table => 'pd.t', table => 'other.ok')"
+    )
+    assert catalog.table_exists("other", "ok")
