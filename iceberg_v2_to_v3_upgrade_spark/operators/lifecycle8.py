@@ -243,3 +243,91 @@ def i38_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT 'src', CAST(count(*) AS BIGINT), round(sum(price), 2) "
         "FROM snapd.orders_src ORDER BY side"
     ).df
+
+
+# --------------------------------------------------------------- i39
+
+
+_META_TRAVEL_ORACLE = """
+    SELECT side, CAST(n_rows AS BIGINT) AS n_rows, total_val,
+           CAST(n_snaps AS BIGINT) AS n_snaps
+    FROM (
+        SELECT 'head' AS side, count(*) AS n_rows,
+               round(sum(round(o_totalprice, 2)), 2) AS total_val,
+               4 AS n_snaps
+        FROM orders
+        WHERE o_orderkey <= 2000 AND o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT 'pinned', count(*), round(sum(round(o_totalprice, 2)), 2), 2
+        FROM orders WHERE o_orderkey <= 1000
+    )
+    ORDER BY side
+"""
+
+
+@declare(
+    "i39_metadata_version_travel",
+    oracle=_META_TRAVEL_ORACLE,
+    tags=("dml", "lifecycle", "metadata"),
+)
+def i39_metadata_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILE time travel — stronger than snapshot time travel:
+    instantiating the table at a retained vN.metadata.json restores the
+    whole table state as of that write, including SCHEMA interpretation
+    and snapshot history. The arc pins the version after the first load,
+    then renames the value column, loads more, and deletes; the pinned
+    handle must still read under the ORIGINAL column name and see only
+    the 2 then-existing snapshots, while the head sees the renamed
+    column, 4 snapshots, and the post-delete state. Snapshot-id time
+    travel cannot do this: it replays old FILES under the CURRENT
+    metadata (one schema, one history).
+
+    Scale: opening a historical version is one small JSON read; the
+    scans that follow prune to that version's dir lists as usual."""
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="mtv_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "mtv", "orders_mv", "o_orderkey BIGINT, price DOUBLE"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    t.insert(orders.filter(F.col("o_orderkey") <= 1000))
+    pinned_version = int(t._meta["last_metadata_version"])
+    t.rename_column("price", "amount")
+    t.insert(
+        orders.filter(F.col("o_orderkey").between(1001, 2000)).withColumnRenamed(
+            "price", "amount"
+        )
+    )
+    t.delete_where("o_orderkey % 10 = 0")
+    pinned = t.at_metadata_version(pinned_version)
+    head_df = (
+        t.scan()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("amount"), 2).alias("total_val"),
+        )
+        .select(
+            F.lit("head").alias("side"),
+            "n_rows",
+            "total_val",
+            F.lit(len(t.snapshots())).cast("long").alias("n_snaps"),
+        )
+    )
+    pinned_df = (
+        pinned.scan()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("total_val"),  # OLD name
+        )
+        .select(
+            F.lit("pinned").alias("side"),
+            "n_rows",
+            "total_val",
+            F.lit(len(pinned.snapshots())).cast("long").alias("n_snaps"),
+        )
+    )
+    return head_df.unionByName(pinned_df).orderBy("side")

@@ -2061,6 +2061,37 @@ class LocalTable:
             "n_snapshots int",
         )
 
+    def at_metadata_version(self, version: int) -> "LocalTable":
+        """Metadata-file time travel (Iceberg: instantiate a table AT a
+        retained vN.metadata.json — the recovery move when the current
+        metadata is bad, and the strongest form of time travel: it
+        restores snapshot HISTORY, refs, schema interpretation, and
+        properties as of that write, not just one snapshot's dir list).
+        Returns a READ-ONLY handle: its metadata lives only in memory,
+        so any commit through it would fork the trail — refused."""
+        path = os.path.join(
+            self.root, "metadata", f"v{version:06d}.metadata.json"
+        )
+        if not os.path.exists(path):
+            raise TableError(
+                f"metadata version {version} is not retained "
+                "(write.metadata.previous-versions-max)"
+            )
+        clone = object.__new__(LocalTable)
+        clone.spark = self.spark
+        clone.root = self.root
+        with open(path) as f:
+            clone._meta = json.load(f)
+
+        def _refuse() -> None:
+            raise TableError(
+                "table handle opened at a historical metadata version "
+                "is read-only"
+            )
+
+        clone._write_meta = _refuse  # type: ignore[method-assign]
+        return clone
+
     def all_data_files(self) -> DataFrame:
         """Iceberg `table.all_data_files` / `all_delete_files` analog in
         one table: every data / delete dir referenced by ANY retained

@@ -878,3 +878,24 @@ def test_snapshot_proc_requires_create_table_on_destination(spark, tmp_path):
         "CALL system.snapshot(source_table => 'pd.t', table => 'other.ok')"
     )
     assert catalog.table_exists("other", "ok")
+
+
+def test_at_metadata_version_read_only_and_schema(catalog):
+    """Metadata-file time travel: a historical handle restores schema
+    interpretation and history as of that write; mutating through it is
+    refused (it would fork the trail); unretained versions error."""
+    t = catalog.create_table("cdc_db", "mtv", "id int, v string")
+    t.insert_values([(1, "a")])
+    pinned_ver = int(t._meta["last_metadata_version"])
+    t.rename_column("v", "w")
+    t.insert_values([(2, "b")])
+    old = t.at_metadata_version(pinned_ver)
+    assert [f.name for f in old.scan().schema.fields] == ["id", "v"]
+    assert old.scan().count() == 1
+    assert len(old.snapshots()) == 2  # create + first insert
+    with pytest.raises(TableError, match="read-only"):
+        old.insert_values([(9, "z")])
+    with pytest.raises(TableError, match="not retained"):
+        t.at_metadata_version(99999)
+    # the live handle is unaffected
+    assert t.scan().count() == 2
