@@ -79,6 +79,12 @@ class Snapshot:
     # the dir keeps its staged seq, so branch-side deletes still apply
     # there (a global per-table map would resurrect branch-deleted rows).
     seq_overrides: dict[str, int] = field(default_factory=dict)
+    # data dirs this commit ADDED relative to its parent (Iceberg's
+    # added-files manifest entry), recorded at commit time. None on
+    # metadata written before the field existed — readers needing the
+    # delta (cherry-pick) then fall back to diffing against earlier
+    # snapshots, which is only sound while that history is retained.
+    added_dirs: list[str] | None = None
 
     def to_json(self) -> dict[str, Any]:
         out = {
@@ -92,6 +98,8 @@ class Snapshot:
         }
         if self.seq_overrides:
             out["seq_overrides"] = self.seq_overrides
+        if self.added_dirs is not None:
+            out["added_dirs"] = self.added_dirs
         return out
 
     @staticmethod
@@ -107,6 +115,7 @@ class Snapshot:
             seq_overrides={
                 k: int(v) for k, v in d.get("seq_overrides", {}).items()
             },
+            added_dirs=d.get("added_dirs"),
         )
 
 
@@ -403,6 +412,7 @@ class LocalTable:
         merged.update(seq_overrides or {})
         live = set(data_dirs)
         merged = {d: int(s) for d, s in merged.items() if d in live}
+        parent_data = set((parent_rec or {}).get("data_dirs", []))
         snap = Snapshot(
             # min_id lets an adopting commit (snapshot_table) floor the
             # numbering above every adopted source seq, so the two
@@ -422,6 +432,7 @@ class LocalTable:
             # abandoned line leaves the ancestry (Iceberg ancestorsOf).
             parent_id=resolved_parent,
             seq_overrides=merged,
+            added_dirs=[d for d in data_dirs if d not in parent_data],
         )
         self._meta["snapshots"].append(snap.to_json())
         if branch is None:
@@ -1956,13 +1967,19 @@ class LocalTable:
                 f"{target.operation!r} — only append snapshots can be "
                 "cherry-picked"
             )
-        # The append's OWN dirs are those no earlier snapshot carries —
-        # robust to branch commits, where the positional predecessor in
-        # the global snapshot list is not the actual parent (ids are
-        # allocated globally across branches).
-        idx = next(i for i, s in enumerate(snaps) if s.id == snapshot_id)
-        earlier = {d for s in snaps[:idx] for d in s.data_dirs}
-        new_data = [d for d in target.data_dirs if d not in earlier]
+        # The append's OWN dirs: recorded at commit time (added_dirs,
+        # diffed against the actual parent). The legacy fallback — dirs
+        # no earlier-listed snapshot carries — breaks once
+        # expire_snapshots compacts the earlier history away (the
+        # "earlier" set empties and the whole inherited dir list is
+        # mistaken for the delta; caught by the ancestry property test),
+        # so it exists only for pre-field metadata.
+        if target.added_dirs is not None:
+            new_data = list(target.added_dirs)
+        else:
+            idx = next(i for i, s in enumerate(snaps) if s.id == snapshot_id)
+            earlier = {d for s in snaps[:idx] for d in s.data_dirs}
+            new_data = [d for d in target.data_dirs if d not in earlier]
         cur = self.current_snapshot()
         add = [d for d in new_data if d not in cur.data_dirs]
         if not add:
