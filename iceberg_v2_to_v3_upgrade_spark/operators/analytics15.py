@@ -288,3 +288,76 @@ def k13_aqe_partition_coalescing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AQE partition coalescing did not engage on the small aggregate"
     )
     return spark.createDataFrame(rows, agg.schema)
+
+
+# ---------------------------------------------------------------- k14
+
+_BLOOM_ORACLE = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@declare(
+    "k14_bloom_filter_join_pruning",
+    oracle=_BLOOM_ORACLE,
+    tags=("scale", "plan"),
+)
+def k14_bloom_filter_join_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Runtime bloom-filter join pruning — the third runtime-replan
+    demonstration next to k12 (skew split) and k13 (coalescing): a
+    bloom filter aggregated over the SELECTIVE dim side (urgent orders)
+    is injected into the fact scan as a semi-join probe, so lineitem
+    rows that cannot match are dropped BEFORE the join's shuffle. The
+    executed plan is asserted in-query: the dim side must build
+    `bloom_filter_agg`, the fact side must probe `might_contain`.
+
+    Scale: at 100 TB this is the difference between shuffling the full
+    fact table and shuffling only the ~fraction matching the dim
+    filter; production thresholds (10 GB application-side scan) engage
+    it automatically — the fixture drops the threshold to pin the
+    MECHANISM, exactly like k12 forces its skew split."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        agg = (
+            li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            )
+            .orderBy("l_returnflag")
+        )
+        rows = agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, (
+            "runtime bloom filter was not injected on the dim side"
+        )
+        assert (
+            "BloomFilterMightContain" in plan or "might_contain" in plan
+        ), "bloom probe did not reach the fact side"
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
