@@ -215,6 +215,14 @@ class LocalTable:
         with open(os.path.join(self.root, "metadata.json")) as f:
             return json.load(f)
 
+    def _metadata_version_path(self, version: int) -> str:
+        """The one spelling of the metadata-log filename scheme —
+        _write_meta (producer), metadata_log_entries, and
+        at_metadata_version (consumers) must agree on it."""
+        return os.path.join(
+            self.root, "metadata", f"v{version:06d}.metadata.json"
+        )
+
     def _write_meta(self) -> None:
         """Atomically replace metadata.json and append a versioned copy
         to the metadata log (Iceberg writes v{N}.metadata.json per commit
@@ -232,7 +240,7 @@ class LocalTable:
         os.makedirs(log_dir, exist_ok=True)
         shutil.copyfile(
             os.path.join(self.root, "metadata.json"),
-            os.path.join(log_dir, f"v{ver:06d}.metadata.json"),
+            self._metadata_version_path(ver),
         )
         keep = int(
             self._meta["properties"].get(
@@ -2085,27 +2093,61 @@ class LocalTable:
         restores snapshot HISTORY, refs, schema interpretation, and
         properties as of that write, not just one snapshot's dir list).
         Returns a READ-ONLY handle: its metadata lives only in memory,
-        so any commit through it would fork the trail — refused."""
-        path = os.path.join(
-            self.root, "metadata", f"v{version:06d}.metadata.json"
-        )
+        so any commit through it would fork the trail. Mutators are
+        refused AT ENTRY — refusing only at metadata-write time (the
+        original design) let a mutation's physical side effects land
+        first: the clone's stale metadata re-derives an already-used
+        snapshot id, so its insert OVERWRITES the live table's
+        data/snap-N dir before the late refusal (round-5 review repro
+        — the live row was corrupted on disk while counts stayed
+        equal). The _write_meta patch remains as a backstop for any
+        path not on the list."""
+        path = self._metadata_version_path(version)
         if not os.path.exists(path):
             raise TableError(
                 f"metadata version {version} is not retained "
                 "(write.metadata.previous-versions-max)"
             )
-        clone = object.__new__(LocalTable)
-        clone.spark = self.spark
-        clone.root = self.root
+        clone = LocalTable(self.spark, self.root)
         with open(path) as f:
             clone._meta = json.load(f)
 
-        def _refuse() -> None:
+        def _refuse(*_args, **_kwargs) -> None:
             raise TableError(
                 "table handle opened at a historical metadata version "
                 "is read-only"
             )
 
+        for mutator in (
+            "insert",
+            "insert_values",
+            "insert_overwrite",
+            "merge_into",
+            "delete_where",
+            "delete_by_keys",
+            "update_set",
+            "rewrite_data_files",
+            "consolidate_deletes",
+            "expire_snapshots",
+            "remove_orphan_files",
+            "add_files",
+            "set_properties",
+            "add_column",
+            "drop_column",
+            "rename_column",
+            "widen_column",
+            "evolve_partition_spec",
+            "create_branch",
+            "drop_branch",
+            "create_tag",
+            "drop_tag",
+            "rollback_to_snapshot",
+            "rollback_to_timestamp",
+            "set_current_snapshot",
+            "fast_forward",
+            "cherrypick_snapshot",
+        ):
+            setattr(clone, mutator, _refuse)
         clone._write_meta = _refuse  # type: ignore[method-assign]
         return clone
 

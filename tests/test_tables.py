@@ -893,9 +893,22 @@ def test_at_metadata_version_read_only_and_schema(catalog):
     assert [f.name for f in old.scan().schema.fields] == ["id", "v"]
     assert old.scan().count() == 1
     assert len(old.snapshots()) == 2  # create + first insert
+    # mutators refuse AT ENTRY: a late refusal (at metadata-write time)
+    # would let the physical write land first — the clone's stale
+    # metadata re-derives an already-used snapshot id and OVERWRITES the
+    # live table's data dir (round-5 review repro)
     with pytest.raises(TableError, match="read-only"):
         old.insert_values([(9, "z")])
+    with pytest.raises(TableError, match="read-only"):
+        old.delete_where("id = 1")
+    with pytest.raises(TableError, match="read-only"):
+        old.expire_snapshots(datetime.datetime(2030, 1, 1), retain_last=1)
     with pytest.raises(TableError, match="not retained"):
         t.at_metadata_version(99999)
-    # the live handle is unaffected
-    assert t.scan().count() == 2
+    # the live handle is unaffected — assert VALUES, not counts: the
+    # corruption mode replaced a row in place, leaving counts equal
+    assert sorted((r.id, r.w) for r in t.scan().collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+    # and the pinned handle still reflects its version after the refusals
+    assert sorted((r.id, r.v) for r in old.scan().collect()) == [(1, "a")]
