@@ -2411,7 +2411,23 @@ class LocalTable:
         for s in chain:
             if prev is not None and s.id > from_snapshot_id:
                 step: DataFrame | None = None
-                if s.operation in (
+                if s.operation == "snapshot":
+                    # the zero-copy adopt commit (CALL system.snapshot):
+                    # its delta is the table's INITIAL LOAD — the rows
+                    # VISIBLE at the adopt snapshot (MoR-merged), not the
+                    # raw adopted dirs, which still contain rows the
+                    # SOURCE had already deleted before the snapshot.
+                    # Matches the changelog-view default of reading the
+                    # first data commit as inserts.
+                    if prev.data_dirs:
+                        raise TableError(
+                            f"changes(): snapshot-adopt commit {s.id} on "
+                            "a non-empty parent has no incremental delta"
+                        )
+                    step = self._scan_raw(s).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                elif s.operation in (
                     "append", "update", "merge", "delete", "overwrite"
                 ):
                     new_data = [d for d in s.data_dirs if d not in prev.data_dirs]

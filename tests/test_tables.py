@@ -912,3 +912,20 @@ def test_at_metadata_version_read_only_and_schema(catalog):
     ]
     # and the pinned handle still reflects its version after the refusals
     assert sorted((r.id, r.v) for r in old.scan().collect()) == [(1, "a")]
+
+
+def test_changes_across_snapshot_adopt_commit(catalog):
+    """CDC over a snapshot table from its create snapshot: the adopt
+    commit's delta is the INITIAL LOAD — rows VISIBLE at the adopt
+    (MoR-merged), never raw adopted dirs (which still hold rows the
+    source deleted pre-snapshot); destination DML then diffs normally."""
+    src = catalog.create_table("cdc_db", "cdc_src", "id int")
+    src.insert_values([(1,), (2,), (5,)])
+    src.delete_where("id = 5")  # pre-snapshot source delete
+    dst = catalog.snapshot_table("cdc_db", "cdc_src", "cdc_db", "cdc_dst")
+    dst.insert_values([(3,)])
+    dst.delete_where("id = 1")
+    ch = dst.changes(dst.snapshots()[0].id).collect()
+    assert sorted((r.id, r._change_type) for r in ch) == [
+        (1, "delete"), (1, "insert"), (2, "insert"), (3, "insert"),
+    ]
