@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.plan_assert import collect_asserting_plan
 from iceberg_v2_to_v3_upgrade_spark.registry import declare
 
 # --------------------------------------------------------------- n110
@@ -282,12 +283,17 @@ def k13_aqe_partition_coalescing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
-    rows = agg.collect()
-    plan = agg._jdf.queryExecution().executedPlan().toString()
-    assert "AQEShuffleRead" in plan and "coalesced" in plan, (
-        "AQE partition coalescing did not engage on the small aggregate"
+    # size-guarded collect: O(event types), never fact rows
+    return collect_asserting_plan(
+        agg,
+        {
+            "AQEShuffleRead": "AQE shuffle read did not engage",
+            "coalesced": (
+                "AQE partition coalescing did not engage on the small "
+                "aggregate"
+            ),
+        },
     )
-    return spark.createDataFrame(rows, agg.schema)
 
 
 # ---------------------------------------------------------------- k14
@@ -346,15 +352,18 @@ def k14_bloom_filter_join_pruning(
             )
             .orderBy("l_returnflag")
         )
-        rows = agg.collect()
-        plan = agg._jdf.queryExecution().executedPlan().toString()
-        assert "bloom_filter_agg" in plan, (
-            "runtime bloom filter was not injected on the dim side"
+        # size-guarded collect: O(return flags), never fact rows
+        return collect_asserting_plan(
+            agg,
+            {
+                "bloom_filter_agg": (
+                    "runtime bloom filter was not injected on the dim side"
+                ),
+                ("BloomFilterMightContain", "might_contain"): (
+                    "bloom probe did not reach the fact side"
+                ),
+            },
         )
-        assert (
-            "BloomFilterMightContain" in plan or "might_contain" in plan
-        ), "bloom probe did not reach the fact side"
-        return spark.createDataFrame(rows, agg.schema)
     finally:
         for k, v in saved.items():
             if v is None:

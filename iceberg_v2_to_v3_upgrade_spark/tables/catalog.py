@@ -9,9 +9,11 @@ format-version, metadata_location.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,10 +82,31 @@ class LocalCatalog:
         os.replace(tmp, self._changelog_views_path)
         self._clv_cache = None
 
+    @contextmanager
+    def _changelog_views_lock(self):
+        """Advisory flock serializing the register/unregister
+        read-modify-write: two engines over the same warehouse would
+        otherwise lose each other's registrations, and a LOST
+        registration silently disables the row-filter/column-mask
+        re-check gate on that view in _select — a security registry
+        must not drop writes (round-5 advisor). The lock file is
+        separate from the data file so os.replace never invalidates a
+        held lock."""
+        lock_path = self._changelog_views_path + ".lock"
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
     def register_changelog_view(self, view: str, db: str, table: str) -> None:
-        views = self.changelog_views
-        views[view] = (db, table)
-        self._write_changelog_views(views)
+        with self._changelog_views_lock():
+            self._clv_cache = None  # re-read under the lock, never stale
+            views = self.changelog_views
+            views[view] = (db, table)
+            self._write_changelog_views(views)
 
     def unregister_changelog_views(self, *, view: str | None = None,
                                    db: str | None = None,
@@ -91,14 +114,16 @@ class LocalCatalog:
         """Drop registrations by view name, or every registration over
         ``db.table`` (called from DROP VIEW / drop_table so a dead
         registration can't keep gating unrelated statements forever)."""
-        views = self.changelog_views
-        kept = {
-            v: (d, t)
-            for v, (d, t) in views.items()
-            if not (v == view or (d == db and t == table))
-        }
-        if kept != views:
-            self._write_changelog_views(kept)
+        with self._changelog_views_lock():
+            self._clv_cache = None
+            views = self.changelog_views
+            kept = {
+                v: (d, t)
+                for v, (d, t) in views.items()
+                if not (v == view or (d == db and t == table))
+            }
+            if kept != views:
+                self._write_changelog_views(kept)
 
     # ------------------------------------------------------------ databases
 
@@ -198,12 +223,21 @@ class LocalCatalog:
         src = self.load_table(src_db, src_table)
         cur = src.current_snapshot()
         self.create_database(dst_db)
+        # The gc guard + adopted-by marker describe the SOURCE's role as
+        # an adoption provider; a snapshot of a previously-snapshotted
+        # source must not inherit them (it would never be able to expire
+        # its own snapshots).
+        inherited = {
+            k: v
+            for k, v in src.properties.items()
+            if k not in ("gc.enabled", "snapshot.adopted-by")
+        }
         dst = self.create_table(
             dst_db,
             dst_table,
             src.schema_ddl,
             partition_by=src.partition_by or None,
-            properties=src.properties,
+            properties=inherited,
         )
         dst._meta["next_row_id"] = int(src._meta.get("next_row_id", 0))
         # seq-keyed column/partition interpretation and row-lineage
@@ -225,6 +259,24 @@ class LocalCatalog:
             eq_deletes=[dict(e) for e in cur.eq_deletes],
             seq_overrides=dict(cur.seq_overrides),
             min_id=max(s["id"] for s in src._meta["snapshots"]) + 1,
+        )
+        # Record the adoption ON THE SOURCE (after dst inherited the
+        # source's ORIGINAL properties above): the snapshot table's scans
+        # physically depend on dirs under the source root, so source-side
+        # expire_snapshots / remove_orphan_files would break them. Mirror
+        # Iceberg's snapshot-table guidance — gc.enabled=false makes both
+        # GC procedures refuse on the source until an operator who has
+        # verified no snapshot table still needs the files re-enables it;
+        # snapshot.adopted-by names the dependents so the refusal is
+        # actionable (round-5 advisor).
+        adopted_by = src.properties.get("snapshot.adopted-by", "")
+        deps = [d for d in adopted_by.split(",") if d]
+        deps.append(f"{dst_db}.{dst_table}")
+        src.set_properties(
+            {
+                "gc.enabled": "false",
+                "snapshot.adopted-by": ",".join(sorted(set(deps))),
+            }
         )
         return dst
 

@@ -151,7 +151,22 @@ class LocalTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
+        #: Set by at_metadata_version: a historical handle whose metadata
+        #: lives only in memory. Checked at the TOP of _commit, _write_meta
+        #: and _write_data_dir so ANY mutator — including one added later
+        #: and never appended to the per-name refusal list — fails before
+        #: its first filesystem side effect (round-5 advisor: the late
+        #: _write_meta backstop alone let a stale-id insert overwrite a
+        #: live data dir before refusing).
+        self._read_only = False
         self._meta = self._read_meta()
+
+    def _check_writable(self) -> None:
+        if self._read_only:
+            raise TableError(
+                "table handle opened at a historical metadata version "
+                "is read-only"
+            )
 
     # ---------------------------------------------------------------- DDL
 
@@ -230,6 +245,7 @@ class LocalTable:
         `write.metadata.previous-versions-max` (Iceberg property, default
         100): oldest versioned copies beyond the cap are deleted — the
         current metadata.json itself is never at risk."""
+        self._check_writable()
         ver = int(self._meta.get("last_metadata_version", 0)) + 1
         self._meta["last_metadata_version"] = ver
         tmp = os.path.join(self.root, "metadata.json.tmp")
@@ -247,10 +263,16 @@ class LocalTable:
                 "write.metadata.previous-versions-max", "100"
             )
         )
+        # Sort by the PARSED version: past v999999 the %06d scheme emits
+        # 7-digit names that misorder lexically (v1000000 < v999999), and
+        # a lexical prune would delete the newest file (round-5 advisor).
         versions = sorted(
-            f
-            for f in os.listdir(log_dir)
-            if re.fullmatch(r"v\d+\.metadata\.json", f)
+            (
+                f
+                for f in os.listdir(log_dir)
+                if re.fullmatch(r"v\d+\.metadata\.json", f)
+            ),
+            key=lambda f: int(f[1:].split(".")[0]),
         )
         # Iceberg semantics: the property counts PREVIOUS versions, so
         # keep+1 files survive (the current version's copy plus `keep`
@@ -402,6 +424,7 @@ class LocalTable:
         seq_overrides: dict[str, int] | None = None,
         min_id: int | None = None,
     ) -> Snapshot:
+        self._check_writable()
         resolved_parent = (
             parent_id
             if parent_id is not None
@@ -709,6 +732,7 @@ class LocalTable:
         path: str,
         max_records_per_file: int | None = None,
     ) -> None:
+        self._check_writable()
         spec = self._partition_spec()
         for name, expr in spec:
             if expr is not None:
@@ -2066,8 +2090,10 @@ class LocalTable:
         import glob as _glob
 
         rows = []
+        # numeric sort: 7-digit versions misorder lexically past v999999
         for path in sorted(
-            _glob.glob(os.path.join(self.root, "metadata", "v*.metadata.json"))
+            _glob.glob(os.path.join(self.root, "metadata", "v*.metadata.json")),
+            key=lambda p: int(os.path.basename(p)[1:].split(".")[0]),
         ):
             with open(path) as f:
                 meta = json.load(f)
@@ -2100,8 +2126,11 @@ class LocalTable:
         snapshot id, so its insert OVERWRITES the live table's
         data/snap-N dir before the late refusal (round-5 review repro
         — the live row was corrupted on disk while counts stayed
-        equal). The _write_meta patch remains as a backstop for any
-        path not on the list."""
+        equal). The per-name refusals below give the clearest error at
+        the public surface; the structural guard is clone._read_only,
+        checked at the top of _commit / _write_meta / _write_data_dir,
+        so a mutator added later and never appended to this list still
+        fails BEFORE any filesystem effect (round-5 advisor)."""
         path = self._metadata_version_path(version)
         if not os.path.exists(path):
             raise TableError(
@@ -2111,6 +2140,7 @@ class LocalTable:
         clone = LocalTable(self.spark, self.root)
         with open(path) as f:
             clone._meta = json.load(f)
+        clone._read_only = True
 
         def _refuse(*_args, **_kwargs) -> None:
             raise TableError(
@@ -2682,10 +2712,30 @@ class LocalTable:
             eq_deletes=cur.eq_deletes,
         )
 
+    def _check_gc_enabled(self, procedure: str) -> None:
+        """Iceberg refuses GC procedures when gc.enabled=false ("Cannot
+        expire snapshots: GC is disabled"). The catalog's snapshot
+        procedure sets it on the SOURCE table because the snapshot
+        table's scans reference dirs under the source root — a source-
+        side expiry would physically delete files another table still
+        reads (round-5 advisor). snapshot.adopted-by names the
+        dependents so the operator knows what to check before
+        re-enabling."""
+        if self.properties.get("gc.enabled", "true").lower() == "false":
+            deps = self.properties.get("snapshot.adopted-by", "")
+            hint = f" (snapshot tables depend on its files: {deps})" if deps else ""
+            raise TableError(
+                f"cannot {procedure}: gc.enabled=false on this table{hint}; "
+                "set gc.enabled=true only after verifying no snapshot "
+                "table still references its files"
+            )
+
     def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
         """CALL system.remove_orphan_files analog: delete data/delete dirs
         under the table root referenced by NO snapshot (crashed writes,
         aborted commits). Returns removed (or would-remove) paths."""
+        if not dry_run:
+            self._check_gc_enabled("remove_orphan_files")
         referenced: set[str] = set()
         for s in self.snapshots():
             referenced.update(s.data_dirs)
@@ -2714,6 +2764,7 @@ class LocalTable:
         physically deletes files no surviving snapshot references.
         Returns the expired snapshot ids.
         """
+        self._check_gc_enabled("expire_snapshots")
         snaps = self.snapshots()
         keep_tail = {s.id for s in snaps[-retain_last:]}
         keep_tail.add(self._meta["current_snapshot_id"])

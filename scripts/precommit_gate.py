@@ -110,14 +110,6 @@ def main() -> int:
     op_modules = {f for f in touched if "/operators/" in f}
     core_touched = any(f.startswith(CORE_PREFIXES) for f in touched)
 
-    targets: list[str] = []
-    if op_modules:
-        targets += queries_in_modules(op_modules)
-    if core_touched:
-        targets += [q for q in SMOKE_QUERIES if q not in targets]
-    if not targets:
-        return 0
-
     # Count-drift check (round-4 judge finding: COVERAGE.md said 289
     # while the registry had 290 because the final commit skipped
     # update_counts.py): any registry-affecting diff must ship COVERAGE.md
@@ -128,27 +120,40 @@ def main() -> int:
     # the regenerated counts — comparing the worktree copy lets a stale
     # staged file through (and spuriously refuses a fresh one) whenever
     # the two differ.
-    cov = os.path.join(REPO, "COVERAGE.md")
-    subprocess.run(
-        [sys.executable, "scripts/update_counts.py"],
-        cwd=REPO,
-        capture_output=True,
-        check=True,
-    )
-    regenerated = open(cov).read()
-    staged = subprocess.run(
-        ["git", "show", ":COVERAGE.md"],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-    )
-    if staged.returncode != 0 or staged.stdout != regenerated:
-        print(
-            "precommit gate: REFUSED — the staged COVERAGE.md does not "
-            "match the registry counts; scripts/update_counts.py has "
-            "refreshed the worktree copy, `git add COVERAGE.md` and retry."
+    # This runs BEFORE the no-targets early return (round-5 advisor
+    # finding): a commit that DELETES an operator module shrinks the
+    # registry but leaves zero surviving queries mapped to the touched
+    # files, which is exactly the case where the drift check must fire.
+    if op_modules or core_touched:
+        cov = os.path.join(REPO, "COVERAGE.md")
+        subprocess.run(
+            [sys.executable, "scripts/update_counts.py"],
+            cwd=REPO,
+            capture_output=True,
+            check=True,
         )
-        return 1
+        regenerated = open(cov).read()
+        staged = subprocess.run(
+            ["git", "show", ":COVERAGE.md"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        )
+        if staged.returncode != 0 or staged.stdout != regenerated:
+            print(
+                "precommit gate: REFUSED — the staged COVERAGE.md does not "
+                "match the registry counts; scripts/update_counts.py has "
+                "refreshed the worktree copy, `git add COVERAGE.md` and retry."
+            )
+            return 1
+
+    targets: list[str] = []
+    if op_modules:
+        targets += queries_in_modules(op_modules)
+    if core_touched:
+        targets += [q for q in SMOKE_QUERIES if q not in targets]
+    if not targets:
+        return 0
 
     print(f"precommit gate: strict-sweeping {len(targets)} quer(ies) at {SF}")
     r = subprocess.run(
