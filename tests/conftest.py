@@ -12,6 +12,12 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running property/model suites"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
     wh = tmp_path_factory.mktemp("spark_warehouse")
