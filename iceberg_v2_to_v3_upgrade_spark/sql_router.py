@@ -1221,6 +1221,9 @@ class EngineSQL:
             db, tbl, meta = tm.group("db"), tm.group("tbl"), tm.group("meta")
             if not self.catalog.table_exists(db, tbl):
                 continue
+            # same table-level SELECT gate as the handler-style metadata
+            # paths — the inline rewrite must not be the one ungated door
+            self._authorize_table("SELECT", db, tbl)
             view = f"{db}_{tbl}_{meta.lower()}"
             self._metadata_df(db, tbl, meta.lower()).createOrReplaceTempView(
                 view
@@ -1229,6 +1232,19 @@ class EngineSQL:
         for db in self.catalog.list_databases():
             for info in self.catalog.list_tables(db):
                 name = info["name"]
+                # Table-level SELECT enforcement on the core scan path
+                # (round-6 permission-model finding): every OTHER read
+                # path — SHOW PARTITIONS, metadata tables, changelog
+                # views, CALL system.snapshot — checked SELECT, but a
+                # plain `SELECT * FROM db.t` under an enforcing store
+                # returned rows to a principal with no grant at all.
+                # Gate only tables the statement actually references;
+                # the rest are registered for name resolution but carry
+                # this principal's masks/filters anyway.
+                if re.search(
+                    rf"\b{db}\.{name}\b", rewritten, re.IGNORECASE
+                ):
+                    self._authorize_table("SELECT", db, name)
                 table = self.catalog.load_table(db, name)
                 # time travel: db.t VERSION AS OF <n | 'tag'> ->
                 # snapshot-pinned view
