@@ -1,0 +1,225 @@
+"""Round-6 additions: SemDeDup-style embedding-cluster semantic dedup.
+
+SemDeDup (Abbas et al. 2023, public) is the one well-known LLM-curation
+operator that was missing from the N inventory: k-means-cluster the
+embedding space, then prune near-duplicate pairs WITHIN each cluster —
+clustering is what makes the quadratic pairwise step tractable
+(O(sum c_i^2) instead of O(n^2)) and is the reason the method scales to
+billion-document corpora.
+
+Determinism contract (what makes the oracle exact): centroids are
+SEEDED from the k smallest vec_ids, one Lloyd iteration refines them,
+and every floating-point reduction — normalization, dot products,
+centroid re-normalization — is a LEFT-TO-RIGHT fold over array indices
+in both engines (Spark ``F.aggregate`` and DuckDB ``list_dot_product``
+both fold sequentially), so intermediate doubles are bit-identical.
+The only order-nondeterministic reduction, the per-dimension centroid
+mean, is rounded to 5 decimals on both sides before use; the final
+output carries no float columns at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+_K = 8  # clusters
+_TAU = 0.35  # within-cluster cosine prune threshold
+_ROUND_V = 6  # normalized-vector rounding (both engines)
+_ROUND_C = 5  # centroid-mean rounding (both engines)
+
+
+def _dot(a, b):
+    """Sequential left-fold dot product — index order matches DuckDB's
+    list_dot_product, so results are bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_round(col):
+    """L2-normalize then round each component (shared rounding keeps the
+    downstream dots bit-identical across engines)."""
+    return F.transform(
+        col, lambda x: F.round(x / F.sqrt(_dot(col, col)), _ROUND_V)
+    )
+
+
+_SEMDEDUP_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(
+                   embedding::DOUBLE[],
+                   x -> round(x / sqrt(list_dot_product(
+                            embedding::DOUBLE[], embedding::DOUBLE[])),
+                        {_ROUND_V})
+               ) AS v
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+        FROM e ORDER BY vec_id LIMIT {_K}
+    ),
+    assign0 AS (
+        SELECT e.vec_id, e.v,
+               (SELECT s.c FROM seeds s
+                ORDER BY list_dot_product(e.v, s.cv) DESC, s.c
+                LIMIT 1) AS c
+        FROM e
+    ),
+    dims AS (
+        SELECT c, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM assign0
+    ),
+    means AS (
+        SELECT c, i, round(avg(x), {_ROUND_C}) AS m
+        FROM dims GROUP BY c, i
+    ),
+    cent0 AS (
+        SELECT c, list(m ORDER BY i) AS cv0 FROM means GROUP BY c
+    ),
+    cent AS (
+        SELECT c,
+               list_transform(
+                   cv0,
+                   x -> round(x / sqrt(list_dot_product(cv0, cv0)),
+                        {_ROUND_V})
+               ) AS cv
+        FROM cent0
+    ),
+    assign1 AS (
+        SELECT e.vec_id, e.v,
+               (SELECT s.c FROM cent s
+                ORDER BY list_dot_product(e.v, s.cv) DESC, s.c
+                LIMIT 1) AS c
+        FROM e
+    ),
+    dups AS (
+        SELECT DISTINCT a.c, b.vec_id AS vb
+        FROM assign1 a JOIN assign1 b
+          ON a.c = b.c AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) >= {_TAU}
+    )
+    SELECT a.c AS cluster,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(d.vb) AS BIGINT) AS n_dups,
+           CAST(count(*) - count(d.vb) AS BIGINT) AS n_survivors,
+           CAST(min(CASE WHEN d.vb IS NULL THEN a.vec_id END) AS BIGINT)
+               AS min_survivor
+    FROM assign1 a LEFT JOIN dups d ON a.c = d.c AND a.vec_id = d.vb
+    GROUP BY a.c ORDER BY cluster
+"""
+
+
+@declare(
+    "n113_semdedup_cluster_prune",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("ext", "dedup", "embeddings", "semdedup"),
+)
+def n113_semdedup_cluster_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup: k-means cluster the embeddings (seeded from the k
+    smallest vec_ids + one Lloyd iteration, fully deterministic), then
+    drop within-cluster near-duplicates (cosine >= tau keeps the
+    lower vec_id). Output: per-cluster membership / dup / survivor
+    accounting — no float columns, so the hash gate pins the CLUSTER
+    ASSIGNMENTS and the prune decisions, not just aggregate shapes.
+
+    Scale: assignment is map-only against k broadcast-literal centroids
+    (zero shuffle); the Lloyd update shuffles k*d bounded partial
+    aggregates; the pairwise step is confined within clusters —
+    O(sum c_i^2), the SemDeDup design point — and would run per-cluster
+    GEMM via applyInPandas at corpus scale (n2e's machinery) with k
+    grown ~n/1000 to bound cluster size; here the within-cluster join
+    stays in whole-stage codegen for the bit-identical-oracle guarantee.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    normed = emb.select("vec_id", _norm_round(F.col("x")).alias("v"))
+
+    # seed centroids: the k smallest vec_ids (k rows to the driver —
+    # bounded by the constant, the sanctioned metadata-sized collect)
+    seeds = [
+        r.v for r in normed.orderBy("vec_id").limit(_K).collect()
+    ]
+
+    def assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+        dots = F.array(
+            *[
+                _dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
+                for c in cents
+            ]
+        )
+        # first index of the max dot = lowest-c tie-break, matching the
+        # oracle's ORDER BY dot DESC, c
+        return df.withColumn(
+            "c",
+            (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
+        )
+
+    a0 = assign(normed, seeds)
+    d = len(seeds[0])
+    # one Lloyd iteration: per-dimension mean (the one order-dependent
+    # reduction — rounded on both engines), then re-normalize
+    upd = (
+        a0.groupBy("c")
+        .agg(
+            F.array(
+                *[F.round(F.avg(F.col("v")[i]), _ROUND_C) for i in range(d)]
+            ).alias("cv0")
+        )
+        .orderBy("c")
+        .collect()
+    )  # k rows — bounded by the constant
+    cents = []
+    for r in sorted(upd, key=lambda r: r.c):
+        nrm = 0.0
+        for x in r.cv0:  # sequential fold, same order as both engines
+            nrm += x * x
+        nrm = nrm ** 0.5
+        cents.append([round(x / nrm, _ROUND_V) for x in r.cv0])
+    # persisted: referenced by the pair join's BOTH sides and the final
+    # accounting join — without it the normalization + 2*k dot-product
+    # assignment lineage re-executes three times (the n2b lesson)
+    a1 = assign(normed, cents).select("vec_id", "v", "c").persist()
+
+    # within-cluster prune: pair (a, b) with cos >= tau drops the higher
+    # vec_id; pairwise work is confined to each cluster
+    left = a1.select(
+        F.col("c"), F.col("vec_id").alias("va"), F.col("v").alias("xa")
+    )
+    right = a1.select(
+        F.col("c"), F.col("vec_id").alias("vb"), F.col("v").alias("xb")
+    )
+    dups = (
+        left.join(right, "c")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(_dot(F.col("xa"), F.col("xb")) >= F.lit(_TAU))
+        # fresh column names break the self-join lineage so the final
+        # join below is unambiguous
+        .select(F.col("c").alias("dc"), F.col("vb").alias("dvb"))
+        .distinct()
+    )
+    return (
+        a1.join(
+            dups,
+            (F.col("c") == F.col("dc")) & (F.col("vec_id") == F.col("dvb")),
+            "left",
+        )
+        .groupBy(F.col("c").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("dvb").alias("n_dups"),
+            (F.count(F.lit(1)) - F.count("dvb")).alias("n_survivors"),
+            F.min(
+                F.when(F.col("dvb").isNull(), F.col("vec_id"))
+            ).alias("min_survivor"),
+        )
+        .orderBy("cluster")
+    )

@@ -293,6 +293,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         analytics13,
         analytics14,
         analytics15,
+        analytics16,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
