@@ -41,12 +41,14 @@ def _dot(a, b):
     )
 
 
-def _norm_round(col):
-    """L2-normalize then round each component (shared rounding keeps the
-    downstream dots bit-identical across engines)."""
-    return F.transform(
-        col, lambda x: F.round(x / F.sqrt(_dot(col, col)), _ROUND_V)
-    )
+def _norm_round(col, nrm):
+    """Divide each component by the (pre-computed) L2 norm and round
+    (shared rounding keeps the downstream dots bit-identical across
+    engines). The norm is a separate column, NOT recomputed inside the
+    lambda — Catalyst does no CSE across HOF lambdas, so an inline
+    ``_dot(col, col)`` would re-fold the whole array per element,
+    turning normalization O(d^2) per row (review finding)."""
+    return F.transform(col, lambda x: F.round(x / nrm, _ROUND_V))
 
 
 _SEMDEDUP_ORACLE = f"""
@@ -141,30 +143,54 @@ def n113_semdedup_cluster_prune(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
-    normed = emb.select("vec_id", _norm_round(F.col("x")).alias("v"))
+    normed = emb.select(
+        "vec_id",
+        _norm_round(
+            F.col("x"), F.sqrt(_dot(F.col("x"), F.col("x")))
+        ).alias("v"),
+    )
 
     # seed centroids: the k smallest vec_ids (k rows to the driver —
     # bounded by the constant, the sanctioned metadata-sized collect)
     seeds = [
-        r.v for r in normed.orderBy("vec_id").limit(_K).collect()
+        (i, r.v)
+        for i, r in enumerate(normed.orderBy("vec_id").limit(_K).collect())
     ]
+    if not seeds:
+        # empty corpus: the oracle returns an empty result set; crashing
+        # on seeds[0] would disagree with it (review finding)
+        return spark.createDataFrame(
+            [],
+            "cluster int, n_docs bigint, n_dups bigint, "
+            "n_survivors bigint, min_survivor bigint",
+        )
 
-    def assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+    def assign(df: DataFrame, cents) -> DataFrame:
+        """Label each vector with the ORIGINAL cluster id of its nearest
+        centroid. ``cents`` is (label, vector) pairs sorted by label — a
+        cluster emptied by the previous assignment simply has no entry,
+        and labels must NOT collapse to list positions or they diverge
+        from the oracle's (review finding: a seed cluster can empty when
+        two seeds are near-duplicates)."""
         dots = F.array(
             *[
-                _dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
-                for c in cents
+                _dot(F.col("v"), F.array(*[F.lit(x) for x in vec]))
+                for _c, vec in cents
             ]
         )
-        # first index of the max dot = lowest-c tie-break, matching the
-        # oracle's ORDER BY dot DESC, c
+        labels = F.array(*[F.lit(c) for c, _vec in cents])
+        # first index of the max dot = lowest-label tie-break (cents is
+        # label-sorted), matching the oracle's ORDER BY dot DESC, c
         return df.withColumn(
             "c",
-            (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
+            F.element_at(
+                labels,
+                F.array_position(dots, F.array_max(dots)).cast("int"),
+            ).cast("int"),
         )
 
     a0 = assign(normed, seeds)
-    d = len(seeds[0])
+    d = len(seeds[0][1])
     # one Lloyd iteration: per-dimension mean (the one order-dependent
     # reduction — rounded on both engines), then re-normalize
     upd = (
@@ -174,16 +200,15 @@ def n113_semdedup_cluster_prune(
                 *[F.round(F.avg(F.col("v")[i]), _ROUND_C) for i in range(d)]
             ).alias("cv0")
         )
-        .orderBy("c")
         .collect()
-    )  # k rows — bounded by the constant
+    )  # <= k rows — bounded by the constant
     cents = []
     for r in sorted(upd, key=lambda r: r.c):
         nrm = 0.0
         for x in r.cv0:  # sequential fold, same order as both engines
             nrm += x * x
         nrm = nrm ** 0.5
-        cents.append([round(x / nrm, _ROUND_V) for x in r.cv0])
+        cents.append((r.c, [round(x / nrm, _ROUND_V) for x in r.cv0]))
     # persisted: referenced by the pair join's BOTH sides and the final
     # accounting join — without it the normalization + 2*k dot-product
     # assignment lineage re-executes three times (the n2b lesson)

@@ -36,19 +36,20 @@ def collect_asserting_plan(
     ``required`` maps plan substrings to failure messages; a tuple key
     means "any of these spellings" (operator names shift across Spark
     minor versions, e.g. ``BloomFilterMightContain`` vs
-    ``might_contain``). ``collect()`` runs first (the executed plan is
-    only final after the action); the size guard trips on any frame
-    larger than ``max_rows`` — if that fires, the query is collecting
-    fact rows, not groups, and must be restructured rather than the
-    bound raised.
+    ``might_contain``). The size guard runs BEFORE the collect, via a
+    bounded ``limit(max_rows + 1).count()`` probe — guarding after the
+    collect would let the driver OOM the guard exists to prevent
+    (review finding). The probe costs one extra execution of what must
+    be a tiny frame; the assertions then read the plan finalized by the
+    real ``collect()``.
     """
-    rows = df.collect()
-    if len(rows) > max_rows:
+    if df.limit(max_rows + 1).count() > max_rows:
         raise PlanAssertSizeError(
-            f"collect_asserting_plan got {len(rows)} rows (max {max_rows}): "
+            f"collect_asserting_plan got more than {max_rows} rows: "
             "plan-assertion collects must stay post-aggregate O(groups); "
             "restructure the query instead of raising the bound"
         )
+    rows = df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     for needles, message in required.items():
         alts = needles if isinstance(needles, tuple) else (needles,)

@@ -1241,8 +1241,18 @@ class EngineSQL:
                 # Gate only tables the statement actually references;
                 # the rest are registered for name resolution but carry
                 # this principal's masks/filters anyway.
+                # Two review-hardened details: (a) the registered view
+                # spellings (`db_t`, `db_t_files`, `db_t_v3`, ...) are
+                # session-global names anyone can address directly, so
+                # they gate exactly like `db.t` — without this, `SELECT
+                # * FROM sec_t` bypassed the grant the dotted spelling
+                # enforces; (b) the match runs on the statement with
+                # string literals blanked, so a literal that happens to
+                # contain a table name ('migrated from sec.t') is not a
+                # spurious hard deny.
+                gate_sql = re.sub(r"'[^']*'", "''", rewritten)
                 if re.search(
-                    rf"\b{db}\.{name}\b", rewritten, re.IGNORECASE
+                    rf"\b{db}[._]{name}(\b|_)", gate_sql, re.IGNORECASE
                 ):
                     self._authorize_table("SELECT", db, name)
                 table = self.catalog.load_table(db, name)

@@ -186,6 +186,23 @@ class LocalCatalog:
         )
 
     def drop_table(self, db: str, table: str, if_exists: bool = True) -> bool:
+        # DROP deletes the table root wholesale (PURGE semantics), which
+        # is the third — and most destructive — physical-deletion path
+        # onto files an adopted snapshot table still scans; Iceberg
+        # refuses DROP ... PURGE when gc.enabled=false and so do we
+        # (round-6 review: the guard covered expire/orphan-GC only).
+        meta_path = os.path.join(self.table_root(db, table), "metadata.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                props = json.load(f).get("properties", {})
+            if props.get("gc.enabled", "true").lower() == "false":
+                deps = props.get("snapshot.adopted-by", "")
+                hint = f" (snapshot tables depend on its files: {deps})" if deps else ""
+                raise TableError(
+                    f"cannot drop {db}.{table}: gc.enabled=false{hint}; "
+                    "set gc.enabled=true only after verifying no snapshot "
+                    "table still references its files"
+                )
         dropped = LocalTable.drop(
             self.table_root(db, table), if_exists=if_exists
         )
@@ -263,12 +280,19 @@ class LocalCatalog:
         # Record the adoption ON THE SOURCE (after dst inherited the
         # source's ORIGINAL properties above): the snapshot table's scans
         # physically depend on dirs under the source root, so source-side
-        # expire_snapshots / remove_orphan_files would break them. Mirror
-        # Iceberg's snapshot-table guidance — gc.enabled=false makes both
-        # GC procedures refuse on the source until an operator who has
+        # expire_snapshots / remove_orphan_files / drop would break them.
+        # Mirror Iceberg's snapshot-table guidance — gc.enabled=false
+        # makes all three refuse on the source until an operator who has
         # verified no snapshot table still needs the files re-enables it;
         # snapshot.adopted-by names the dependents so the refusal is
         # actionable (round-5 advisor).
+        # Accepted authz trade-off (round-6 review): through CALL
+        # system.snapshot a SELECT+CREATE_TABLE principal triggers this
+        # protective write to a source it cannot otherwise alter — at
+        # worst the owner must flip gc.enabled back (ALTER-gated via
+        # SQL); the alternative, NOT recording the dependency, lets the
+        # owner's routine GC physically corrupt someone else's table,
+        # which is strictly worse.
         adopted_by = src.properties.get("snapshot.adopted-by", "")
         deps = [d for d in adopted_by.split(",") if d]
         deps.append(f"{dst_db}.{dst_table}")

@@ -246,6 +246,22 @@ class LocalTable:
         100): oldest versioned copies beyond the cap are deleted — the
         current metadata.json itself is never at risk."""
         self._check_writable()
+        # Guard-property carry-forward (round-6 review): the snapshot
+        # procedure records gc.enabled=false / snapshot.adopted-by on the
+        # source through a FRESH handle; a caller-held stale handle's
+        # next commit dumps its own _meta wholesale and would silently
+        # erase the guard — re-enabling the GC the guard exists to block.
+        # A guard key present on disk but absent in memory is therefore
+        # re-adopted before the write; a key present in memory (e.g. an
+        # explicit gc.enabled=true re-enable) always wins.
+        try:
+            with open(os.path.join(self.root, "metadata.json")) as f:
+                disk_props = json.load(f).get("properties", {})
+            for k in ("gc.enabled", "snapshot.adopted-by"):
+                if k in disk_props and k not in self._meta["properties"]:
+                    self._meta["properties"][k] = disk_props[k]
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass  # initial create: nothing on disk yet
         ver = int(self._meta.get("last_metadata_version", 0)) + 1
         self._meta["last_metadata_version"] = ver
         tmp = os.path.join(self.root, "metadata.json.tmp")

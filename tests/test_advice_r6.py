@@ -121,6 +121,47 @@ def test_snapshot_source_expiry_refused_until_gc_reenabled(catalog):
     assert sorted(r.id for r in src.scan().collect()) == [1, 2, 3, 4]
 
 
+def test_stale_handle_commit_cannot_erase_gc_guard(catalog):
+    """Round-6 review: snapshot_table records the guard through a FRESH
+    handle; a caller-held stale handle's next commit dumps its own _meta
+    wholesale and would silently erase gc.enabled — _write_meta now
+    re-adopts guard keys present on disk but absent in memory."""
+    src = _mk(catalog, "stale")  # held across the snapshot call
+    catalog.snapshot_table("adv", "stale", "adv", "staledst")
+    # the stale handle commits: its in-memory _meta predates the guard
+    src.insert_values([(3, "c")])
+    reloaded = catalog.load_table("adv", "stale")
+    assert reloaded.properties.get("gc.enabled") == "false", (
+        "stale-handle commit erased the gc guard"
+    )
+    assert reloaded.properties.get("snapshot.adopted-by") == "adv.staledst"
+    with pytest.raises(TableError, match="gc.enabled"):
+        reloaded.expire_snapshots(older_than=datetime.datetime(2030, 1, 1))
+    # an EXPLICIT re-enable still wins over the carry-forward
+    reloaded.set_properties({"gc.enabled": "true"})
+    assert (
+        catalog.load_table("adv", "stale").properties["gc.enabled"] == "true"
+    )
+
+
+def test_drop_table_refused_on_adopted_source(catalog):
+    """Round-6 review: DROP deletes the source root wholesale (PURGE
+    semantics) — the most destructive path onto adopted files; it must
+    refuse under the gc guard exactly like expire/orphan-GC, and work
+    again after an explicit re-enable."""
+    _mk(catalog, "dropsrc")
+    dst = catalog.snapshot_table("adv", "dropsrc", "adv", "dropdst")
+    with pytest.raises(TableError, match="cannot drop"):
+        catalog.drop_table("adv", "dropsrc")
+    # snapshot table still reads its adopted files
+    assert sorted(r.id for r in dst.scan().collect()) == [1, 2]
+    # dropping the SNAPSHOT table is fine (its guard-free by design)
+    assert catalog.drop_table("adv", "dropdst")
+    src = catalog.load_table("adv", "dropsrc")
+    src.set_properties({"gc.enabled": "true"})
+    assert catalog.drop_table("adv", "dropsrc")
+
+
 def test_second_snapshot_appends_to_adopted_by(catalog):
     _mk(catalog, "multi")
     catalog.snapshot_table("adv", "multi", "adv", "d1")
