@@ -51,7 +51,10 @@ def _norm_round(col, nrm):
     return F.transform(col, lambda x: F.round(x / nrm, _ROUND_V))
 
 
-_SEMDEDUP_ORACLE = f"""
+#: The deterministic-clustering CTE prefix shared by every oracle in
+#: this module: normalize+round, seed from the k smallest vec_ids, one
+#: Lloyd iteration, reassign — mirrors _cluster_assignments() below.
+_ASSIGN_CTES = f"""
     WITH e AS (
         SELECT vec_id,
                list_transform(
@@ -99,7 +102,11 @@ _SEMDEDUP_ORACLE = f"""
                 ORDER BY list_dot_product(e.v, s.cv) DESC, s.c
                 LIMIT 1) AS c
         FROM e
-    ),
+    )
+"""
+
+_SEMDEDUP_ORACLE = f"""
+    {_ASSIGN_CTES},
     dups AS (
         SELECT DISTINCT a.c, b.vec_id AS vb
         FROM assign1 a JOIN assign1 b
@@ -117,29 +124,16 @@ _SEMDEDUP_ORACLE = f"""
 """
 
 
-@declare(
-    "n113_semdedup_cluster_prune",
-    oracle=_SEMDEDUP_ORACLE,
-    tags=("ext", "dedup", "embeddings", "semdedup"),
-)
-def n113_semdedup_cluster_prune(
+def _cluster_assignments(
     spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """SemDeDup: k-means cluster the embeddings (seeded from the k
-    smallest vec_ids + one Lloyd iteration, fully deterministic), then
-    drop within-cluster near-duplicates (cosine >= tau keeps the
-    lower vec_id). Output: per-cluster membership / dup / survivor
-    accounting — no float columns, so the hash gate pins the CLUSTER
-    ASSIGNMENTS and the prune decisions, not just aggregate shapes.
-
-    Scale: assignment is map-only against k broadcast-literal centroids
-    (zero shuffle); the Lloyd update shuffles k*d bounded partial
-    aggregates; the pairwise step is confined within clusters —
-    O(sum c_i^2), the SemDeDup design point — and would run per-cluster
-    GEMM via applyInPandas at corpus scale (n2e's machinery) with k
-    grown ~n/1000 to bound cluster size; here the within-cluster join
-    stays in whole-stage codegen for the bit-identical-oracle guarantee.
-    """
+) -> DataFrame | None:
+    """The deterministic clustering shared by n113/n114: normalize+round
+    the embeddings, seed k centroids from the k smallest vec_ids, one
+    Lloyd iteration, reassign. Returns the PERSISTED (vec_id, v, c)
+    frame (every consumer references it from multiple join branches —
+    the n2b lesson: without persist the normalization + 2k-dot
+    assignment lineage re-executes per branch), or None on an empty
+    corpus. Mirrors the _ASSIGN_CTES oracle prefix exactly."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
@@ -157,13 +151,7 @@ def n113_semdedup_cluster_prune(
         for i, r in enumerate(normed.orderBy("vec_id").limit(_K).collect())
     ]
     if not seeds:
-        # empty corpus: the oracle returns an empty result set; crashing
-        # on seeds[0] would disagree with it (review finding)
-        return spark.createDataFrame(
-            [],
-            "cluster int, n_docs bigint, n_dups bigint, "
-            "n_survivors bigint, min_survivor bigint",
-        )
+        return None
 
     def assign(df: DataFrame, cents) -> DataFrame:
         """Label each vector with the ORIGINAL cluster id of its nearest
@@ -209,10 +197,41 @@ def n113_semdedup_cluster_prune(
             nrm += x * x
         nrm = nrm ** 0.5
         cents.append((r.c, [round(x / nrm, _ROUND_V) for x in r.cv0]))
-    # persisted: referenced by the pair join's BOTH sides and the final
-    # accounting join — without it the normalization + 2*k dot-product
-    # assignment lineage re-executes three times (the n2b lesson)
-    a1 = assign(normed, cents).select("vec_id", "v", "c").persist()
+    return assign(normed, cents).select("vec_id", "v", "c").persist()
+
+
+@declare(
+    "n113_semdedup_cluster_prune",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("ext", "dedup", "embeddings", "semdedup"),
+)
+def n113_semdedup_cluster_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup: k-means cluster the embeddings (seeded from the k
+    smallest vec_ids + one Lloyd iteration, fully deterministic), then
+    drop within-cluster near-duplicates (cosine >= tau keeps the
+    lower vec_id). Output: per-cluster membership / dup / survivor
+    accounting — no float columns, so the hash gate pins the CLUSTER
+    ASSIGNMENTS and the prune decisions, not just aggregate shapes.
+
+    Scale: assignment is map-only against k broadcast-literal centroids
+    (zero shuffle); the Lloyd update shuffles k*d bounded partial
+    aggregates; the pairwise step is confined within clusters —
+    O(sum c_i^2), the SemDeDup design point — and would run per-cluster
+    GEMM via applyInPandas at corpus scale (n2e's machinery) with k
+    grown ~n/1000 to bound cluster size; here the within-cluster join
+    stays in whole-stage codegen for the bit-identical-oracle guarantee.
+    """
+    a1 = _cluster_assignments(spark, sf_dir)
+    if a1 is None:
+        # empty corpus: the oracle returns an empty result set; crashing
+        # on seeds[0] would disagree with it (review finding)
+        return spark.createDataFrame(
+            [],
+            "cluster int, n_docs bigint, n_dups bigint, "
+            "n_survivors bigint, min_survivor bigint",
+        )
 
     # within-cluster prune: pair (a, b) with cos >= tau drops the higher
     # vec_id; pairwise work is confined to each cluster
@@ -247,4 +266,158 @@ def n113_semdedup_cluster_prune(
             ).alias("min_survivor"),
         )
         .orderBy("cluster")
+    )
+
+
+# --------------------------------------------------------------- n114
+
+_TEST_CUT = "33"  # md5 first-2-hex < '33' => test (~20%), the n11/n12 idiom
+
+_LEAKAGE_ORACLE = f"""
+    {_ASSIGN_CTES},
+    pairs AS (
+        SELECT a.c, a.vec_id AS va, b.vec_id AS vb
+        FROM assign1 a JOIN assign1 b
+          ON a.c = b.c AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) >= {_TAU}
+    ),
+    reps AS (SELECT c, min(vec_id) AS rep FROM assign1 GROUP BY c),
+    marked AS (
+        SELECT a.vec_id, a.c,
+               substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 2)
+                   < '{_TEST_CUT}' AS t_id,
+               substr(md5(CAST(r.rep AS VARCHAR)), 1, 2)
+                   < '{_TEST_CUT}' AS t_cl
+        FROM assign1 a JOIN reps r USING (c)
+    ),
+    crossed AS (
+        SELECT
+            sum(CASE WHEN x.t_id <> y.t_id THEN 1 ELSE 0 END) AS x_id,
+            sum(CASE WHEN x.t_cl <> y.t_cl THEN 1 ELSE 0 END) AS x_cl,
+            count(*) AS n_pairs
+        FROM pairs p
+        JOIN marked x ON p.va = x.vec_id
+        JOIN marked y ON p.vb = y.vec_id
+    )
+    SELECT 'by_cluster' AS strategy,
+           CAST(sum(CASE WHEN NOT t_cl THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+           CAST(sum(CASE WHEN t_cl THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(coalesce(any_value(c2.n_pairs), 0) AS BIGINT)
+               AS neardup_pairs,
+           CAST(coalesce(any_value(c2.x_cl), 0) AS BIGINT)
+               AS cross_split_pairs
+    FROM marked LEFT JOIN crossed c2 ON true GROUP BY 1
+    UNION ALL
+    SELECT 'by_id',
+           CAST(sum(CASE WHEN NOT t_id THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN t_id THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(coalesce(any_value(c2.n_pairs), 0) AS BIGINT),
+           CAST(coalesce(any_value(c2.x_id), 0) AS BIGINT)
+    FROM marked LEFT JOIN crossed c2 ON true GROUP BY 1
+    ORDER BY strategy
+"""
+
+
+@declare(
+    "n114_cluster_leakage_safe_split",
+    oracle=_LEAKAGE_ORACLE,
+    tags=("ext", "sampling", "embeddings", "semdedup"),
+)
+def n114_cluster_leakage_safe_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-safe train/test split: assigning SPLITS BY CLUSTER (every
+    doc follows its cluster representative's md5 bucket) keeps near-
+    duplicates on one side of the split, where the naive by-id hash
+    split scatters them — the classic eval-contamination source the
+    dedup literature warns about. The query measures exactly that: both
+    strategies' train/test sizes plus how many within-cluster near-dup
+    pairs (cosine >= tau) END UP CROSSING the split under each. By
+    construction by_cluster's count is 0 — the oracle proves the
+    structural guarantee rather than assuming it; by_id's nonzero count
+    is the leakage being bought.
+
+    Scale: rides n113's clustering (map-only assignment, bounded Lloyd
+    shuffle); the split is a pure projection off the md5 of the cluster
+    representative (broadcast O(k) frame), so membership is stable
+    across engines, re-runs, and cluster sizes — the n11/n12 property.
+    Cross-CLUSTER near-dups are n113's documented residual; growing k
+    (or agglomerating adjacent cells) tightens it.
+    """
+    a1 = _cluster_assignments(spark, sf_dir)
+    if a1 is None:
+        return spark.createDataFrame(
+            [],
+            "strategy string, n_train bigint, n_test bigint, "
+            "neardup_pairs bigint, cross_split_pairs bigint",
+        )
+    reps = a1.groupBy("c").agg(F.min("vec_id").alias("rep"))
+    is_test = lambda col: F.substring(F.md5(col.cast("string")), 1, 2) < _TEST_CUT
+    marked = (
+        a1.join(F.broadcast(reps), "c")
+        .select(
+            "vec_id",
+            "v",
+            "c",
+            is_test(F.col("vec_id")).alias("t_id"),
+            is_test(F.col("rep")).alias("t_cl"),
+        )
+        .persist()
+    )
+    left = marked.select(
+        "c",
+        F.col("vec_id").alias("va"),
+        F.col("v").alias("xa"),
+        F.col("t_id").alias("ta_id"),
+        F.col("t_cl").alias("ta_cl"),
+    )
+    right = marked.select(
+        "c",
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("xb"),
+        F.col("t_id").alias("tb_id"),
+        F.col("t_cl").alias("tb_cl"),
+    )
+    pair_stats = (
+        left.join(right, "c")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(_dot(F.col("xa"), F.col("xb")) >= F.lit(_TAU))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("ta_id") != F.col("tb_id")).cast("long")
+            ).alias("x_id"),
+            F.sum(
+                (F.col("ta_cl") != F.col("tb_cl")).cast("long")
+            ).alias("x_cl"),
+        )
+        .select(
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("x_id", F.lit(0)).alias("x_id"),
+            F.coalesce("x_cl", F.lit(0)).alias("x_cl"),
+        )
+    )
+
+    def side(strategy: str, flag: str, cross_col: str) -> DataFrame:
+        return (
+            marked.groupBy(F.lit(strategy).alias("strategy"))
+            .agg(
+                F.sum((~F.col(flag)).cast("long")).alias("n_train"),
+                F.sum(F.col(flag).cast("long")).alias("n_test"),
+            )
+            .crossJoin(F.broadcast(pair_stats))  # 1x1 scalar attach
+            .select(
+                "strategy",
+                "n_train",
+                "n_test",
+                F.col("n_pairs").alias("neardup_pairs"),
+                F.col(cross_col).alias("cross_split_pairs"),
+            )
+        )
+
+    return (
+        side("by_cluster", "t_cl", "x_cl")
+        .unionByName(side("by_id", "t_id", "x_id"))
+        .orderBy("strategy")
     )
