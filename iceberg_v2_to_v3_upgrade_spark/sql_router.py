@@ -417,14 +417,25 @@ class EngineSQL:
 
     def _register_views(self) -> None:
         """(Re-)materialize session views as temp views in creation order,
-        so each SELECT sees the current table state through them."""
+        so each SELECT sees the current table state through them. Views
+        run with INVOKER rights: each registration goes through _select
+        under the CURRENT principal, so the reading principal's grants,
+        filters, and masks apply to the view's base tables."""
         if self._registering_views:
             return
         self._registering_views = True
+        self._view_register_denied = {}
         try:
             for name, vsql in self._views.items():
                 try:
                     self._select(vsql).df.createOrReplaceTempView(name)
+                except PermissionDenied as exc:
+                    # remember WHY (raised later only if the statement
+                    # actually references this view): failing here would
+                    # block unrelated statements, swallowing it entirely
+                    # would turn a deny into a confusing "view not found"
+                    self._view_register_denied[name] = exc
+                    self.spark.catalog.dropTempView(name)
                 except Exception:
                     # a view invalidated by evolution of what it reads
                     # (e.g. its base view was replaced) must not poison
@@ -1190,6 +1201,16 @@ class EngineSQL:
         Spark SQL
         (full Catalyst path)."""
         self._register_views()
+        # A view whose registration was DENIED for this principal must
+        # surface that denial when the statement references it — not a
+        # downstream "view not found"
+        for vname, exc in getattr(self, "_view_register_denied", {}).items():
+            if re.search(
+                rf"\b{re.escape(vname)}\b",
+                re.sub(r"'[^']*'", "''", sql),
+                re.IGNORECASE,
+            ):
+                raise exc
         self.last_scan_pruning = None
         # Changelog views are SparkSession-global temp views carrying RAW
         # old values; the creation-time deny only gates the creator, so

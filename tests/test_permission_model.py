@@ -37,6 +37,40 @@ from iceberg_v2_to_v3_upgrade_spark.tables.permissions import (
     PermissionDenied,
 )
 
+def test_view_read_denial_surfaces_permission_error(spark, tmp_path):
+    """Views run with INVOKER rights: an ungranted principal reading a
+    view over a secured base must get PermissionDenied naming the base
+    table — not a downstream 'view not found' (registration failure is
+    remembered and raised only when the statement references the view),
+    and other statements must not be blocked by the broken view."""
+    catalog = LocalCatalog(spark, str(tmp_path / "wh"))
+    t = catalog.create_table("sec", "t", "k int")
+    t.insert_values([(1,), (2,)])
+    catalog.permissions.enable_enforcement()
+    catalog.permissions.grant_table_permissions("owner", "sec", "t", ["SELECT"])
+    owner = EngineSQL(catalog, principal="owner")
+    owner.execute_one("CREATE VIEW v_top AS SELECT k FROM sec.t WHERE k > 1")
+    reader = EngineSQL(catalog, principal="nobody")
+    reader._views = owner._views  # same gateway session's view registry
+    with pytest.raises(PermissionDenied, match="lacks SELECT on sec.t"):
+        reader.execute_one("SELECT * FROM v_top")
+    # the denied view must not poison statements that don't touch it
+    catalog.create_table("pub", "open", "k int").insert_values([(7,)])
+    catalog.permissions.grant_table_permissions(
+        "nobody", "pub", "open", ["SELECT"]
+    )
+    assert (
+        reader.execute_one("SELECT count(*) AS n FROM pub.open")
+        .df.collect()[0].n == 1
+    )
+    # granting the base unlocks the view for the same principal
+    catalog.permissions.grant_table_permissions("nobody", "sec", "t", ["SELECT"])
+    assert (
+        reader.execute_one("SELECT count(*) AS n FROM v_top")
+        .df.collect()[0].n == 1
+    )
+
+
 PRINCIPALS = ("u1", "u2")
 #: (SQL predicate, python evaluator) — filters reference raw values
 PREDS = [
