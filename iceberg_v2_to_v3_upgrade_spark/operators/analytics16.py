@@ -250,7 +250,7 @@ def n113_semdedup_cluster_prune(
         .select(F.col("c").alias("dc"), F.col("vb").alias("dvb"))
         .distinct()
     )
-    return (
+    out = (
         a1.join(
             dups,
             (F.col("c") == F.col("dc")) & (F.col("vec_id") == F.col("dvb")),
@@ -267,6 +267,12 @@ def n113_semdedup_cluster_prune(
         )
         .orderBy("cluster")
     )
+    # materialize the <= k output rows, then release the cached corpus —
+    # long sweep sessions run hundreds of queries and a leaked persist
+    # pins executor storage until LRU thrash (the dedup.py convention)
+    rows = out.collect()
+    a1.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 # --------------------------------------------------------------- n114
@@ -354,6 +360,9 @@ def n114_cluster_leakage_safe_split(
         )
     reps = a1.groupBy("c").agg(F.min("vec_id").alias("rep"))
     is_test = lambda col: F.substring(F.md5(col.cast("string")), 1, 2) < _TEST_CUT
+    # marked supersedes a1 as the shared frame (pair join both sides +
+    # both per-strategy aggregates); a1's cache is released after the
+    # final bounded collect below
     marked = (
         a1.join(F.broadcast(reps), "c")
         .select(
@@ -416,8 +425,14 @@ def n114_cluster_leakage_safe_split(
             )
         )
 
-    return (
+    out = (
         side("by_cluster", "t_cl", "x_cl")
         .unionByName(side("by_id", "t_id", "x_id"))
         .orderBy("strategy")
     )
+    # materialize the 2 output rows, then release both cached corpora
+    # (leaked persists accumulate across a 300-query sweep session)
+    rows = out.collect()
+    marked.unpersist()
+    a1.unpersist()
+    return spark.createDataFrame(rows, out.schema)

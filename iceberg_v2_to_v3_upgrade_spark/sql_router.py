@@ -92,7 +92,6 @@ class EngineSQL:
         # session-level views: name -> defining SELECT, re-resolved against
         # the live table state on every use (a view over a table must see
         # later DML, so we can't pin the DataFrame at CREATE VIEW time)
-        self._views: dict[str, str] = {}
         self._registering_views = False
         # observability: {db.t: pruning-info} for the LAST _select only;
         # None when the last statement pruned nothing (reset per-select so
@@ -176,11 +175,19 @@ class EngineSQL:
             ),
         )
 
+    @property
+    def _views(self) -> dict[str, str]:
+        """Warehouse-shared view registry (catalog-persisted): every
+        engine over this warehouse re-registers each view under ITS
+        principal per statement, so views genuinely run with INVOKER
+        rights across engines, not just within one instance."""
+        return self.catalog.views
+
     def _create_view(self, sql: str, m: re.Match) -> StatementResult:
         name, select = m.group("view"), m.group("select")
         if name in self._views and not m.group("replace"):
             raise TableError(f"view {name} already exists")
-        self._views[name] = select
+        self.catalog.register_view(name, select)
         return StatementResult(sql, "create_view", message=f"view {name}")
 
     def _drop_view(self, sql: str, m: re.Match) -> StatementResult:
@@ -191,7 +198,7 @@ class EngineSQL:
             and not m.group("ifex")
         ):
             raise TableError(f"view {name} not found")
-        self._views.pop(name, None)
+        self.catalog.unregister_view(name)
         self.spark.catalog.dropTempView(name)
         # a changelog-view registration must die with the view, or its
         # persisted (db, table) gate keeps firing on any future statement
@@ -1203,10 +1210,14 @@ class EngineSQL:
         self._register_views()
         # A view whose registration was DENIED for this principal must
         # surface that denial when the statement references it — not a
-        # downstream "view not found"
+        # downstream "view not found". Matched only in FROM/JOIN/comma
+        # relation position: a bare word-boundary match would hard-deny a
+        # statement that merely ALIASES a column to the denied view's
+        # name (review finding); a reference shape this regex misses
+        # still fails safe as "view not found".
         for vname, exc in getattr(self, "_view_register_denied", {}).items():
             if re.search(
-                rf"\b{re.escape(vname)}\b",
+                rf"(\bFROM\b|\bJOIN\b|,)\s*{re.escape(vname)}\b",
                 re.sub(r"'[^']*'", "''", sql),
                 re.IGNORECASE,
             ):

@@ -101,6 +101,63 @@ class LocalCatalog:
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
 
+    # --------------------------------------------------- session views
+
+    @property
+    def _session_views_path(self) -> str:
+        return os.path.join(self.warehouse, "_session_views.json")
+
+    @property
+    def views(self) -> dict[str, str]:
+        """view name -> defining SELECT, in creation order, persisted at
+        the warehouse like changelog_views — views are a per-WAREHOUSE
+        security surface, not a per-engine one: temp views are
+        SparkSession-global, so an EngineSQL instance that does not know
+        a view exists would neither re-register it under the reading
+        principal's grants/filters/masks nor gate it (round-6 review:
+        the per-instance dict let an ungranted principal read a secured
+        view through the creator's stale temp view)."""
+        path = self._session_views_path
+        try:
+            mtime = os.stat(path).st_mtime_ns
+        except FileNotFoundError:
+            self._sv_cache = (None, {})
+            return {}
+        cached = getattr(self, "_sv_cache", None)
+        if cached is not None and cached[0] == mtime:
+            return dict(cached[1])
+        try:
+            with open(path) as f:
+                views = dict(json.load(f))
+        except (FileNotFoundError, json.JSONDecodeError, ValueError):
+            views = {}
+        self._sv_cache = (mtime, views)
+        return dict(views)
+
+    def _write_views(self, views: dict[str, str]) -> None:
+        tmp = self._session_views_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(views, f)
+        os.replace(tmp, self._session_views_path)
+        self._sv_cache = None
+
+    def register_view(self, name: str, select: str) -> None:
+        with self._changelog_views_lock():
+            self._sv_cache = None
+            views = self.views
+            # re-registration keeps the ORIGINAL creation position so
+            # dependent views defined later still register after it
+            views[name] = select
+            self._write_views(views)
+
+    def unregister_view(self, name: str) -> None:
+        with self._changelog_views_lock():
+            self._sv_cache = None
+            views = self.views
+            if name in views:
+                del views[name]
+                self._write_views(views)
+
     def register_changelog_view(self, view: str, db: str, table: str) -> None:
         with self._changelog_views_lock():
             self._clv_cache = None  # re-read under the lock, never stale

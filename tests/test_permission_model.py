@@ -50,8 +50,10 @@ def test_view_read_denial_surfaces_permission_error(spark, tmp_path):
     catalog.permissions.grant_table_permissions("owner", "sec", "t", ["SELECT"])
     owner = EngineSQL(catalog, principal="owner")
     owner.execute_one("CREATE VIEW v_top AS SELECT k FROM sec.t WHERE k > 1")
+    # a SEPARATE engine instance, constructed the normal way: the view
+    # registry is warehouse-shared, so no manual wiring is needed (the
+    # per-instance dict was the round-6 review's INVOKER-rights gap)
     reader = EngineSQL(catalog, principal="nobody")
-    reader._views = owner._views  # same gateway session's view registry
     with pytest.raises(PermissionDenied, match="lacks SELECT on sec.t"):
         reader.execute_one("SELECT * FROM v_top")
     # the denied view must not poison statements that don't touch it
@@ -62,6 +64,12 @@ def test_view_read_denial_surfaces_permission_error(spark, tmp_path):
     assert (
         reader.execute_one("SELECT count(*) AS n FROM pub.open")
         .df.collect()[0].n == 1
+    )
+    # a statement that merely ALIASES a column to the denied view's name
+    # must not trip the denial (FROM/JOIN-position matching only)
+    assert (
+        reader.execute_one("SELECT sum(k) AS v_top FROM pub.open")
+        .df.collect()[0].v_top == 7
     )
     # granting the base unlocks the view for the same principal
     catalog.permissions.grant_table_permissions("nobody", "sec", "t", ["SELECT"])
