@@ -79,6 +79,36 @@ def test_view_read_denial_surfaces_permission_error(spark, tmp_path):
     )
 
 
+def test_time_travel_reads_carry_gate_filter_and_mask(spark, tmp_path):
+    """VERSION AS OF pins an OLD snapshot but must still read through the
+    CURRENT principal's security: the SELECT grant gate, the row filter,
+    and the column mask all apply to the pinned view — otherwise time
+    travel is a trivial bypass of all three."""
+    catalog = LocalCatalog(spark, str(tmp_path / "wh"))
+    t = catalog.create_table("sec", "tt", "k int, s string")
+    t.insert_values([(1, "a"), (2, "b")])
+    v1 = t.current_snapshot().id
+    t.delete_where("k = 1")  # current state hides k=1; the pin shows it
+    catalog.permissions.enable_enforcement()
+    sql = f"SELECT k, s FROM sec.tt VERSION AS OF {v1} ORDER BY k"
+    with pytest.raises(PermissionDenied, match="lacks SELECT"):
+        EngineSQL(catalog, principal="nobody").execute_one(sql)
+    catalog.permissions.grant_table_permissions("u", "sec", "tt", ["SELECT"])
+    u = EngineSQL(catalog, principal="u")
+    assert [(r.k, r.s) for r in u.execute_one(sql).df.collect()] == [
+        (1, "a"), (2, "b"),
+    ]
+    catalog.permissions.set_row_filter("u", "sec", "tt", "k = 2")
+    assert [(r.k, r.s) for r in u.execute_one(sql).df.collect()] == [
+        (2, "b"),
+    ], "row filter not applied to the pinned snapshot"
+    catalog.permissions.drop_row_filter("u", "sec", "tt")
+    catalog.permissions.set_column_mask("u", "sec", "tt", ["s"])
+    assert [(r.k, r.s) for r in u.execute_one(sql).df.collect()] == [
+        (1, None), (2, None),
+    ], "column mask not applied to the pinned snapshot"
+
+
 PRINCIPALS = ("u1", "u2")
 #: (SQL predicate, python evaluator) — filters reference raw values
 PREDS = [
