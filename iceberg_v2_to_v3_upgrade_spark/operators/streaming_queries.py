@@ -39,14 +39,22 @@ from iceberg_v2_to_v3_upgrade_spark.streaming.jobs import (
     user_running_totals_stream,
 )
 
-#: One staged landing zone per (sf_dir, n_files) per process — the queries
+#: One staged landing zone per staging recipe per process — the queries
 #: share it; re-staging per bench pass would bill parquet writes to the
-#: streaming operator being measured.
-_STAGE_CACHE: dict[tuple[str, int], str] = {}
+#: streaming operator being measured. Keys are (sf_dir, table, order_col,
+#: n_files) for _stage_table stages and (sf_dir, tag) for the bespoke
+#: l12/l13 stages.
+_STAGE_CACHE: dict[tuple, str] = {}
 
 #: Per-prefix micro-batch progress (dict-like StreamingQueryProgress rows)
 #: of the most recent _drain — lets queries assert batch structure.
 _LAST_PROGRESS: dict[str, list] = {}
+
+#: Per-prefix name of the most recent memory-sink table — the previous
+#: pass's sink is dropped on the next _drain so repeated bench passes
+#: don't accumulate every drained result on the driver (the sf1 audit
+#: needed a 48g driver purely from leaked sinks).
+_LAST_SINK: dict[str, str] = {}
 
 
 def _stage_table(
@@ -59,10 +67,9 @@ def _stage_table(
     """Stage any fixture table as an n_files landing zone ordered by
     ``order_col`` (see _stage_events for why ordering matters)."""
     import glob
-    import os
     import time
 
-    key = (sf_dir, table, n_files)
+    key = (sf_dir, table, order_col, n_files)
     if key not in _STAGE_CACHE:
         stage = tempfile.mkdtemp(prefix=f"stream_stage_{table}_")
         (
@@ -97,6 +104,21 @@ def _stage_events(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     return _stage_table(spark, sf_dir, "events", "ts", n_files)
 
 
+def _append_stage_file(
+    df: DataFrame, stage: str, mtime: float, seen: set[str]
+) -> None:
+    """Append ``df`` as ONE parquet part file to ``stage`` and pin its
+    mtime (file-source replay order = mtime order). ``seen`` carries the
+    already-staged part files across calls so only the new file is touched."""
+    import glob
+
+    df.coalesce(1).write.mode("append").parquet(stage)
+    new = set(glob.glob(f"{stage}/part-*")) - seen
+    seen |= new
+    for path in new:
+        os.utime(path, (mtime, mtime))
+
+
 def _drain(stream_df: DataFrame, mode: str, prefix: str) -> str:
     """Run a stream to completion into a uniquely-named memory table (fresh
     checkpoint per invocation so availableNow reprocesses from scratch) and
@@ -120,6 +142,9 @@ def _drain(stream_df: DataFrame, mode: str, prefix: str) -> str:
         "update": run_update_to_memory_sink,
     }[mode]
     spark = stream_df.sparkSession
+    stale = _LAST_SINK.pop(prefix, None)
+    if stale is not None:
+        spark.catalog.dropTempView(stale)
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     spark.conf.set(key, os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
@@ -130,6 +155,7 @@ def _drain(stream_df: DataFrame, mode: str, prefix: str) -> str:
         # batching STRUCTURE, not just the result values — a silent
         # file-ordering or trigger change must fail loudly (l13).
         _LAST_PROGRESS[prefix] = list(q.recentProgress or [])
+        _LAST_SINK[prefix] = name
     finally:
         spark.conf.set(key, prev)
     return name
@@ -161,7 +187,7 @@ def l1_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l2_stream_sessionize",
     oracle="""
         WITH ordered AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, event_id, value,
                    -- '>=' matches Spark session_window's HALF-OPEN
                    -- [start, last_ts + gap): an event exactly 30 min after
                    -- the previous one starts a NEW session
@@ -171,8 +197,12 @@ def l1_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN 1 ELSE 0 END AS is_new
             FROM events),
         numbered AS (
+            -- same (ts, event_id) order as the lag above: with equal-ts
+            -- ties an ORDER BY ts alone leaves the running sum's peer
+            -- order unspecified, which could split tied rows across
+            -- session numbers that session_window always merges
             SELECT user_id, ts, value,
-                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS UNBOUNDED PRECEDING) AS session_no
             FROM ordered)
         SELECT user_id, min(ts) AS session_start,
@@ -309,11 +339,9 @@ def l7_stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states as one window over the raw fixture.
 
     This is the reference's INSERT path upgraded to continuous ingestion:
-    exactly-once per batch via the checkpoint, one merge commit per batch
+    idempotent replay per batch via the checkpoint, one merge commit per batch
     (history() shows every applied batch), full DML surface available on
     the landed table afterwards."""
-    import tempfile as _tf
-
     from iceberg_v2_to_v3_upgrade_spark.streaming.ingest import (
         stream_upsert_into_table,
     )
@@ -323,7 +351,7 @@ def l7_stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, stage, max_files_per_trigger=2).select(
         "user_id", "ts", "event_type", "value"
     )
-    catalog = LocalCatalog(spark, _tf.mkdtemp(prefix="l7_wh_"))
+    catalog = LocalCatalog(spark, tempfile.mkdtemp(prefix="l7_wh_"))
     t = catalog.create_table(
         "stream_db",
         "user_latest",
@@ -333,7 +361,7 @@ def l7_stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream,
         t,
         keys=["user_id"],
-        checkpoint_dir=_tf.mkdtemp(prefix="ckpt_l7_"),
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_l7_"),
         order_col="ts",
     )
     assert (
@@ -374,8 +402,6 @@ def l8_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The applied changelog is the table's commit history: up to two
     snapshot commits per batch (delete + merge), time-travelable."""
-    import tempfile as _tf
-
     from iceberg_v2_to_v3_upgrade_spark.streaming.ingest import (
         stream_cdc_into_table,
     )
@@ -390,7 +416,7 @@ def l8_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", "D").otherwise("U"),
         )
     )
-    catalog = LocalCatalog(spark, _tf.mkdtemp(prefix="l8_wh_"))
+    catalog = LocalCatalog(spark, tempfile.mkdtemp(prefix="l8_wh_"))
     t = catalog.create_table(
         "stream_db",
         "user_state",
@@ -400,7 +426,7 @@ def l8_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream,
         t,
         keys=["user_id"],
-        checkpoint_dir=_tf.mkdtemp(prefix="ckpt_l8_"),
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_l8_"),
         op_col="op",
         order_col="ts",
     )
@@ -415,7 +441,12 @@ def l8_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MH_SEEDS = 32  # keep in sync with operators/dedup.py (_MH_SEEDS)
+# single source of truth for the MinHash family geometry — l9's oracle is
+# rendered from the same constant the sig/band helpers use, so they can't
+# drift apart.
+from iceberg_v2_to_v3_upgrade_spark.operators.dedup import (  # noqa: E402
+    _MH_SEEDS,
+)
 
 #: persisted static LSH band index per sf_dir (l9) — built once, read by
 #: every micro-batch's static-side re-plan.
@@ -735,7 +766,6 @@ def l12_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: state is keyed by user_id and evicted by the time
     bound; the sentinel adds O(1) rows regardless of corpus size."""
     import glob
-    import os
     import time as _time
 
     from iceberg_v2_to_v3_upgrade_spark.streaming.jobs import (
@@ -762,18 +792,16 @@ def l12_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         seen = set(real_parts)
         for j, i in enumerate((1, 2)):
             sent_ts = max_ts + _dt.timedelta(days=3, hours=i)
-            spark.createDataFrame(
+            sentinel = spark.createDataFrame(
                 [
                     (-100 - i, sent_ts, -1, "click", 0.0, "{}"),
                     (-200 - i, sent_ts, -1, "purchase", 0.0, "{}"),
                 ],
                 "event_id bigint, ts timestamp, user_id bigint, "
                 "event_type string, value double, props string",
-            ).coalesce(1).write.mode("append").parquet(stage)
-            new = set(glob.glob(f"{stage}/part-*")) - seen
-            seen |= new
-            for path in new:  # one file; replay strictly after the bulk
-                os.utime(path, (base + 100 + j, base + 100 + j))
+            )
+            # one file each; replay strictly after the bulk
+            _append_stage_file(sentinel, stage, base + 100 + j, seen)
         _STAGE_CACHE[key] = stage
     stage = _STAGE_CACHE[key]
     stream = read_event_stream(spark, stage, max_files_per_trigger=1)
@@ -843,13 +871,7 @@ def l13_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the state store holds only open windows (bounded by the
     watermark delay x window width); late rows are dropped BEFORE the
     aggregate, so a late-data flood costs scan time, not state."""
-    import glob
-    import os
     import time as _time
-
-    from iceberg_v2_to_v3_upgrade_spark.streaming.jobs import (
-        read_event_stream,
-    )
 
     key = (sf_dir, "l13_late")
     if key not in _STAGE_CACHE:
@@ -886,11 +908,7 @@ def l13_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_base = _time.time() - 3600
         seen: set[str] = set()
         for i, df in enumerate(files):
-            df.coalesce(1).write.mode("append").parquet(stage)
-            new = set(glob.glob(f"{stage}/part-*")) - seen
-            seen |= new
-            for path in new:
-                os.utime(path, (t_base + i, t_base + i))
+            _append_stage_file(df, stage, t_base + i, seen)
         _STAGE_CACHE[key] = stage
     stage = _STAGE_CACHE[key]
     stream = read_event_stream(spark, stage, max_files_per_trigger=1)

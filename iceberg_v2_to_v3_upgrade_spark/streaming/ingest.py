@@ -1,9 +1,17 @@
 """Streaming ingestion into the mutable-table module.
 
 ``foreachBatch`` bridges Structured Streaming and the snapshot-versioned
-LocalTable: each micro-batch commits one append snapshot (exactly-once per
-batch via the checkpoint), after which the table's full DML surface —
-MoR deletes/updates, compaction, time travel — applies to streamed data.
+LocalTable: each micro-batch commits one append snapshot, after which the
+table's full DML surface — MoR deletes/updates, compaction, time travel —
+applies to streamed data.
+
+Delivery semantics: the checkpoint makes each batch apply AT-LEAST-once —
+a batch whose table commit landed but whose offset commit did not is
+re-run on restart. The MERGE/delete paths below replay idempotently
+(same keys -> same final rows, one extra history commit); the blind
+append in ``stream_into_table`` does NOT — a replayed batch duplicates
+its rows, the standard foreachBatch caveat (dedup on batch_id downstream
+if exact-once matters).
 
 This is the streaming counterpart of the reference's INSERT path: a
 continuously appended Iceberg table instead of a one-shot VALUES batch.
@@ -53,10 +61,10 @@ def stream_upsert_into_table(
     within-batch winner per key (last-writer-wins by that column), so a
     batch carrying several versions of one key applies cleanly.
 
-    This is the standard streaming-CDC landing pattern: exactly-once per
-    batch via the checkpoint, and the table keeps exactly one row per key
-    with full snapshot history (one merge commit per batch — time travel
-    shows every applied batch).
+    This is the standard streaming-CDC landing pattern: idempotent-replay
+    per batch via the checkpoint (see module docstring), and the table
+    keeps exactly one row per key with full snapshot history (one merge
+    commit per batch — time travel shows every applied batch).
     """
     from pyspark.sql import Window, functions as F
 
@@ -69,11 +77,18 @@ def stream_upsert_into_table(
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-        if b.isEmpty():
-            return
-        table.merge_into(
-            b, keys, when_matched="update", when_not_matched="insert"
-        )
+        # the dedup'd batch is read by isEmpty AND several times inside
+        # merge_into (matched join + not-matched anti-join + the write) —
+        # persist so the window dedup runs once, not per consumer
+        b = b.persist()
+        try:
+            if b.isEmpty():
+                return
+            table.merge_into(
+                b, keys, when_matched="update", when_not_matched="insert"
+            )
+        finally:
+            b.unpersist()
 
     writer = (
         stream_df.writeStream.foreachBatch(_merge_batch)
@@ -116,14 +131,20 @@ def stream_cdc_into_table(
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-        dels = b.filter(F.col(op_col) == "D").select(*keys)
-        ups = b.filter(F.col(op_col) != "D").drop(op_col)
-        if not dels.isEmpty():
-            table.delete_by_keys(dels, keys)
-        if not ups.isEmpty():
-            table.merge_into(
-                ups, keys, when_matched="update", when_not_matched="insert"
-            )
+        # b feeds four consumers (two isEmpty probes, the delete-file
+        # write, the merge join) — persist so the window dedup runs once
+        b = b.persist()
+        try:
+            dels = b.filter(F.col(op_col) == "D").select(*keys)
+            ups = b.filter(F.col(op_col) != "D").drop(op_col)
+            if not dels.isEmpty():
+                table.delete_by_keys(dels, keys)
+            if not ups.isEmpty():
+                table.merge_into(
+                    ups, keys, when_matched="update", when_not_matched="insert"
+                )
+        finally:
+            b.unpersist()
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply_batch)

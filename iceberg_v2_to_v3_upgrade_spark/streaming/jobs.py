@@ -203,20 +203,28 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory_sink(
-    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+def _run_memory_sink(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str, mode: str
 ):
-    """Drain a stream with availableNow into an in-memory table (tests)."""
+    """Drain a stream with availableNow into an in-memory table under the
+    given output mode; returns the terminated StreamingQuery."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return q
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+):
+    """Drain a stream with availableNow into an in-memory table (tests)."""
+    return _run_memory_sink(stream_df, query_name, checkpoint_dir, "complete")
 
 
 def run_append_to_memory_sink(
@@ -224,31 +232,13 @@ def run_append_to_memory_sink(
 ):
     """Append mode: only FINALIZED windows (watermark passed) are emitted —
     the mode where late-data dropping is observable."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    return _run_memory_sink(stream_df, query_name, checkpoint_dir, "append")
 
 
 def run_update_to_memory_sink(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
 ):
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    return _run_memory_sink(stream_df, query_name, checkpoint_dir, "update")
 
 
 def enrich_with_segment(
