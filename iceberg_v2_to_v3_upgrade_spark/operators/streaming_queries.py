@@ -323,7 +323,7 @@ def l5_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH latest AS (
             SELECT user_id, ts, value, event_type,
                    row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts DESC) AS rk
+                                      ORDER BY ts DESC, event_id DESC) AS rk
             FROM events)
         SELECT user_id, event_type AS last_event_type, value AS last_value
         FROM latest WHERE rk = 1 ORDER BY user_id
@@ -348,8 +348,13 @@ def l7_stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
 
     stage = _stage_events(spark, sf_dir)
+    # event_id rides along ONLY as the last-writer tie-break: equal
+    # (user_id, ts) rows would otherwise be won arbitrarily by both the
+    # engine and the oracle — agreeing only by luck (equal-ts rows can
+    # never straddle batches: repartitionByRange puts equal keys in one
+    # staged file, and a file is atomic to a micro-batch)
     stream = read_event_stream(spark, stage, max_files_per_trigger=2).select(
-        "user_id", "ts", "event_type", "value"
+        "user_id", "ts", "event_type", "value", "event_id"
     )
     catalog = LocalCatalog(spark, tempfile.mkdtemp(prefix="l7_wh_"))
     t = catalog.create_table(
@@ -362,7 +367,8 @@ def l7_stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         t,
         keys=["user_id"],
         checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_l7_"),
-        order_col="ts",
+        order_col=["ts", "event_id"],
+        drop_after_dedup=["event_id"],
     )
     assert (
         t.history().count() >= 2
@@ -384,7 +390,7 @@ def l7_stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH latest AS (
             SELECT user_id, ts, value, event_type,
                    row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts DESC) AS rk
+                                      ORDER BY ts DESC, event_id DESC) AS rk
             FROM events)
         SELECT user_id, event_type AS last_event_type, value AS last_value
         FROM latest WHERE rk = 1 AND event_type <> 'purchase'
@@ -408,9 +414,10 @@ def l8_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
 
     stage = _stage_events(spark, sf_dir)
+    # event_id = deterministic last-writer tie-break (see l7)
     stream = (
         read_event_stream(spark, stage, max_files_per_trigger=2)
-        .select("user_id", "ts", "event_type", "value")
+        .select("user_id", "ts", "event_type", "value", "event_id")
         .withColumn(
             "op",
             F.when(F.col("event_type") == "purchase", "D").otherwise("U"),
@@ -428,7 +435,8 @@ def l8_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
         checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_l8_"),
         op_col="op",
-        order_col="ts",
+        order_col=["ts", "event_id"],
+        drop_after_dedup=["event_id"],
     )
     return (
         t.scan()

@@ -48,35 +48,57 @@ def stream_into_table(
     return query
 
 
+def _dedup_last_writer(
+    b: DataFrame,
+    keys: list[str],
+    order_col: str | list[str] | None,
+    drop_after_dedup: list[str] | None,
+) -> DataFrame:
+    """Keep the last writer per key. ``order_col`` may be a LIST so a
+    unique tie-break column (e.g. event_id) can make the winner
+    deterministic under equal timestamps — without it both the engine's
+    row_number and any oracle's rk=1 pick an ARBITRARY row and the two
+    can disagree (latent round-6 review finding). ``drop_after_dedup``
+    removes tie-break columns the target table schema doesn't carry."""
+    from pyspark.sql import Window, functions as F
+
+    if order_col is not None:
+        cols = [order_col] if isinstance(order_col, str) else list(order_col)
+        w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in cols])
+        b = (
+            b.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    for c in drop_after_dedup or []:
+        b = b.drop(c)
+    return b
+
+
 def stream_upsert_into_table(
     stream_df: DataFrame,
     table: LocalTable,
     keys: list[str],
     checkpoint_dir: str,
-    order_col: str | None = None,
+    order_col: str | list[str] | None = None,
     available_now: bool = True,
+    drop_after_dedup: list[str] | None = None,
 ):
     """Streaming upsert (CDC-apply): each micro-batch MERGEs into the
     table — matched keys update, new keys insert. ``order_col`` picks the
-    within-batch winner per key (last-writer-wins by that column), so a
-    batch carrying several versions of one key applies cleanly.
+    within-batch winner per key (last-writer-wins by that column or
+    column list — pass a unique tie-break column for determinism under
+    equal timestamps), so a batch carrying several versions of one key
+    applies cleanly.
 
     This is the standard streaming-CDC landing pattern: idempotent-replay
     per batch via the checkpoint (see module docstring), and the table
     keeps exactly one row per key with full snapshot history (one merge
     commit per batch — time travel shows every applied batch).
     """
-    from pyspark.sql import Window, functions as F
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df
-        if order_col is not None:
-            w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
-            b = (
-                b.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+        b = _dedup_last_writer(batch_df, keys, order_col, drop_after_dedup)
         # the dedup'd batch is read by isEmpty AND several times inside
         # merge_into (matched join + not-matched anti-join + the write) —
         # persist so the window dedup runs once, not per consumer
@@ -108,29 +130,24 @@ def stream_cdc_into_table(
     keys: list[str],
     checkpoint_dir: str,
     op_col: str = "op",
-    order_col: str | None = None,
+    order_col: str | list[str] | None = None,
     available_now: bool = True,
+    drop_after_dedup: list[str] | None = None,
 ):
     """Full CDC apply: the stream carries an op column ('I'nsert /
     'U'pdate / 'D'elete, debezium-style). Per micro-batch, the LAST op
-    per key wins (by ``order_col``); deletes land as EQUALITY delete
-    files (no table scan — the O(1)-write flavor built for exactly this),
-    upserts as one MERGE.
+    per key wins (by ``order_col`` — a column or column list; pass a
+    unique tie-break column for determinism under equal timestamps);
+    deletes land as EQUALITY delete files (no table scan — the
+    O(1)-write flavor built for exactly this), upserts as one MERGE.
 
     Two commits per batch worst-case (delete + merge), each snapshot-
     versioned — the table's history is the applied changelog.
     """
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
 
     def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df
-        if order_col is not None:
-            w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
-            b = (
-                b.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+        b = _dedup_last_writer(batch_df, keys, order_col, drop_after_dedup)
         # b feeds four consumers (two isEmpty probes, the delete-file
         # write, the merge join) — persist so the window dedup runs once
         b = b.persist()

@@ -295,3 +295,31 @@ def test_stream_upsert_checkpoint_resume_is_exactly_once(spark, tmp_path):
     run()  # same checkpoint, no new input: must be a no-op
     assert t.history().count() == commits_after_first
     assert sorted(map(tuple, t.scan().collect())) == rows_after_first
+
+
+def test_last_writer_tiebreak_is_deterministic_under_equal_ts(spark):
+    """Round-6 review latent finding: with only ts in the last-writer
+    window, equal (key, ts) rows are won ARBITRARILY by both the engine
+    and any oracle — order_col now accepts a column list so a unique
+    tie-break (event_id) makes the winner deterministic, and the
+    tie-break column is dropped before the merge."""
+    from iceberg_v2_to_v3_upgrade_spark.streaming.ingest import (
+        _dedup_last_writer,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (1, "2026-01-01 00:00:00", "a", 10),
+            (1, "2026-01-01 00:00:00", "b", 11),  # same ts, higher id
+            (1, "2025-12-31 23:00:00", "c", 99),  # older ts, highest id
+            (2, "2026-01-01 00:00:00", "d", 5),
+        ],
+        "user_id int, ts string, v string, event_id int",
+    )
+    out = _dedup_last_writer(
+        batch, ["user_id"], ["ts", "event_id"], ["event_id"]
+    )
+    rows = {r.user_id: r.v for r in out.collect()}
+    # ts wins first; event_id breaks the tie; event_id never outranks ts
+    assert rows == {1: "b", 2: "d"}
+    assert "event_id" not in out.columns
