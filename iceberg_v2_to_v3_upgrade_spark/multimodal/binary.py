@@ -132,13 +132,16 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int] | None:
 
 
 def _parse_ppm(payload: bytes) -> tuple[int, int, int] | None:
-    """Parse a real binary PPM (P6): ASCII header 'P6 <w> <h> <maxval>'."""
+    """Parse a real binary PPM (P6): ASCII header 'P6 <w> <h> <maxval>'.
+    '#' comments run to end-of-line and may contain digits, so strip them
+    whole-line rather than token-wise."""
+    import re
+
     if not payload.startswith(b"P6"):
         return None
+    header = re.sub(rb"#[^\n]*", b"", payload[2:64])
     fields: list[int] = []
-    for token in payload[2:64].split():
-        if token.startswith(b"#"):
-            continue
+    for token in header.split():
         if token.isdigit():
             fields.append(int(token))
         if len(fields) == 3:

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from iceberg_v2_to_v3_upgrade_spark.io import load_table
 from iceberg_v2_to_v3_upgrade_spark.registry import declare
+from iceberg_v2_to_v3_upgrade_spark.sources.formats import read_table, write_table
 
 _ROUNDTRIP_ORACLE = """
     WITH sub AS (
@@ -54,13 +55,11 @@ def a7_multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="roundtrip_")
     schema = "l_orderkey bigint, l_linenumber bigint, l_extendedprice double, l_returnflag string"
-    sub.write.mode("overwrite").option("header", True).csv(f"{root}/csv")
-    sub.write.mode("overwrite").json(f"{root}/json")
-    sub.write.mode("overwrite").orc(f"{root}/orc")
+    for fmt in ("csv", "json", "orc"):
+        write_table(sub, f"{root}/{fmt}", fmt=fmt)
     frames = {
-        "csv": spark.read.schema(schema).option("header", True).csv(f"{root}/csv"),
-        "json": spark.read.schema(schema).json(f"{root}/json"),
-        "orc": spark.read.schema(schema).orc(f"{root}/orc"),
+        fmt: read_table(spark, f"{root}/{fmt}", fmt=fmt, schema=schema)
+        for fmt in ("csv", "json", "orc")
     }
     out = None
     for fmt, df in frames.items():
@@ -410,26 +409,49 @@ def a10_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_dir = tempfile.mkdtemp(prefix="py_sink_")
 
     class _Wrote(WriterCommitMessage):
-        def __init__(self, n: int):
+        def __init__(self, n: int, stem: str | None):
             self.n = n
+            self.stem = stem
 
     class _JsonlWriter(DataSourceWriter):
         def __init__(self, options):
             self.path = options["path"]
 
         def write(self, iterator):
+            # Stage-then-publish (same contract as the a11 stream sink):
+            # each ATTEMPT writes a staging file and only commit() renames
+            # it into the readable part- namespace, so a retried or
+            # speculative attempt never leaves a duplicate (or torn) part
+            # file for the read-back to count.
             os.makedirs(self.path, exist_ok=True)
-            fn = os.path.join(
-                self.path, f"part-{uuid.uuid4().hex}.jsonl"
-            )
+            stem = uuid.uuid4().hex
+            tmp = os.path.join(self.path, f".staged-{stem}.jsonl")
             n = 0
-            with open(fn, "w") as f:
+            with open(tmp, "w") as f:
                 for row in iterator:
                     f.write(_json.dumps(row.asDict()) + "\n")
                     n += 1
             if n == 0:
-                os.remove(fn)
-            return _Wrote(n)
+                os.remove(tmp)
+                return _Wrote(0, None)
+            return _Wrote(n, stem)
+
+        def commit(self, messages):
+            for m in messages:
+                if m is not None and m.stem is not None:
+                    os.replace(
+                        os.path.join(self.path, f".staged-{m.stem}.jsonl"),
+                        os.path.join(self.path, f"part-{m.stem}.jsonl"),
+                    )
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and m.stem is not None:
+                    staged = os.path.join(
+                        self.path, f".staged-{m.stem}.jsonl"
+                    )
+                    if os.path.exists(staged):
+                        os.remove(staged)
 
     class _JsonlSink(DataSource):
         @classmethod
@@ -450,7 +472,7 @@ def a10_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).save()
     back = spark.read.schema(
         "o_orderkey long, o_orderpriority string, o_totalprice double"
-    ).json(f"{sink_dir}/*.jsonl")
+    ).json(f"{sink_dir}/part-*.jsonl")
     return (
         back.groupBy("o_orderpriority")
         .agg(
