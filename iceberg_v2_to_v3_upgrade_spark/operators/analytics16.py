@@ -20,6 +20,8 @@ output carries no float columns at all.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from iceberg_v2_to_v3_upgrade_spark.io import load_table
@@ -29,6 +31,17 @@ _K = 8  # clusters
 _TAU = 0.35  # within-cluster cosine prune threshold
 _ROUND_V = 6  # normalized-vector rounding (both engines)
 _ROUND_C = 5  # centroid-mean rounding (both engines)
+
+
+def _round_half_up(x: float, n: int) -> float:
+    """Round half AWAY from zero, matching Spark ``F.round`` (BigDecimal
+    HALF_UP) and DuckDB ``round``. Python's builtin ``round`` is
+    banker's (half-to-even), so a component landing exactly on a
+    rounding boundary would diverge engine vs oracle (advisor
+    finding)."""
+    return float(
+        Decimal(x).quantize(Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP)
+    )
 
 
 def _dot(a, b):
@@ -196,7 +209,9 @@ def _cluster_assignments(
         for x in r.cv0:  # sequential fold, same order as both engines
             nrm += x * x
         nrm = nrm ** 0.5
-        cents.append((r.c, [round(x / nrm, _ROUND_V) for x in r.cv0]))
+        cents.append(
+            (r.c, [_round_half_up(x / nrm, _ROUND_V) for x in r.cv0])
+        )
     return assign(normed, cents).select("vec_id", "v", "c").persist()
 
 

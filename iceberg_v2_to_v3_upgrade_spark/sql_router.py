@@ -36,6 +36,52 @@ _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 # `glue_catalog.db.t`, `db.t`, or bare `t` (reference always qualifies)
 _NAME = rf"(?:{_IDENT}\.)?(?P<db>{_IDENT})\.(?P<table>{_IDENT})"
 
+# Registered per-table view-name suffixes: metadata tables plus the
+# time-travel spellings (`db_t_v<snap>`, `db_t_t<digits>`). The SELECT
+# gate may treat `db_t<one of these>` as a reference to table `t`; any
+# OTHER underscore continuation (`db.orders_items`) is a different
+# table, not a spelling of `orders` (advisor finding: the old bare `_`
+# alternative spuriously denied principals granted only the sibling).
+_VIEW_SUFFIX = (
+    r"_(?:snapshots|history|files|partitions|position_deletes"
+    r"|metadata_log_entries|all_data_files|v\d+|t\d+)\b"
+)
+
+
+def _sub_outside_literals(
+    pattern: str, repl: str, s: str, flags: int = 0
+) -> str:
+    """re.sub that skips matches STARTING inside a string literal
+    (single- or double-quoted): the `db.t` -> `db_t` view rewrite must
+    not mangle a literal that happens to contain a table name
+    (`SELECT "migrated from shop.orders" ...`). A match may itself
+    CONTAIN a literal (``VERSION AS OF 'tag'``) — classification is by
+    match start, which for every rewrite pattern sits on the table
+    identifier."""
+    spans = [m.span() for m in re.finditer(r"'[^']*'|\"[^\"]*\"", s)]
+    out: list[str] = []
+    last = 0
+    for m in re.finditer(pattern, s, flags):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        out.append(s[last : m.start()])
+        out.append(repl)
+        last = m.end()
+    out.append(s[last:])
+    return "".join(out)
+
+
+def _blank_literals(sql: str) -> str:
+    """Blank string literals before permission-gate name matching.
+
+    Spark SQL treats BOTH single- and double-quoted text as string
+    literals by default (``spark.sql.ansi.doubleQuotedIdentifiers``
+    off), so a double-quoted literal containing a table or denied-view
+    name must not trigger a spurious deny any more than a
+    single-quoted one (advisor finding).
+    """
+    return re.sub(r"'[^']*'|\"[^\"]*\"", "''", sql)
+
 
 @dataclass
 class StatementResult:
@@ -1218,7 +1264,7 @@ class EngineSQL:
         for vname, exc in getattr(self, "_view_register_denied", {}).items():
             if re.search(
                 rf"(\bFROM\b|\bJOIN\b|,)\s*{re.escape(vname)}\b",
-                re.sub(r"'[^']*'", "''", sql),
+                _blank_literals(sql),
                 re.IGNORECASE,
             ):
                 raise exc
@@ -1228,7 +1274,11 @@ class EngineSQL:
         # re-check the READING principal here (same stance as metadata
         # tables) before the name reaches spark.sql.
         for view, (cdb, ctbl) in self.catalog.changelog_views.items():
-            if not re.search(rf"\b{re.escape(view)}\b", sql, re.IGNORECASE):
+            if not re.search(
+                rf"\b{re.escape(view)}\b",
+                _blank_literals(sql),
+                re.IGNORECASE,
+            ):
                 continue
             self._authorize_table("SELECT", cdb, ctbl)
             self._deny_row_filtered_mutation(cdb, ctbl, "changelog views")
@@ -1260,7 +1310,9 @@ class EngineSQL:
             self._metadata_df(db, tbl, meta.lower()).createOrReplaceTempView(
                 view
             )
-            rewritten = rewritten.replace(tm.group(0), view)
+            rewritten = _sub_outside_literals(
+                re.escape(tm.group(0)) + r"\b", view, rewritten
+            )
         for db in self.catalog.list_databases():
             for info in self.catalog.list_tables(db):
                 name = info["name"]
@@ -1278,13 +1330,19 @@ class EngineSQL:
                 # session-global names anyone can address directly, so
                 # they gate exactly like `db.t` — without this, `SELECT
                 # * FROM sec_t` bypassed the grant the dotted spelling
-                # enforces; (b) the match runs on the statement with
-                # string literals blanked, so a literal that happens to
+                # enforces; only the KNOWN view suffixes count as a
+                # continuation: a bare `_` alternative also matched the
+                # prefix of a sibling table (`db.orders_items` gated
+                # `orders` — advisor finding); (b) the match runs on the
+                # statement with string literals (single- AND
+                # double-quoted) blanked, so a literal that happens to
                 # contain a table name ('migrated from sec.t') is not a
                 # spurious hard deny.
-                gate_sql = re.sub(r"'[^']*'", "''", rewritten)
+                gate_sql = _blank_literals(rewritten)
                 if re.search(
-                    rf"\b{db}[._]{name}(\b|_)", gate_sql, re.IGNORECASE
+                    rf"\b{db}[._]{name}(?:\b|{_VIEW_SUFFIX})",
+                    gate_sql,
+                    re.IGNORECASE,
                 ):
                     self._authorize_table("SELECT", db, name)
                 table = self.catalog.load_table(db, name)
@@ -1305,7 +1363,9 @@ class EngineSQL:
                     self._apply_column_masks(
                         table.scan(snapshot_id=pin), db, name
                     ).createOrReplaceTempView(view)
-                    rewritten = rewritten.replace(tm.group(0), view)
+                    rewritten = _sub_outside_literals(
+                        re.escape(tm.group(0)), view, rewritten
+                    )
                 # time travel: db.t TIMESTAMP AS OF '<iso-instant>' ->
                 # latest snapshot at or before the instant
                 for tm in re.finditer(
@@ -1319,7 +1379,9 @@ class EngineSQL:
                     self._apply_column_masks(
                         table.scan(as_of=ts), db, name
                     ).createOrReplaceTempView(view)
-                    rewritten = rewritten.replace(tm.group(0), view)
+                    rewritten = _sub_outside_literals(
+                        re.escape(tm.group(0)), view, rewritten
+                    )
                 view = f"{db}_{name}"
                 self._apply_column_masks(
                     table.scan(
@@ -1333,7 +1395,7 @@ class EngineSQL:
                     self.last_scan_pruning = {
                         f"{db}.{name}": table.last_scan_pruning
                     }
-                rewritten = re.sub(
+                rewritten = _sub_outside_literals(
                     rf"(?:{_IDENT}\.)?{db}\.{name}\b", view, rewritten
                 )
         return StatementResult(sql, "select", df=self.spark.sql(rewritten))

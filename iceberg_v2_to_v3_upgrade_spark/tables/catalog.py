@@ -57,20 +57,25 @@ class LocalCatalog:
         os.replace, same pattern as table metadata), so corruption only
         means an out-of-band writer died mid-write."""
         path = self._changelog_views_path
+        # open-then-fstat (not stat-then-open): the cache key must
+        # describe the bytes actually read — see the `views` property
+        # for the race this closes (round-6 advisor).
         try:
-            mtime = os.stat(path).st_mtime_ns
+            f = open(path)
         except FileNotFoundError:
             self._clv_cache = (None, {})
             return {}
-        cached = getattr(self, "_clv_cache", None)
-        if cached is not None and cached[0] == mtime:
-            return dict(cached[1])
-        try:
-            with open(path) as f:
+        with f:
+            st = os.fstat(f.fileno())
+            key = (st.st_ino, st.st_mtime_ns)
+            cached = getattr(self, "_clv_cache", None)
+            if cached is not None and cached[0] == key:
+                return dict(cached[1])
+            try:
                 views = {k: tuple(v) for k, v in json.load(f).items()}
-        except (FileNotFoundError, json.JSONDecodeError, ValueError):
-            views = {}
-        self._clv_cache = (mtime, views)
+            except (json.JSONDecodeError, ValueError):
+                views = {}
+        self._clv_cache = (key, views)
         return dict(views)
 
     def _write_changelog_views(
@@ -83,16 +88,11 @@ class LocalCatalog:
         self._clv_cache = None
 
     @contextmanager
-    def _changelog_views_lock(self):
-        """Advisory flock serializing the register/unregister
-        read-modify-write: two engines over the same warehouse would
-        otherwise lose each other's registrations, and a LOST
-        registration silently disables the row-filter/column-mask
-        re-check gate on that view in _select — a security registry
-        must not drop writes (round-5 advisor). The lock file is
-        separate from the data file so os.replace never invalidates a
-        held lock."""
-        lock_path = self._changelog_views_path + ".lock"
+    def _flock(self, lock_path: str):
+        """Advisory exclusive flock on `lock_path`, serializing a
+        cross-process read-modify-write. The lock file is always
+        separate from the data file it guards so os.replace on the data
+        file never invalidates a held lock."""
         fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
         try:
             fcntl.flock(fd, fcntl.LOCK_EX)
@@ -100,6 +100,15 @@ class LocalCatalog:
         finally:
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
+
+    def _changelog_views_lock(self):
+        """Serialize the changelog-view register/unregister
+        read-modify-write: two engines over the same warehouse would
+        otherwise lose each other's registrations, and a LOST
+        registration silently disables the row-filter/column-mask
+        re-check gate on that view in _select — a security registry
+        must not drop writes (round-5 advisor)."""
+        return self._flock(self._changelog_views_path + ".lock")
 
     # --------------------------------------------------- session views
 
@@ -118,20 +127,28 @@ class LocalCatalog:
         the per-instance dict let an ungranted principal read a secured
         view through the creator's stale temp view)."""
         path = self._session_views_path
+        # Open FIRST and key the cache on the OPEN fd's (inode, mtime):
+        # a stat-then-open pair races with a concurrent os.replace — the
+        # new content would be cached under the old key and a rewrite
+        # landing within mtime granularity would never be detected
+        # (round-6 advisor). fstat on the open fd describes exactly the
+        # bytes json.load will read.
         try:
-            mtime = os.stat(path).st_mtime_ns
+            f = open(path)
         except FileNotFoundError:
             self._sv_cache = (None, {})
             return {}
-        cached = getattr(self, "_sv_cache", None)
-        if cached is not None and cached[0] == mtime:
-            return dict(cached[1])
-        try:
-            with open(path) as f:
+        with f:
+            st = os.fstat(f.fileno())
+            key = (st.st_ino, st.st_mtime_ns)
+            cached = getattr(self, "_sv_cache", None)
+            if cached is not None and cached[0] == key:
+                return dict(cached[1])
+            try:
                 views = dict(json.load(f))
-        except (FileNotFoundError, json.JSONDecodeError, ValueError):
-            views = {}
-        self._sv_cache = (mtime, views)
+            except (json.JSONDecodeError, ValueError):
+                views = {}
+        self._sv_cache = (key, views)
         return dict(views)
 
     def _write_views(self, views: dict[str, str]) -> None:
@@ -350,15 +367,25 @@ class LocalCatalog:
         # SQL); the alternative, NOT recording the dependency, lets the
         # owner's routine GC physically corrupt someone else's table,
         # which is strictly worse.
-        adopted_by = src.properties.get("snapshot.adopted-by", "")
-        deps = [d for d in adopted_by.split(",") if d]
-        deps.append(f"{dst_db}.{dst_table}")
-        src.set_properties(
-            {
-                "gc.enabled": "false",
-                "snapshot.adopted-by": ",".join(sorted(set(deps))),
-            }
-        )
+        # The adopted-by update is a read-modify-write on the SOURCE's
+        # properties: two concurrent snapshot_table calls over the same
+        # source would each read the list and each write only its own
+        # dependent, losing the other's entry from the GC-guard hint
+        # (round-6 advisor). Serialize with a per-source flock and
+        # RE-READ the properties under the lock — the `src` handle's
+        # view predates it.
+        src_root = self.table_root(src_db, src_table)
+        with self._flock(os.path.join(src_root, "adopted_by.lock")):
+            src_fresh = self.load_table(src_db, src_table)
+            adopted_by = src_fresh.properties.get("snapshot.adopted-by", "")
+            deps = [d for d in adopted_by.split(",") if d]
+            deps.append(f"{dst_db}.{dst_table}")
+            src_fresh.set_properties(
+                {
+                    "gc.enabled": "false",
+                    "snapshot.adopted-by": ",".join(sorted(set(deps))),
+                }
+            )
         return dst
 
     def get_table_info(self, db: str, table: str) -> dict[str, Any] | None:
