@@ -137,60 +137,54 @@ _SEMDEDUP_ORACLE = f"""
 """
 
 
-def _cluster_assignments(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame | None:
-    """The deterministic clustering shared by n113/n114: normalize+round
-    the embeddings, seed k centroids from the k smallest vec_ids, one
-    Lloyd iteration, reassign. Returns the PERSISTED (vec_id, v, c)
-    frame (every consumer references it from multiple join branches —
-    the n2b lesson: without persist the normalization + 2k-dot
-    assignment lineage re-executes per branch), or None on an empty
-    corpus. Mirrors the _ASSIGN_CTES oracle prefix exactly."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("x")
-    )
-    normed = emb.select(
+def _normalize_embeddings(emb: DataFrame) -> DataFrame:
+    """(vec_id, x: array<double>) -> (vec_id, v) normalized + rounded,
+    mirroring the oracle's ``e`` CTE."""
+    return emb.select(
         "vec_id",
         _norm_round(
             F.col("x"), F.sqrt(_dot(F.col("x"), F.col("x")))
         ).alias("v"),
     )
 
-    # seed centroids: the k smallest vec_ids (k rows to the driver —
-    # bounded by the constant, the sanctioned metadata-sized collect)
+
+def _assign_to_centroids(df: DataFrame, cents) -> DataFrame:
+    """Label each vector with the ORIGINAL cluster id of its nearest
+    centroid. ``cents`` is (label, vector) pairs sorted by label — a
+    cluster emptied by the previous assignment simply has no entry,
+    and labels must NOT collapse to list positions or they diverge
+    from the oracle's (review finding: a seed cluster can empty when
+    two seeds are near-duplicates)."""
+    dots = F.array(
+        *[
+            _dot(F.col("v"), F.array(*[F.lit(x) for x in vec]))
+            for _c, vec in cents
+        ]
+    )
+    labels = F.array(*[F.lit(c) for c, _vec in cents])
+    # first index of the max dot = lowest-label tie-break (cents is
+    # label-sorted), matching the oracle's ORDER BY dot DESC, c
+    return df.withColumn(
+        "c",
+        F.element_at(
+            labels,
+            F.array_position(dots, F.array_max(dots)).cast("int"),
+        ).cast("int"),
+    )
+
+
+def _fit_centroids(normed: DataFrame) -> list[tuple[int, list[float]]] | None:
+    """Deterministic k-means fit (seed from the k smallest vec_ids, one
+    Lloyd iteration) over the given normalized frame. Returns
+    label-sorted (c, vector) pairs, or None on an empty corpus. Only
+    k- and d-bounded collects touch the driver."""
     seeds = [
         (i, r.v)
         for i, r in enumerate(normed.orderBy("vec_id").limit(_K).collect())
     ]
     if not seeds:
         return None
-
-    def assign(df: DataFrame, cents) -> DataFrame:
-        """Label each vector with the ORIGINAL cluster id of its nearest
-        centroid. ``cents`` is (label, vector) pairs sorted by label — a
-        cluster emptied by the previous assignment simply has no entry,
-        and labels must NOT collapse to list positions or they diverge
-        from the oracle's (review finding: a seed cluster can empty when
-        two seeds are near-duplicates)."""
-        dots = F.array(
-            *[
-                _dot(F.col("v"), F.array(*[F.lit(x) for x in vec]))
-                for _c, vec in cents
-            ]
-        )
-        labels = F.array(*[F.lit(c) for c, _vec in cents])
-        # first index of the max dot = lowest-label tie-break (cents is
-        # label-sorted), matching the oracle's ORDER BY dot DESC, c
-        return df.withColumn(
-            "c",
-            F.element_at(
-                labels,
-                F.array_position(dots, F.array_max(dots)).cast("int"),
-            ).cast("int"),
-        )
-
-    a0 = assign(normed, seeds)
+    a0 = _assign_to_centroids(normed, seeds)
     d = len(seeds[0][1])
     # one Lloyd iteration: per-dimension mean (the one order-dependent
     # reduction — rounded on both engines), then re-normalize
@@ -212,7 +206,71 @@ def _cluster_assignments(
         cents.append(
             (r.c, [_round_half_up(x / nrm, _ROUND_V) for x in r.cv0])
         )
-    return assign(normed, cents).select("vec_id", "v", "c").persist()
+    return cents
+
+
+def _cluster_assignments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame | None:
+    """The deterministic clustering shared by n113/n114: normalize+round
+    the embeddings, seed k centroids from the k smallest vec_ids, one
+    Lloyd iteration, reassign. Returns the PERSISTED (vec_id, v, c)
+    frame (every consumer references it from multiple join branches —
+    the n2b lesson: without persist the normalization + 2k-dot
+    assignment lineage re-executes per branch), or None on an empty
+    corpus. Mirrors the _ASSIGN_CTES oracle prefix exactly."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    normed = _normalize_embeddings(emb)
+    cents = _fit_centroids(normed)
+    if cents is None:
+        return None
+    return (
+        _assign_to_centroids(normed, cents)
+        .select("vec_id", "v", "c")
+        .persist()
+    )
+
+
+def _semdedup_accounting(a1: DataFrame) -> DataFrame:
+    """Within-cluster prune + per-cluster accounting over an assignment
+    frame (vec_id, v, c): pair (a, b) with cos >= tau drops the higher
+    vec_id; pairwise work is confined to each cluster. Shared by n113
+    and the incremental i41 (which calls it once per TOUCHED cluster
+    subset). Output: (cluster, n_docs, n_dups, n_survivors,
+    min_survivor) — unordered; callers order."""
+    left = a1.select(
+        F.col("c"), F.col("vec_id").alias("va"), F.col("v").alias("xa")
+    )
+    right = a1.select(
+        F.col("c"), F.col("vec_id").alias("vb"), F.col("v").alias("xb")
+    )
+    dups = (
+        left.join(right, "c")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(_dot(F.col("xa"), F.col("xb")) >= F.lit(_TAU))
+        # fresh column names break the self-join lineage so the final
+        # join below is unambiguous
+        .select(F.col("c").alias("dc"), F.col("vb").alias("dvb"))
+        .distinct()
+    )
+    return (
+        a1.join(
+            dups,
+            (F.col("c") == F.col("dc")) & (F.col("vec_id") == F.col("dvb")),
+            "left",
+        )
+        .groupBy(F.col("c").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("dvb").alias("n_dups"),
+            (F.count(F.lit(1)) - F.count("dvb")).alias("n_survivors"),
+            F.min(
+                F.when(F.col("dvb").isNull(), F.col("vec_id"))
+            ).alias("min_survivor"),
+        )
+    )
 
 
 @declare(
@@ -248,40 +306,7 @@ def n113_semdedup_cluster_prune(
             "n_survivors bigint, min_survivor bigint",
         )
 
-    # within-cluster prune: pair (a, b) with cos >= tau drops the higher
-    # vec_id; pairwise work is confined to each cluster
-    left = a1.select(
-        F.col("c"), F.col("vec_id").alias("va"), F.col("v").alias("xa")
-    )
-    right = a1.select(
-        F.col("c"), F.col("vec_id").alias("vb"), F.col("v").alias("xb")
-    )
-    dups = (
-        left.join(right, "c")
-        .filter(F.col("va") < F.col("vb"))
-        .filter(_dot(F.col("xa"), F.col("xb")) >= F.lit(_TAU))
-        # fresh column names break the self-join lineage so the final
-        # join below is unambiguous
-        .select(F.col("c").alias("dc"), F.col("vb").alias("dvb"))
-        .distinct()
-    )
-    out = (
-        a1.join(
-            dups,
-            (F.col("c") == F.col("dc")) & (F.col("vec_id") == F.col("dvb")),
-            "left",
-        )
-        .groupBy(F.col("c").alias("cluster"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.count("dvb").alias("n_dups"),
-            (F.count(F.lit(1)) - F.count("dvb")).alias("n_survivors"),
-            F.min(
-                F.when(F.col("dvb").isNull(), F.col("vec_id"))
-            ).alias("min_survivor"),
-        )
-        .orderBy("cluster")
-    )
+    out = _semdedup_accounting(a1).orderBy("cluster")
     # materialize the <= k output rows, then release the cached corpus —
     # long sweep sessions run hundreds of queries and a leaked persist
     # pins executor storage until LRU thrash (the dedup.py convention)

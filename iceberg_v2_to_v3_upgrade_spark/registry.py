@@ -294,6 +294,8 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         analytics14,
         analytics15,
         analytics16,
+        lifecycle9,
+        catalog_queries,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401

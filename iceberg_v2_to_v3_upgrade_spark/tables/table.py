@@ -30,7 +30,9 @@ monotone across commits but intentionally sparse, exactly like Iceberg's
 
 from __future__ import annotations
 
+import contextlib
 import datetime
+import fcntl
 import json
 import os
 import re
@@ -53,6 +55,33 @@ _TRANSFORM_RE = re.compile(
 
 class TableError(Exception):
     pass
+
+
+class CommitConflictError(TableError):
+    """Another writer advanced the table since this handle loaded its
+    metadata, and the change could not be safely re-applied on top —
+    the analog of Iceberg's ``CommitFailedException`` after its
+    optimistic-concurrency retries are exhausted. Reload the table
+    (open a fresh handle) and re-run the operation."""
+
+
+@contextlib.contextmanager
+def _table_lock(root: str):
+    """Exclusive per-table commit lock (flock on ``<root>/.commit.lock``).
+
+    Held across every metadata read-check-modify-write so the version
+    check in ``_write_meta`` and the rebase in ``_commit`` are atomic
+    with the ``os.replace`` that publishes the new metadata — the
+    single-filesystem stand-in for the atomic compare-and-swap a real
+    Iceberg catalog provides on the table pointer
+    (reference README.md:7 — concurrent engines share one table)."""
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, ".commit.lock"), "w") as fd:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
 
 
 @dataclass
@@ -238,30 +267,59 @@ class LocalTable:
             self.root, "metadata", f"v{version:06d}.metadata.json"
         )
 
-    def _write_meta(self) -> None:
+    def _write_meta(self, locked: bool = False) -> None:
         """Atomically replace metadata.json and append a versioned copy
         to the metadata log (Iceberg writes v{N}.metadata.json per commit
         and `metadata_log_entries` reads the trail). Retention follows
         `write.metadata.previous-versions-max` (Iceberg property, default
         100): oldest versioned copies beyond the cap are deleted — the
-        current metadata.json itself is never at risk."""
+        current metadata.json itself is never at risk.
+
+        Concurrency: runs under the per-table flock and CAS-checks the
+        metadata version — if another writer advanced the table since
+        this handle loaded it, the write REFUSES with
+        ``CommitConflictError`` instead of silently dropping the other
+        writer's snapshots (the lost-update hazard of dumping a stale
+        in-memory ``_meta`` wholesale). ``_commit`` pre-reconciles under
+        the same lock (rebase) and passes ``locked=True`` so its write
+        sails through; direct metadata mutators (set_properties,
+        rollback, expire, schema DDL) surface the conflict to the caller,
+        whose remedy is a fresh handle."""
         self._check_writable()
-        # Guard-property carry-forward (round-6 review): the snapshot
-        # procedure records gc.enabled=false / snapshot.adopted-by on the
-        # source through a FRESH handle; a caller-held stale handle's
-        # next commit dumps its own _meta wholesale and would silently
-        # erase the guard — re-enabling the GC the guard exists to block.
-        # A guard key present on disk but absent in memory is therefore
-        # re-adopted before the write; a key present in memory (e.g. an
-        # explicit gc.enabled=true re-enable) always wins.
+        if not locked:
+            with _table_lock(self.root):
+                return self._write_meta(locked=True)
+        disk_meta: dict[str, Any] | None
         try:
             with open(os.path.join(self.root, "metadata.json")) as f:
-                disk_props = json.load(f).get("properties", {})
+                disk_meta = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            disk_meta = None  # initial create: nothing on disk yet
+        if disk_meta is not None:
+            disk_ver = int(disk_meta.get("last_metadata_version", 0))
+            mem_ver = int(self._meta.get("last_metadata_version", 0))
+            if disk_ver != mem_ver:
+                raise CommitConflictError(
+                    f"metadata.json at {self.root} is at version "
+                    f"{disk_ver} but this handle loaded version "
+                    f"{mem_ver}: a concurrent writer committed first. "
+                    f"Reload the table and retry."
+                )
+            # Guard-property carry-forward (round-6 review): the snapshot
+            # procedure records gc.enabled=false / snapshot.adopted-by on
+            # the source through a FRESH handle; a caller-held stale
+            # handle's next commit dumps its own _meta wholesale and would
+            # silently erase the guard — re-enabling the GC the guard
+            # exists to block. A guard key present on disk but absent in
+            # memory is therefore re-adopted before the write; a key
+            # present in memory (e.g. an explicit gc.enabled=true
+            # re-enable) always wins. (With the version CAS above this
+            # only fires for same-version property races, but it is cheap
+            # insurance and keeps the round-6 regression covered.)
+            disk_props = disk_meta.get("properties", {})
             for k in ("gc.enabled", "snapshot.adopted-by"):
                 if k in disk_props and k not in self._meta["properties"]:
                     self._meta["properties"][k] = disk_props[k]
-        except (FileNotFoundError, json.JSONDecodeError):
-            pass  # initial create: nothing on disk yet
         ver = int(self._meta.get("last_metadata_version", 0)) + 1
         self._meta["last_metadata_version"] = ver
         tmp = os.path.join(self.root, "metadata.json.tmp")
@@ -439,8 +497,91 @@ class LocalTable:
         parent_id: int | None = None,
         seq_overrides: dict[str, int] | None = None,
         min_id: int | None = None,
+        fresh_row_dirs: list[str] | None = None,
+        row_id_base: int | None = None,
     ) -> Snapshot:
+        """Append one snapshot and publish it — optimistic concurrency.
+
+        Under the per-table flock the current metadata is re-read; if
+        another writer advanced the table since this handle loaded it,
+        the commit is REBASED onto the new head (Iceberg's
+        commit-retry: re-read, revalidate, re-apply) when that is
+        provably safe, else refused with ``CommitConflictError``:
+
+        - our change is a pure append (new data dirs only) → always
+          rebases, onto any head;
+        - the other writer's changes were pure appends → our
+          delete/update/overwrite/compaction rebases on top (snapshot
+          isolation — Iceberg's ``write.delete.isolation-level=
+          snapshot``: rows appended concurrently are not subject to a
+          predicate evaluated against the older snapshot);
+        - both sides changed delete state or removed files → refuse
+          (the serializable-conflict case Iceberg also fails).
+
+        ``fresh_row_dirs``/``row_id_base``: dirs whose ``_row_id``s were
+        assigned from this handle's (possibly stale) ``next_row_id``.
+        If the winner allocated overlapping ids, the rebase shifts ours
+        above the winner's watermark (rewriting only the just-written
+        dirs) so row identity stays globally unique — the invariant the
+        MoR anti-join depends on.
+        """
         self._check_writable()
+        with _table_lock(self.root):
+            return self._commit_locked(
+                operation,
+                data_dirs,
+                delete_dirs,
+                branch,
+                eq_deletes,
+                parent_id,
+                seq_overrides,
+                min_id,
+                fresh_row_dirs,
+                row_id_base,
+            )
+
+    def _commit_locked(
+        self,
+        operation: str,
+        data_dirs,
+        delete_dirs,
+        branch: str | None,
+        eq_deletes: list[dict] | None,
+        parent_id: int | None,
+        seq_overrides: dict[str, int] | None,
+        min_id: int | None,
+        fresh_row_dirs: list[str] | None,
+        row_id_base: int | None,
+    ) -> Snapshot:
+        try:
+            disk = self._read_meta()
+        except (FileNotFoundError, json.JSONDecodeError):
+            disk = None
+        if disk is not None and int(disk.get("last_metadata_version", 0)) != int(
+            self._meta.get("last_metadata_version", 0)
+        ):
+            if parent_id is not None:
+                # explicit-parent commits are history surgery (publish /
+                # adoption); re-pointing them under a moved head is not
+                # a mechanical merge — surface the conflict instead
+                raise CommitConflictError(
+                    f"cannot {operation} with an explicit parent: the "
+                    f"table moved underneath this handle; reload and retry"
+                )
+            data_dirs, delete_dirs, eq_deletes, rebased_overrides = (
+                self._rebase_commit(
+                    disk,
+                    operation,
+                    list(data_dirs),
+                    list(delete_dirs),
+                    list(eq_deletes or []),
+                    branch,
+                    list(fresh_row_dirs or []),
+                    row_id_base,
+                    min_id,
+                )
+            )
+            seq_overrides = {**(seq_overrides or {}), **rebased_overrides}
         resolved_parent = (
             parent_id
             if parent_id is not None
@@ -486,11 +627,199 @@ class LocalTable:
             self._meta["current_snapshot_id"] = snap.id
         else:
             self._meta["branches"][branch] = snap.id
-        self._write_meta()
+        self._write_meta(locked=True)
         return snap
 
+    def _rebase_commit(
+        self,
+        disk: dict[str, Any],
+        operation: str,
+        data_dirs: list[str],
+        delete_dirs: list[str],
+        eq_deletes: list[dict],
+        branch: str | None,
+        fresh_row_dirs: list[str],
+        row_id_base: int | None,
+        min_id: int | None,
+    ) -> tuple[list[str], list[str], list[dict], dict[str, int]]:
+        """Re-apply this handle's staged change on top of the metadata a
+        concurrent writer published (see ``_commit``). Mutates
+        ``self._meta`` to the merged state and returns the rebased
+        (data_dirs, delete_dirs, eq_deletes, seq_overrides)."""
+        stale = self._meta
+        # P = the head this change was built against; H = the disk head
+        if branch is not None:
+            if branch not in stale.get("branches", {}) or branch not in disk.get(
+                "branches", {}
+            ):
+                raise CommitConflictError(
+                    f"branch {branch!r} changed concurrently; reload and retry"
+                )
+            p_id = stale["branches"][branch]
+            h_id = disk["branches"][branch]
+        else:
+            p_id = stale["current_snapshot_id"]
+            h_id = disk["current_snapshot_id"]
+        p_rec = next((s for s in stale["snapshots"] if s["id"] == p_id), None)
+        h_rec = next((s for s in disk["snapshots"] if s["id"] == h_id), None)
+        if p_rec is None or h_rec is None:
+            raise CommitConflictError(
+                "snapshot history rewritten concurrently (rollback/expire); "
+                "reload and retry"
+            )
+        if p_rec != next(
+            (s for s in disk["snapshots"] if s["id"] == p_id), None
+        ):
+            raise CommitConflictError(
+                f"base snapshot {p_id} no longer on disk as loaded; "
+                f"reload and retry"
+            )
+
+        def _ser(e: dict) -> str:
+            return json.dumps(e, sort_keys=True)
+
+        p_data = list(p_rec.get("data_dirs", []))
+        p_del = list(p_rec.get("delete_dirs", []))
+        p_eq = [_ser(e) for e in p_rec.get("eq_deletes", [])]
+        added_data = [d for d in data_dirs if d not in set(p_data)]
+        removed_data = [d for d in p_data if d not in set(data_dirs)]
+        added_del = [d for d in delete_dirs if d not in set(p_del)]
+        removed_del = [d for d in p_del if d not in set(delete_dirs)]
+        our_eq = [_ser(e) for e in eq_deletes]
+        added_eq = [e for e in eq_deletes if _ser(e) not in set(p_eq)]
+        removed_eq = [s for s in p_eq if s not in set(our_eq)]
+        ours_pure_append = not (
+            removed_data or added_del or removed_del or added_eq or removed_eq
+        )
+        h_data = list(h_rec.get("data_dirs", []))
+        h_del = list(h_rec.get("delete_dirs", []))
+        h_eq = [_ser(e) for e in h_rec.get("eq_deletes", [])]
+        h_pure_append = (
+            set(p_data) <= set(h_data)
+            and sorted(h_del) == sorted(p_del)
+            and sorted(h_eq) == sorted(p_eq)
+        )
+        if not (ours_pure_append or h_pure_append):
+            raise CommitConflictError(
+                f"concurrent writers both changed delete state of "
+                f"{self.root} ({operation} vs snapshot {h_id}); reload "
+                f"and retry"
+            )
+        # imported-dir (add_files) reconciliation: duplicate concurrent
+        # imports of the same dir would double-read every row
+        ours_imports = {
+            k: v
+            for k, v in stale.get("imported_dirs", {}).items()
+            if k not in disk.get("imported_dirs", {})
+        }
+        for src in ours_imports:
+            if src in set(h_data):
+                raise CommitConflictError(
+                    f"{src} was imported by a concurrent writer"
+                )
+        new_id = max(
+            max(s["id"] for s in disk["snapshots"]) + 1, min_id or 0
+        )
+        # row-id reconciliation: if the winner advanced next_row_id past
+        # the base we assigned from, our materialized ids overlap theirs —
+        # shift ours above the winner's watermark
+        disk_next = int(disk.get("next_row_id", 0))
+        stale_next = int(stale.get("next_row_id", 0))
+        if row_id_base is not None and disk_next > row_id_base:
+            shift = disk_next - row_id_base
+            for d in fresh_row_dirs:
+                self._shift_row_ids(d, shift)
+            for entry in ours_imports.values():
+                entry["files"] = {
+                    fp: int(rid) + shift for fp, rid in entry["files"].items()
+                }
+            merged_next = stale_next + shift
+        else:
+            merged_next = max(stale_next, disk_next)
+        # merged metadata: the winner's state is the base; fold in what
+        # this handle staged before its commit (dir stats for the new
+        # dirs, imports, the V3 carried-rows flag, the id watermark)
+        merged = disk
+        merged["next_row_id"] = merged_next
+        if int(merged["properties"].get("format-version", "1")) >= 3:
+            merged["properties"]["next-row-id"] = str(merged_next)
+        stats = merged.setdefault("dir_stats", {})
+        for k, v in stale.get("dir_stats", {}).items():
+            stats.setdefault(k, v)
+        imports = merged.setdefault("imported_dirs", {})
+        for k, v in ours_imports.items():
+            v["seq"] = new_id
+            imports[k] = v
+        if stale.get("carried_row_ids"):
+            merged["carried_row_ids"] = True
+        self._meta = merged
+        if ours_pure_append:
+            new_data = h_data + [d for d in added_data if d not in set(h_data)]
+            new_del = list(h_del)
+            new_eq = [e for e in h_rec.get("eq_deletes", [])]
+        else:
+            h_added = [d for d in h_data if d not in set(p_data)]
+            new_data = data_dirs + [d for d in h_added if d not in set(data_dirs)]
+            new_del = list(delete_dirs)
+            new_eq = list(eq_deletes)
+        # our added data dirs were named for the STALE next snapshot id;
+        # pin their delete-scope sequence to the id they actually commit
+        # under, so e.g. an equality delete the winner committed in
+        # between does not swallow rows appended after it
+        overrides = {
+            d: new_id
+            for d in added_data
+            if d in set(new_data) and self._parse_dir_seq(d) != new_id
+        }
+        return new_data, new_del, new_eq, overrides
+
+    @staticmethod
+    def _parse_dir_seq(d: str) -> int:
+        m = re.search(r"snap-(\d+)", os.path.basename(d))
+        return int(m.group(1)) if m else 0
+
+    def _shift_row_ids(self, d: str, shift: int) -> None:
+        """Rewrite one just-written data dir with ``_row_id += shift``
+        (rebase path only — conflicts are rare, and only the losing
+        writer's newest dir is touched, never table history)."""
+        df = self._read_one_dir(d, self._data_read_schema()).withColumn(
+            _ROW_ID, (F.col(_ROW_ID) + F.lit(int(shift))).cast("long")
+        )
+        spec = self._partition_spec()
+        for name, expr in spec:
+            if expr is not None and name not in df.columns:
+                df = df.withColumn(name, expr)
+        tmp = d + ".rbshift"
+        writer = df.write.mode("overwrite")
+        if spec:
+            writer = writer.partitionBy(*[name for name, _ in spec])
+        writer.parquet(tmp)
+        shutil.rmtree(d)
+        os.rename(tmp, d)
+
     def _next_dir(self, kind: str, snap_id: int) -> str:
-        return os.path.join(self.root, kind, f"snap-{snap_id:05d}")
+        return self._reserve_dir(
+            os.path.join(self.root, kind, f"snap-{snap_id:05d}")
+        )
+
+    @staticmethod
+    def _reserve_dir(base: str) -> str:
+        """Atomically reserve a write path. Two writers holding the same
+        stale metadata both compute ``snap-{max+1}``; without reservation
+        the second ``mode("overwrite")`` write would destroy the first
+        writer's files before either commit runs. ``mkdir`` is the
+        filesystem's native CAS: the loser gets FileExistsError and takes
+        a suffixed sibling (the ``snap-(\\d+)`` prefix that encodes the
+        delete-scope sequence is preserved; the rebase in ``_commit``
+        re-pins the sequence anyway)."""
+        candidate, i = base, 0
+        while True:
+            try:
+                os.makedirs(candidate)
+                return candidate
+            except FileExistsError:
+                i += 1
+                candidate = f"{base}-c{i}"
 
     def _assign_row_ids(self, df: DataFrame) -> DataFrame:
         base = int(self._meta["next_row_id"])
@@ -903,6 +1232,7 @@ class LocalTable:
         advancing the table's current snapshot.
         """
         cur = self._base_snapshot(branch)
+        row_id_base = int(self._meta["next_row_id"])
         with_ids = self._assign_row_ids(self._align_to_schema(df))
         snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
         path = self._next_dir("data", snap_id)
@@ -916,6 +1246,8 @@ class LocalTable:
             list(cur.delete_dirs),
             branch=branch,
             eq_deletes=cur.eq_deletes,
+            fresh_row_dirs=[path],
+            row_id_base=row_id_base,
         )
 
     def insert_values(self, rows: list[tuple]) -> Snapshot:
@@ -940,6 +1272,7 @@ class LocalTable:
         cur = self.current_snapshot()
         aligned = self._align_to_schema(df)
         spec = self._partition_spec()
+        row_id_base = int(self._meta["next_row_id"])
         snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
         data_path = self._next_dir("data", snap_id)
         with_ids = self._assign_row_ids(aligned)
@@ -948,7 +1281,14 @@ class LocalTable:
             self._read_dirs([data_path], self._data_read_schema())
         )
         if not spec:
-            return self._commit("overwrite", [data_path], [], eq_deletes=[])
+            return self._commit(
+                "overwrite",
+                [data_path],
+                [],
+                eq_deletes=[],
+                fresh_row_dirs=[data_path],
+                row_id_base=row_id_base,
+            )
         names = [name for name, _ in spec]
         exprs = [
             (expr if expr is not None else F.col(name)).alias(name)
@@ -975,6 +1315,8 @@ class LocalTable:
             cur.data_dirs + [data_path],
             cur.delete_dirs + [del_path],
             eq_deletes=cur.eq_deletes,
+            fresh_row_dirs=[data_path],
+            row_id_base=row_id_base,
         )
 
     @property
@@ -1028,7 +1370,7 @@ class LocalTable:
             .agg(F.count("*").alias("n"))
             .collect()
         )
-        base = int(self._meta["next_row_id"])
+        row_id_base = base = int(self._meta["next_row_id"])
         files: dict[str, int] = {}
         for fp, n in per_file:
             files[fp] = base
@@ -1047,6 +1389,7 @@ class LocalTable:
             cur.data_dirs + [source_dir],
             list(cur.delete_dirs),
             eq_deletes=cur.eq_deletes,
+            row_id_base=row_id_base,
         )
 
     def delete_where(
@@ -1102,7 +1445,9 @@ class LocalTable:
             raise TableError(f"equality columns not in schema: {sorted(missing)}")
         cur = self._base_snapshot(branch)
         snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
-        path = os.path.join(self.root, "deletes", f"snap-{snap_id:05d}-eq")
+        path = self._reserve_dir(
+            os.path.join(self.root, "deletes", f"snap-{snap_id:05d}-eq")
+        )
         keys_df.select(*eq_cols).distinct().write.mode("overwrite").parquet(
             path
         )
@@ -1145,11 +1490,13 @@ class LocalTable:
                 value = value.cast(declared[col])
             rewritten = rewritten.withColumn(col, value)
         snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
+        row_id_base = int(self._meta["next_row_id"])
         if self._meta["properties"].get("write.update.mode") == "merge-on-read":
             del_path = self._next_dir("deletes", snap_id)
             matched.select(_ROW_ID).write.mode("overwrite").parquet(del_path)
             data_path = self._next_dir("data", snap_id)
-            if self.format_version >= 3:
+            carried = self.format_version >= 3
+            if carried:
                 # V3 row lineage: the rewritten row KEEPS its _row_id
                 # (Iceberg V3 carried-over row ids — incremental consumers
                 # can track a logical row across updates). The tombstone
@@ -1182,6 +1529,10 @@ class LocalTable:
                 cur.delete_dirs + [del_path],
                 branch=branch,
                 eq_deletes=cur.eq_deletes,
+                # V3 carried rows keep their original ids — nothing to
+                # shift on rebase; V2 rewrites got fresh ids
+                fresh_row_dirs=[] if carried else [data_path],
+                row_id_base=None if carried else row_id_base,
             )
         # copy-on-write
         untouched = raw.filter(~cond).drop(_ROW_ID)
@@ -1192,7 +1543,14 @@ class LocalTable:
         self._bump_row_id_watermark(
             self._read_dirs([data_path], self._data_read_schema())
         )
-        return self._commit("update", [data_path], [], branch=branch)
+        return self._commit(
+            "update",
+            [data_path],
+            [],
+            branch=branch,
+            fresh_row_dirs=[data_path],
+            row_id_base=row_id_base,
+        )
 
     def merge_into(
         self,
@@ -1333,16 +1691,24 @@ class LocalTable:
         appended = None
         for df in new_rows:
             appended = df if appended is None else appended.unionByName(df)
+        fresh_row_dirs: list[str] = []
+        row_id_base = int(self._meta["next_row_id"])
         if appended is not None:
             data_path = self._next_dir("data", snap_id)
             with_ids = self._assign_row_ids(appended)
             self._write_data_dir(with_ids, data_path)
             self._bump_row_id_watermark(
-            self._read_dirs([data_path], self._data_read_schema())
-        )
+                self._read_dirs([data_path], self._data_read_schema())
+            )
             data_dirs.append(data_path)
+            fresh_row_dirs = [data_path]
         return self._commit(
-            "merge", data_dirs, delete_dirs, eq_deletes=cur.eq_deletes
+            "merge",
+            data_dirs,
+            delete_dirs,
+            eq_deletes=cur.eq_deletes,
+            fresh_row_dirs=fresh_row_dirs,
+            row_id_base=row_id_base if fresh_row_dirs else None,
         )
 
     # ----------------------------------------------------- schema evolution
@@ -2716,8 +3082,8 @@ class LocalTable:
             cur.delete_dirs, f"{_ROW_ID} long"
         ).distinct()
         snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
-        dv_path = os.path.join(
-            self.root, "deletes", f"snap-{snap_id:05d}-dv"
+        dv_path = self._reserve_dir(
+            os.path.join(self.root, "deletes", f"snap-{snap_id:05d}-dv")
         )
         # single file: the whole point is one tombstone blob per scan
         tombstones.coalesce(1).write.mode("overwrite").parquet(dv_path)
