@@ -190,9 +190,11 @@ def i40_duckdb_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf, "p_partkey bigint, p_type string, p_retailprice double"
     )
     # byte-for-byte: DuckDB's table read == this engine's MoR scan
+    # (equal cardinality + empty one-sided multiset difference ==
+    # multiset equality; the second exceptAll would be redundant work)
     ours = t.scan().select("p_partkey", "p_type", "p_retailprice")
     assert duck.count() == ours.count()
-    assert duck.exceptAll(ours).isEmpty() and ours.exceptAll(duck).isEmpty()
+    assert duck.exceptAll(ours).isEmpty()
     return duck.orderBy("p_partkey")
 
 
@@ -356,13 +358,17 @@ def i41_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delta_assign = _assign_to_centroids(_normed(delta), cents).select(
         "vec_id", "v", "c"
-    )
+    ).persist()
+    # persisted: feeds the incremental accounting AND the
+    # equivalence-proof recompute — without it the normalize + 2k-dot
+    # assignment lineage re-executes per consumer
+    all_assign = base_assign.unionByName(delta_assign).persist()
     touched = [
         int(r.c) for r in delta_assign.select("c").distinct().collect()
     ]  # <= k rows — bounded by the cluster count, never the corpus
 
     # recompute ONLY the touched clusters, over base+delta members
-    members = base_assign.unionByName(delta_assign).filter(
+    members = all_assign.filter(
         F.col("c").isin(touched) if touched else F.lit(False)
     )
     recomputed = _semdedup_accounting(members)
@@ -375,9 +381,7 @@ def i41_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = stitched.collect()
 
     # equivalence proof: incremental == full recompute w/ frozen fit
-    full = _semdedup_accounting(
-        base_assign.unionByName(delta_assign)
-    ).orderBy("cluster")
+    full = _semdedup_accounting(all_assign).orderBy("cluster")
     full_rows = {
         r["cluster"]: (r["n_docs"], r["n_dups"], r["n_survivors"],
                        r["min_survivor"])
@@ -389,6 +393,6 @@ def i41_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in rows
     }
     assert inc_rows == full_rows, "incremental != full recompute"
-    base_assign.unpersist()
-    yesterday.unpersist()
+    for frame in (base_assign, delta_assign, all_assign, yesterday):
+        frame.unpersist()
     return spark.createDataFrame(rows, stitched.schema)

@@ -19,6 +19,10 @@ continuously appended Iceberg table instead of a one-shot VALUES batch.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
+import os
+
 from pyspark.sql import DataFrame
 
 from iceberg_v2_to_v3_upgrade_spark.tables.table import (
@@ -29,6 +33,26 @@ from iceberg_v2_to_v3_upgrade_spark.tables.table import (
 #: bounded retries for batch commits racing a concurrent stream — mirrors
 #: Iceberg's commit.retry.num-retries default (4 retries = 5 attempts)
 _COMMIT_ATTEMPTS = 5
+
+
+@contextlib.contextmanager
+def _writer_lease(root: str):
+    """Coarse per-table writer lease for streaming batches (flock on
+    ``<root>/.writer.lock`` — distinct from the fine-grained commit lock
+    inside ``_commit``, which only protects the metadata swap). Without
+    it, two streams racing MERGE batches each redo the full batch apply
+    (scan + join + delete-file write) per CommitConflictError, and under
+    load a batch can lose every retry to the other stream's steady
+    commits. With it, racing batch APPLIES serialize up front: blocking
+    on a lease costs the same wall-clock as the retry ping-pong but does
+    the work once. Non-streaming writers don't take the lease — the
+    retry loop below remains the backstop against them."""
+    with open(os.path.join(root, ".writer.lock"), "w") as fd:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
 
 
 def _apply_with_retry(table: LocalTable, apply) -> None:
@@ -50,16 +74,17 @@ def _apply_with_retry(table: LocalTable, apply) -> None:
     """
     last: CommitConflictError | None = None
     for _ in range(_COMMIT_ATTEMPTS):
-        fresh = LocalTable(table.spark, table.root)
-        try:
-            apply(fresh)
-        except CommitConflictError as exc:  # another stream won the race
-            last = exc
-        else:
-            # keep the CALLER's handle current: downstream code scans /
-            # inspects the handle it passed in, not our per-batch clones
-            table._meta = fresh._meta
-            return
+        with _writer_lease(table.root):
+            fresh = LocalTable(table.spark, table.root)
+            try:
+                apply(fresh)
+            except CommitConflictError as exc:  # a non-leased writer won
+                last = exc
+                continue
+        # keep the CALLER's handle current: downstream code scans /
+        # inspects the handle it passed in, not our per-batch clones
+        table._meta = fresh._meta
+        return
     raise last  # type: ignore[misc]  # _COMMIT_ATTEMPTS >= 1
 
 

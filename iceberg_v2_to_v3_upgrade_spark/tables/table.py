@@ -298,7 +298,12 @@ class LocalTable:
         if disk_meta is not None:
             disk_ver = int(disk_meta.get("last_metadata_version", 0))
             mem_ver = int(self._meta.get("last_metadata_version", 0))
-            if disk_ver != mem_ver:
+            # versions only ever increase, so disk AHEAD of this handle
+            # means a concurrent writer committed since we loaded.
+            # (disk BEHIND can only mean the caller advanced the counter
+            # deliberately — e.g. the 6->7-digit rollover test — never a
+            # concurrency hazard, so it is not refused.)
+            if disk_ver > mem_ver:
                 raise CommitConflictError(
                     f"metadata.json at {self.root} is at version "
                     f"{disk_ver} but this handle loaded version "
@@ -557,7 +562,7 @@ class LocalTable:
             disk = self._read_meta()
         except (FileNotFoundError, json.JSONDecodeError):
             disk = None
-        if disk is not None and int(disk.get("last_metadata_version", 0)) != int(
+        if disk is not None and int(disk.get("last_metadata_version", 0)) > int(
             self._meta.get("last_metadata_version", 0)
         ):
             if parent_id is not None:

@@ -31,16 +31,33 @@ class ProbeResult:
     detail: str
 
 
-def verify_table_in_duckdb(table: LocalTable) -> list[ProbeResult]:
+def verify_table_in_duckdb(
+    table: LocalTable, native: bool = True
+) -> list[ProbeResult]:
+    """``native=True`` (default since round 7): DuckDB reads the MANAGED
+    TABLE itself — the view is the compiled MoR-merge manifest from
+    ``tables/duckdb_reader.py`` over raw data/delete files, so the probes
+    certify a genuine second-engine table read (the reference points
+    Databricks at the live Iceberg table, not at an export).
+    ``native=False`` keeps the original export-merged-scan fallback for
+    callers that want to verify a scan Spark already materialized."""
     results: list[ProbeResult] = []
-    export_dir = tempfile.mkdtemp(prefix="xengine_verify_")
-    export = os.path.join(export_dir, "export.parquet")
-    table.scan().write.mode("overwrite").parquet(export)
     con = duckdb.connect()
     try:
-        con.execute(
-            f"CREATE VIEW t AS SELECT * FROM parquet_scan('{export}/*.parquet')"
-        )
+        if native:
+            from iceberg_v2_to_v3_upgrade_spark.tables.duckdb_reader import (
+                duckdb_table_sql,
+            )
+
+            con.execute(f"CREATE VIEW t AS {duckdb_table_sql(table)}")
+        else:
+            export_dir = tempfile.mkdtemp(prefix="xengine_verify_")
+            export = os.path.join(export_dir, "export.parquet")
+            table.scan().write.mode("overwrite").parquet(export)
+            con.execute(
+                f"CREATE VIEW t AS SELECT * FROM "
+                f"parquet_scan('{export}/*.parquet')"
+            )
         # probe 1: DESCRIBE (verify_in_databricks.py:67)
         try:
             cols = con.execute("DESCRIBE t").fetchall()
