@@ -198,6 +198,93 @@ def i40_duckdb_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duck.orderBy("p_partkey")
 
 
+_I43_ORACLE = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 3 <> 0 AND o_totalprice > 1000
+    ORDER BY o_orderkey
+"""
+
+
+@declare(
+    "i43_iceberg_metadata_export",
+    oracle=_I43_ORACLE,
+    tags=("lifecycle", "cross-engine", "metadata"),
+)
+def i43_iceberg_metadata_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-shaped metadata export consumed blind (the reference's table
+    DISCOVERY arc, ``internal/verify_in_databricks.py:57-76``: read the
+    metadata file, resolve current-snapshot-id, follow manifest-list,
+    inventory files): after MoR DELETEs, the table is exported as an
+    Iceberg-v2-field metadata JSON + manifest lists
+    (``tables/iceberg_export.py``), and DuckDB reconstructs the merged
+    state from paths discovered in the EXPORT ALONE — no access to this
+    engine's native metadata. The returned frame is DuckDB's
+    reconstruction, hash-gated against the relational oracle.
+    """
+    import json as _json
+
+    import duckdb
+
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+    from iceberg_v2_to_v3_upgrade_spark.tables.iceberg_export import (
+        export_iceberg_metadata,
+    )
+
+    warehouse = tempfile.mkdtemp(prefix="icexport_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "ix_db",
+        "orders_ix",
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+    )
+    t.insert(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    t.delete_where("o_orderkey % 3 = 0")
+    t.delete_where("o_totalprice <= 1000")
+
+    meta = _json.load(
+        open(export_iceberg_metadata(t, tempfile.mkdtemp(prefix="ixmeta_")))
+    )
+    current = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    manifests = _json.load(open(current["manifest-list"]))
+    data_files = [
+        e["file_path"]
+        for m in manifests
+        if m["content"] == 0
+        for e in m["entries"]
+    ]
+    delete_files = [
+        e["file_path"]
+        for m in manifests
+        if m["content"] == 1
+        for e in m["entries"]
+    ]
+    assert data_files and delete_files, "export inventoried no files"
+    con = duckdb.connect()
+    try:
+        dlist = ", ".join(f"'{f}'" for f in data_files)
+        xlist = ", ".join(f"'{f}'" for f in delete_files)
+        pdf = con.execute(
+            f"SELECT o_orderkey, o_orderstatus, o_totalprice "
+            f"FROM read_parquet([{dlist}], union_by_name=1) WHERE _row_id "
+            f"NOT IN (SELECT _row_id FROM read_parquet([{xlist}])) "
+            f"ORDER BY o_orderkey"
+        ).df()
+    finally:
+        con.close()
+    return spark.createDataFrame(
+        pdf, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    )
+
+
 def _i41_oracle() -> str:
     """Frozen-centroid SemDeDup oracle: fit on the base corpus
     (vec_id % 10 <> 0), assign EVERYONE, prune within clusters, flag
