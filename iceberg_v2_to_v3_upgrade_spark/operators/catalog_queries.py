@@ -69,6 +69,63 @@ def j1_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tbl")
 
 
+_J2_ORACLE = """
+    SELECT 'part_info' AS tbl,
+           'ICEBERG_LOCAL' AS table_type,
+           '3' AS format_version,
+           CAST(3 AS BIGINT) AS current_snapshot_id,
+           TRUE AS has_metadata_location,
+           (SELECT CAST(count(*) AS BIGINT) FROM part
+            WHERE p_partkey % 2 = 0) AS n_rows
+"""
+
+
+@declare("j2_table_info", oracle=_J2_ORACLE, tags=("catalog", "report"))
+def j2_table_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``get_table_info`` behind the hash gate (reference
+    upgrade_table.py:33-56: location, table_type, format-version,
+    metadata_location): create -> insert -> MoR DELETE -> V3 upgrade,
+    then the info dict's engine-independent fields (paths are tmp-dir
+    randomized, so presence is asserted instead) plus the actual scanned
+    row count."""
+    import os
+
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="tinfo_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "info_db",
+        "part_info",
+        "p_partkey BIGINT, p_type STRING, p_retailprice DOUBLE",
+    )
+    t.insert(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_type", "p_retailprice"
+        )
+    )
+    t.delete_where("p_partkey % 2 = 1")
+    t.set_properties({"format-version": "3"})
+    info = catalog.get_table_info("info_db", "part_info")
+    assert info is not None
+    assert info["location"] == t.root
+    assert catalog.get_table_info("info_db", "nope") is None  # not-found
+    row = (
+        info["name"],
+        info["table_type"],
+        str(info["format_version"]),
+        int(info["current_snapshot_id"]),
+        os.path.exists(info["metadata_location"]),
+        catalog.load_table("info_db", "part_info").scan().count(),
+    )
+    return spark.createDataFrame(
+        [row],
+        "tbl string, table_type string, format_version string, "
+        "current_snapshot_id bigint, has_metadata_location boolean, "
+        "n_rows bigint",
+    )
+
+
 _J7_ORACLE = """
     SELECT c_custkey,
            CAST(NULL AS VARCHAR) AS c_name,

@@ -296,6 +296,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         analytics16,
         lifecycle9,
         catalog_queries,
+        analytics17,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401

@@ -160,6 +160,60 @@ def test_concurrent_inserts_partitioned_dirs_do_not_clobber(
     assert _rows(spark, t) == [1, 2]
 
 
+def test_branch_stage_concurrent_with_main_append(spark, tmp_path_factory):
+    """WAP staging races a main-side append: the branch commit arrives
+    through a handle that is stale on MAIN — it must rebase (metadata
+    version moved) without adopting main's new rows into the branch, and
+    neither ref loses its commit."""
+    t = _mk(spark, tmp_path_factory, name="ccbr")
+    t.insert(_df(spark, [1, 2]))
+    t.create_branch("audit")
+    a = LocalTable(spark, t.root)
+    b = LocalTable(spark, t.root)
+    a.insert(_df(spark, [3]))  # main moves
+    b.insert(_df(spark, [100]), branch="audit")  # stale handle stages
+    fresh = LocalTable(spark, t.root)
+    # main kept both its rows and a's append; the staged row is invisible
+    assert _rows(spark, t) == [1, 2, 3]
+    staged = sorted(
+        r["id"] for r in fresh.scan(snapshot_id="audit").collect()
+    )
+    # the branch head built on the branch base (pre-append main head)
+    assert staged == [1, 2, 100]
+    # publish adopts the staged line; fast-forward is an explicit history
+    # decision, so rows appended to main after the branch point leave the
+    # published ancestry (WAP semantics) — nothing is silently lost,
+    # snapshot 3 remains addressable
+    fresh.fast_forward("audit")
+    assert _rows(spark, t) == [1, 2, 100]
+    assert any(
+        sorted(r["id"] for r in fresh.scan(snapshot_id=s.id).collect())
+        == [1, 2, 3]
+        for s in fresh.snapshots()
+    )
+
+
+def test_two_writers_staging_same_branch(spark, tmp_path_factory):
+    """Two stale handles staging appends to the SAME branch: the loser
+    rebases onto the moved branch head, and the branch scan shows both
+    staged batches."""
+    t = _mk(spark, tmp_path_factory, name="ccbr2")
+    t.insert(_df(spark, [1]))
+    t.create_branch("wap")
+    a = LocalTable(spark, t.root)
+    b = LocalTable(spark, t.root)
+    a.insert(_df(spark, [10]), branch="wap")
+    b.insert(_df(spark, [20]), branch="wap")  # stale on the branch head
+    fresh = LocalTable(spark, t.root)
+    staged = sorted(
+        r["id"] for r in fresh.scan(snapshot_id="wap").collect()
+    )
+    assert staged == [1, 10, 20]
+    assert _rows(spark, t) == [1]  # main untouched until publish
+    raw = fresh._scan_raw(fresh._base_snapshot("wap"))
+    assert raw.select("_row_id").distinct().count() == raw.count()
+
+
 def test_randomized_interleaving_matches_model(spark, tmp_path_factory):
     """Seeded random program over 3 writer handles: each step picks a
     handle (possibly stale by several commits) and an op; the table's
