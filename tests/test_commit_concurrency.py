@@ -26,6 +26,8 @@ from __future__ import annotations
 import random
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from iceberg_v2_to_v3_upgrade_spark.tables import (
     CommitConflictError,
@@ -160,6 +162,31 @@ def test_concurrent_inserts_partitioned_dirs_do_not_clobber(
     assert _rows(spark, t) == [1, 2]
 
 
+def test_stale_append_rebases_over_v3_carried_update(
+    spark, tmp_path_factory
+):
+    """Pure append racing a V3 carried-row-id UPDATE (the hairiest head
+    to rebase onto: the update's tombstone + same-id re-append are both
+    in flight): the append's rows must land untouched, the update's
+    rewrite must stay visible exactly once, and the rebased dir's
+    delete-scope sequence must keep the new rows out of reach of the
+    update's tombstone file."""
+    t = _mk(spark, tmp_path_factory, name="ccv3")
+    t.set_properties({"format-version": "3"})
+    t.insert(_df(spark, [1, 2], grp="old"))
+    a = LocalTable(spark, t.root)
+    b = LocalTable(spark, t.root)
+    a.update_set({"val": "val + 100"}, "id = 1")  # carried row ids
+    b.insert(_df(spark, [3], grp="new"))  # stale append -> rebase
+    out = {
+        r["id"]: r["val"]
+        for r in LocalTable(spark, t.root).scan().collect()
+    }
+    assert out == {1: 101.0, 2: 2.0, 3: 3.0}
+    raw = LocalTable(spark, t.root)._scan_raw()
+    assert raw.count() == 3
+
+
 def test_branch_stage_concurrent_with_main_append(spark, tmp_path_factory):
     """WAP staging races a main-side append: the branch commit arrives
     through a handle that is stale on MAIN — it must rebase (metadata
@@ -263,5 +290,76 @@ def test_randomized_interleaving_matches_model(spark, tmp_path_factory):
     assert final == sorted(model), (
         f"committed={committed} refused={refused}"
     )
+    raw = LocalTable(spark, t.root)._scan_raw()
+    assert raw.select("_row_id").distinct().count() == raw.count()
+
+
+_cc_op = st.sampled_from(["insert", "insert", "delete", "update", "refresh"])
+_cc_program = st.lists(
+    st.tuples(_cc_op, st.integers(min_value=0, max_value=2),
+              st.integers(min_value=0, max_value=9)),
+    min_size=4,
+    max_size=8,
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(program=_cc_program)
+def test_random_multiwriter_program_matches_model(
+    spark, tmp_path_factory, program
+):
+    """Hypothesis drives random (op, handle, arg) programs over 3 stale
+    writer handles — the ancestry-model treatment applied to the commit
+    protocol. Model: snapshot isolation per handle (a stale handle's
+    DELETE/UPDATE only touches rows its snapshot saw), refusals are
+    side-effect free, and after the program the table equals the model
+    and every materialized ``_row_id`` is unique."""
+    wh = tmp_path_factory.mktemp("ccprop")
+    t = LocalTable.create(
+        spark, str(wh) + "/t", _SCHEMA
+    )
+    model: dict[int, float] = {}
+    views: list[dict[int, float]] = [dict(), dict(), dict()]
+    handles = [LocalTable(spark, t.root) for _ in range(3)]
+    next_id = 0
+
+    for op, h_i, arg in program:
+        h = handles[h_i]
+        if op == "refresh":
+            handles[h_i] = LocalTable(spark, t.root)
+            views[h_i] = dict(model)
+            continue
+        try:
+            if op == "insert":
+                ids = [next_id, next_id + 1]
+                next_id += 2
+                h.insert(_df(spark, ids))
+                for i in ids:
+                    model[i] = float(i)
+            elif op == "delete":
+                victim = arg
+                h.delete_where(f"id = {victim}")
+                if victim in views[h_i]:
+                    model.pop(victim, None)
+            else:  # update: val += 1000 where id == arg
+                victim = arg
+                h.update_set({"val": "val + 1000"}, f"id = {victim}")
+                if victim in views[h_i]:
+                    model[victim] = views[h_i][victim] + 1000.0
+        except CommitConflictError:
+            handles[h_i] = LocalTable(spark, t.root)
+            views[h_i] = dict(model)
+        else:
+            views[h_i] = dict(model)
+    got = {
+        r["id"]: r["val"]
+        for r in LocalTable(spark, t.root).scan().collect()
+    }
+    assert got == model
     raw = LocalTable(spark, t.root)._scan_raw()
     assert raw.select("_row_id").distinct().count() == raw.count()
