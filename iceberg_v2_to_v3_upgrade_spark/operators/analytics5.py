@@ -106,9 +106,9 @@ def i20_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plant the orphan: an aborted write's leftover dir
     orphan_dir = os.path.join(t.root, "data", "snap-99999-aborted")
     spark.range(5).write.mode("overwrite").parquet(orphan_dir)
-    listed = t.remove_orphan_files(dry_run=True)
+    listed = t.remove_orphan_files(dry_run=True, older_than_seconds=0)
     assert listed == [orphan_dir], f"dry-run listed {listed}"
-    removed = t.remove_orphan_files()
+    removed = t.remove_orphan_files(older_than_seconds=0)
     assert removed == [orphan_dir] and not os.path.exists(orphan_dir)
     return t.scan().agg(
         F.lit(len(removed)).cast("long").alias("n_orphans_removed"),

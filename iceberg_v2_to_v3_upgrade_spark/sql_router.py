@@ -899,7 +899,14 @@ class EngineSQL:
     def _call_remove_orphans(self, sql: str, m: re.Match) -> StatementResult:
         self._authorize_table("ALTER", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
-        removed = t.remove_orphan_files(dry_run=bool(m.group("dry")))
+        # default grace mirrors Iceberg's refusal to GC recent files;
+        # older_than_seconds => 0 is the explicit immediate mode
+        kwargs = {}
+        if m.group("grace") is not None:
+            kwargs["older_than_seconds"] = float(m.group("grace"))
+        removed = t.remove_orphan_files(
+            dry_run=bool(m.group("dry")), **kwargs
+        )
         return StatementResult(
             sql, "remove_orphan_files", message=f"removed {removed}"
         )
@@ -1717,7 +1724,8 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
     (
         re.compile(
             rf"CALL system\.remove_orphan_files\s*\(\s*table\s*=>\s*'{_NAME}'"
-            rf"(?:\s*,\s*dry_run\s*=>\s*(?P<dry>true))?\s*\)\s*$",
+            rf"(?:\s*,\s*dry_run\s*=>\s*(?P<dry>true))?"
+            rf"(?:\s*,\s*older_than_seconds\s*=>\s*(?P<grace>\d+))?\s*\)\s*$",
             re.IGNORECASE,
         ),
         EngineSQL._call_remove_orphans,

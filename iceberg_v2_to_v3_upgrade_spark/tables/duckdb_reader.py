@@ -13,7 +13,8 @@ and no knowledge of this engine** beyond the generated view definition —
 the moral equivalent of handing a spec-shaped metadata file to an
 ``iceberg_scan``-capable reader (the DuckDB iceberg extension itself
 needs a network INSTALL, unavailable here, so the manifest is expressed
-as SQL rather than Avro).
+as SQL rather than Avro; ``tables/iceberg_export.py`` emits the
+spec-field file form).
 
 Fidelity covered by the generated SQL:
 - hive-partitioned data dirs (identity and transform partition columns
@@ -23,18 +24,67 @@ Fidelity covered by the generated SQL:
   (``data._seq < delete._dseq``), so an UPDATE's rewritten row — same
   ``_row_id``, newer sequence — survives its own tombstone,
 - equality deletes: key anti-join against older-sequence data only,
-- cherry-pick/rebase sequence overrides (``Snapshot.seq_overrides``).
+  with the ENGINE's null-unsafe ``=`` semantics (a NULL key never
+  matches — review finding: ``IS NOT DISTINCT FROM`` would delete
+  NULL-keyed rows the engine keeps),
+- cherry-pick/rebase sequence overrides (``Snapshot.seq_overrides``),
+- column renames: each dir projects the PHYSICAL name its files were
+  written under back to the current name (the engine's
+  ``_read_one_dir`` rename walk, re-derived per dir),
+- schema evolution + V3 initial defaults: a dir written before an ADD
+  COLUMN null-fills (or reads the recorded default literal) exactly
+  like the engine's per-dir sequence rule.
+
+Declared limitation: dirs registered by ``add_files`` carry no
+``_row_id`` column (ids are lazily derived); compiling that read is not
+supported and raises ``DuckDBReadUnsupported`` — callers
+(``verify.py``) fall back to the exported-scan probe rather than
+silently resurrecting deleted imported rows (review finding).
 """
 
 from __future__ import annotations
 
 import os
+import re
 
 from iceberg_v2_to_v3_upgrade_spark.tables.table import (
     _ROW_ID,
     LocalTable,
     Snapshot,
 )
+
+
+class DuckDBReadUnsupported(Exception):
+    """The table uses a feature the compiled-SQL read cannot express
+    (currently: ``add_files`` imported dirs). Use the exported-scan
+    verification path instead."""
+
+
+_DUCK_PRIMITIVES = {
+    "tinyint": "TINYINT",
+    "smallint": "SMALLINT",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "float": "REAL",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "binary": "BLOB",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def _duck_type(simple: str) -> str:
+    """Spark simpleString -> DuckDB type (primitives, decimal, arrays)."""
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", simple)
+    if m:
+        return f"DECIMAL({m.group(1)},{m.group(2)})"
+    m = re.fullmatch(r"array<(.+)>", simple)
+    if m:
+        return f"{_duck_type(m.group(1))}[]"
+    return _DUCK_PRIMITIVES.get(simple, "VARCHAR")
 
 
 def _dir_glob(d: str) -> str:
@@ -50,27 +100,62 @@ def duckdb_table_sql(table: LocalTable, snap: Snapshot | None = None) -> str:
     declared = table.spark.createDataFrame([], table.schema_ddl).schema
     cols = ", ".join(f'"{name}"' for name in declared.fieldNames())
     if not snap.data_dirs:
-        duck_types = {
-            "integer": "INTEGER",
-            "long": "BIGINT",
-            "short": "SMALLINT",
-            "double": "DOUBLE",
-            "float": "REAL",
-            "boolean": "BOOLEAN",
-            "date": "DATE",
-            "timestamp": "TIMESTAMP",
-        }
         typed = ", ".join(
-            f"CAST(NULL AS {duck_types.get(f.dataType.typeName(), 'VARCHAR')})"
+            f"CAST(NULL AS {_duck_type(f.dataType.simpleString())})"
             f' AS "{f.name}"'
             for f in declared
         )
         return f"SELECT {typed} WHERE FALSE"
+    imported = table._meta.get("imported_dirs", {})
+    renames = table._meta.get("renames", [])
+    defaults = table._meta.get("column_defaults", {})
     data_parts = []
     for d in snap.data_dirs:
+        if d in imported:
+            raise DuckDBReadUnsupported(
+                f"{d} was registered by add_files (no materialized "
+                f"{_ROW_ID}); use the exported-scan verification path"
+            )
         seq = table._delete_scope_seq(d, snap)
+        write_seq = LocalTable._parse_dir_seq(d)
+        # columns physically present when this dir was written (current
+        # names resolve through the rename walk below)
+        written = {
+            f.name
+            for f in table.spark.createDataFrame(
+                [], table.schema_at(write_seq)
+            ).schema
+        }
+        proj = []
+        for f in declared:
+            name = f.name
+            # the engine's newest->oldest rename walk (_read_one_dir):
+            # the files store the name the column had at the dir's seq
+            phys = name
+            for r in reversed(renames):
+                if r["to"] == phys and write_seq <= r["seq"]:
+                    phys = r["from"]
+            entry = defaults.get(name)
+            if entry is not None and write_seq <= int(entry["seq"]):
+                # V3 initial-default: pre-ALTER dirs read the literal
+                proj.append(
+                    f"CAST({entry['sql']} AS "
+                    f"{_duck_type(entry['dtype'])}) AS \"{name}\""
+                )
+            elif phys in written:
+                proj.append(
+                    f'"{name}"' if phys == name else f'"{phys}" AS "{name}"'
+                )
+            else:
+                # column added after this dir was written: null-fill,
+                # typed so single-dir tables keep the declared schema
+                proj.append(
+                    f"CAST(NULL AS {_duck_type(f.dataType.simpleString())})"
+                    f' AS "{name}"'
+                )
         data_parts.append(
-            f"SELECT *, CAST({seq} AS BIGINT) AS _seq "
+            f"SELECT {', '.join(proj)}, \"{_ROW_ID}\", "
+            f"CAST({seq} AS BIGINT) AS _seq "
             f"FROM read_parquet('{_dir_glob(d)}', "
             f"hive_partitioning=1, union_by_name=1)"
         )
@@ -91,8 +176,10 @@ def duckdb_table_sql(table: LocalTable, snap: Snapshot | None = None) -> str:
             f"WHERE x._del_row_id = d.\"{_ROW_ID}\" AND d._seq < x._dseq)"
         )
     for entry in snap.eq_deletes:
+        # null-UNSAFE key equality, matching the engine's == semantics
+        # (_apply_eq_deletes): a NULL key deletes nothing
         key_cond = " AND ".join(
-            f"k.\"{c}\" IS NOT DISTINCT FROM d.\"{c}\"" for c in entry["cols"]
+            f"k.\"{c}\" = d.\"{c}\"" for c in entry["cols"]
         )
         filters.append(
             f"NOT EXISTS (SELECT 1 FROM "

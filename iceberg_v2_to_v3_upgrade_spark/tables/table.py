@@ -686,21 +686,27 @@ class LocalTable:
         p_data = list(p_rec.get("data_dirs", []))
         p_del = list(p_rec.get("delete_dirs", []))
         p_eq = [_ser(e) for e in p_rec.get("eq_deletes", [])]
-        added_data = [d for d in data_dirs if d not in set(p_data)]
-        removed_data = [d for d in p_data if d not in set(data_dirs)]
-        added_del = [d for d in delete_dirs if d not in set(p_del)]
-        removed_del = [d for d in p_del if d not in set(delete_dirs)]
-        our_eq = [_ser(e) for e in eq_deletes]
-        added_eq = [e for e in eq_deletes if _ser(e) not in set(p_eq)]
-        removed_eq = [s for s in p_eq if s not in set(our_eq)]
+        # hoisted set views: `x in set(...)` inside a comprehension
+        # rebuilds the set per element — quadratic inside the table-wide
+        # commit lock (review finding)
+        p_data_set, p_del_set, p_eq_set = set(p_data), set(p_del), set(p_eq)
+        data_set, del_set = set(data_dirs), set(delete_dirs)
+        added_data = [d for d in data_dirs if d not in p_data_set]
+        removed_data = [d for d in p_data if d not in data_set]
+        added_del = [d for d in delete_dirs if d not in p_del_set]
+        removed_del = [d for d in p_del if d not in del_set]
+        our_eq_set = {_ser(e) for e in eq_deletes}
+        added_eq = [e for e in eq_deletes if _ser(e) not in p_eq_set]
+        removed_eq = [s for s in p_eq if s not in our_eq_set]
         ours_pure_append = not (
             removed_data or added_del or removed_del or added_eq or removed_eq
         )
         h_data = list(h_rec.get("data_dirs", []))
         h_del = list(h_rec.get("delete_dirs", []))
         h_eq = [_ser(e) for e in h_rec.get("eq_deletes", [])]
+        h_data_set = set(h_data)
         h_pure_append = (
-            set(p_data) <= set(h_data)
+            p_data_set <= h_data_set
             and sorted(h_del) == sorted(p_del)
             and sorted(h_eq) == sorted(p_eq)
         )
@@ -710,6 +716,17 @@ class LocalTable:
                 f"{self.root} ({operation} vs snapshot {h_id}); reload "
                 f"and retry"
             )
+        # a dir WE claim to add that the winner already carries can only
+        # be an externally named dir (add_files import — reserved write
+        # paths are unique): committing it again would double-count every
+        # row, and pinning a fresh seq override on the winner's dir would
+        # lift it past delete files that already applied (review finding:
+        # eq-deleted rows resurrected by a duplicate concurrent import)
+        for d in added_data:
+            if d in h_data_set:
+                raise CommitConflictError(
+                    f"{d} was added by a concurrent writer"
+                )
         # imported-dir (add_files) reconciliation: duplicate concurrent
         # imports of the same dir would double-read every row
         ours_imports = {
@@ -717,11 +734,6 @@ class LocalTable:
             for k, v in stale.get("imported_dirs", {}).items()
             if k not in disk.get("imported_dirs", {})
         }
-        for src in ours_imports:
-            if src in set(h_data):
-                raise CommitConflictError(
-                    f"{src} was imported by a concurrent writer"
-                )
         new_id = max(
             max(s["id"] for s in disk["snapshots"]) + 1, min_id or 0
         )
@@ -759,22 +771,30 @@ class LocalTable:
             merged["carried_row_ids"] = True
         self._meta = merged
         if ours_pure_append:
-            new_data = h_data + [d for d in added_data if d not in set(h_data)]
+            new_data = h_data + added_data  # disjoint: checked above
             new_del = list(h_del)
             new_eq = [e for e in h_rec.get("eq_deletes", [])]
         else:
-            h_added = [d for d in h_data if d not in set(p_data)]
-            new_data = data_dirs + [d for d in h_added if d not in set(data_dirs)]
+            h_added = [d for d in h_data if d not in p_data_set]
+            new_data = data_dirs + [d for d in h_added if d not in data_set]
             new_del = list(delete_dirs)
             new_eq = list(eq_deletes)
         # our added data dirs were named for the STALE next snapshot id;
         # pin their delete-scope sequence to the id they actually commit
         # under, so e.g. an equality delete the winner committed in
-        # between does not swallow rows appended after it
+        # between does not swallow rows appended after it. Only OUR dirs
+        # (never the winner's — their seq story is already right) get
+        # the pin. Deliberately NOT re-pinned: our own delete files and
+        # eq entries keep the stale-stamped sequence — that IS snapshot
+        # isolation (write.delete.isolation-level=snapshot): a delete
+        # evaluated against snapshot P must not swallow rows a
+        # concurrent append committed after P, even though the delete
+        # lands later in the linear history.
+        new_data_set = set(new_data)
         overrides = {
             d: new_id
             for d in added_data
-            if d in set(new_data) and self._parse_dir_seq(d) != new_id
+            if d in new_data_set and self._parse_dir_seq(d) != new_id
         }
         return new_data, new_del, new_eq, overrides
 
@@ -812,19 +832,32 @@ class LocalTable:
         """Atomically reserve a write path. Two writers holding the same
         stale metadata both compute ``snap-{max+1}``; without reservation
         the second ``mode("overwrite")`` write would destroy the first
-        writer's files before either commit runs. ``mkdir`` is the
-        filesystem's native CAS: the loser gets FileExistsError and takes
-        a suffixed sibling (the ``snap-(\\d+)`` prefix that encodes the
-        delete-scope sequence is preserved; the rebase in ``_commit``
-        re-pins the sequence anyway)."""
+        writer's files before either commit runs. The CAS is an O_EXCL
+        marker FILE (``.<name>.rsv``) BESIDE the dir, not the dir itself:
+        Spark's overwrite briefly DELETES the target dir before
+        recreating it, so a dir-existence check alone has a window in
+        which a second writer's mkdir succeeds on the same path (review
+        finding). The sibling marker survives the overwrite cycle; the
+        loser takes a suffixed sibling (the ``snap-(\\d+)`` prefix that
+        encodes the delete-scope sequence is preserved; the rebase in
+        ``_commit`` re-pins the sequence anyway). Markers are dotfiles,
+        invisible to the ``snap-*`` dir listers and the orphan walk."""
         candidate, i = base, 0
         while True:
+            parent = os.path.dirname(candidate)
+            os.makedirs(parent, exist_ok=True)
+            marker = os.path.join(
+                parent, f".{os.path.basename(candidate)}.rsv"
+            )
             try:
-                os.makedirs(candidate)
-                return candidate
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 i += 1
                 candidate = f"{base}-c{i}"
+                continue
+            os.close(fd)
+            os.makedirs(candidate, exist_ok=True)
+            return candidate
 
     def _assign_row_ids(self, df: DataFrame) -> DataFrame:
         base = int(self._meta["next_row_id"])
@@ -1481,19 +1514,7 @@ class LocalTable:
         cur = self._base_snapshot(branch)
         raw = self._scan_raw(cur)
         matched = raw.filter(cond)
-        rewritten = matched.drop(_ROW_ID)
-        declared = {
-            f.name: f.dataType
-            for f in self.spark.createDataFrame([], self.schema_ddl).schema
-        }
-        for col, expr in assignments.items():
-            value = F.expr(expr) if isinstance(expr, str) else expr
-            # SET expressions must not drift the declared column type
-            # (decimal arithmetic widens: amount*1.1 on DECIMAL(10,2) is
-            # DECIMAL(13,3); Iceberg casts back to the table schema)
-            if col in declared:
-                value = value.cast(declared[col])
-            rewritten = rewritten.withColumn(col, value)
+        rewritten = self._apply_assignments(matched.drop(_ROW_ID), assignments)
         snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
         row_id_base = int(self._meta["next_row_id"])
         if self._meta["properties"].get("write.update.mode") == "merge-on-read":
@@ -1509,18 +1530,7 @@ class LocalTable:
                 # delete application (flagged here) keeps the carried copy
                 # visible. (rewritten above had _ROW_ID dropped — rebuild
                 # the SET projection from `matched` keeping the id.)
-                with_ids = matched
-                declared2 = {
-                    f.name: f.dataType
-                    for f in self.spark.createDataFrame(
-                        [], self.schema_ddl
-                    ).schema
-                }
-                for col, expr in assignments.items():
-                    value = F.expr(expr) if isinstance(expr, str) else expr
-                    if col in declared2:
-                        value = value.cast(declared2[col])
-                    with_ids = with_ids.withColumn(col, value)
+                with_ids = self._apply_assignments(matched, assignments)
                 self._meta["carried_row_ids"] = True
             else:
                 with_ids = self._assign_row_ids(rewritten)
@@ -1556,6 +1566,27 @@ class LocalTable:
             fresh_row_dirs=[data_path],
             row_id_base=row_id_base,
         )
+
+    def _apply_assignments(
+        self, df: DataFrame, assignments: dict[str, str | Column]
+    ) -> DataFrame:
+        """Apply SET ``col = expr`` projections with each result cast
+        back to the DECLARED column type: SET expressions must not drift
+        the schema (decimal arithmetic widens — amount*1.1 on
+        DECIMAL(10,2) is DECIMAL(13,3); Iceberg casts back). One
+        implementation for both the fresh-id and V3 carried-row paths of
+        ``update_set`` (review finding: the duplicated loops drifted
+        apart in maintenance)."""
+        declared = {
+            f.name: f.dataType
+            for f in self.spark.createDataFrame([], self.schema_ddl).schema
+        }
+        for col, expr in assignments.items():
+            value = F.expr(expr) if isinstance(expr, str) else expr
+            if col in declared:
+                value = value.cast(declared[col])
+            df = df.withColumn(col, value)
+        return df
 
     def merge_into(
         self,
@@ -3117,17 +3148,52 @@ class LocalTable:
                 "table still references its files"
             )
 
-    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
+    def remove_orphan_files(
+        self,
+        dry_run: bool = False,
+        older_than_seconds: float = 86400.0,
+    ) -> list[str]:
         """CALL system.remove_orphan_files analog: delete data/delete dirs
         under the table root referenced by NO snapshot (crashed writes,
-        aborted commits). Returns removed (or would-remove) paths."""
-        if not dry_run:
+        aborted commits). Returns removed (or would-remove) paths.
+
+        ``older_than_seconds`` (default 24 h, mirroring Iceberg's
+        refusal to GC recent files): an unreferenced dir younger than
+        the threshold is NOT an orphan — under optimistic concurrency a
+        writer legitimately writes its data dir BEFORE taking the commit
+        lock, so a zero-grace GC racing that window would delete a dir
+        the imminent commit is about to publish (review finding). Pass 0
+        explicitly for the single-writer immediate mode (the CLI/tests).
+        The walk runs under the table lock (non-dry-run), so the
+        snapshot list it checks cannot move mid-delete."""
+        if dry_run:
+            return self._orphan_walk(older_than_seconds)
+        self._check_gc_enabled("remove_orphan_files")
+        with _table_lock(self.root):
+            # re-read under the lock: a commit that landed since this
+            # handle loaded may reference dirs we would call orphans —
+            # and the gc guard must be re-checked against the FRESH
+            # properties (the snapshot procedure writes gc.enabled=false
+            # through its own handle; a stale handle must not GC past it)
+            try:
+                self._meta = self._read_meta()
+            except FileNotFoundError:
+                pass
             self._check_gc_enabled("remove_orphan_files")
+            orphans = self._orphan_walk(older_than_seconds)
+            for d in orphans:
+                shutil.rmtree(d)
+        return orphans
+
+    def _orphan_walk(self, older_than_seconds: float) -> list[str]:
+        import time as _time
+
         referenced: set[str] = set()
         for s in self.snapshots():
             referenced.update(s.data_dirs)
             referenced.update(s.delete_dirs)
             referenced.update(e["dir"] for e in s.eq_deletes)
+        now = _time.time()
         orphans = []
         for kind in ("data", "deletes"):
             base = os.path.join(self.root, kind)
@@ -3135,11 +3201,18 @@ class LocalTable:
                 continue
             for d in sorted(os.listdir(base)):
                 full = os.path.join(base, d)
-                if full not in referenced:
+                # reservation markers (.snap-N.rsv) and stray files are
+                # not dirs; never rmtree them
+                if d.startswith(".") or not os.path.isdir(full):
+                    continue
+                if full in referenced:
+                    continue
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age >= older_than_seconds:
                     orphans.append(full)
-        if not dry_run:
-            for d in orphans:
-                shutil.rmtree(d)
         return orphans
 
     def expire_snapshots(
@@ -3150,8 +3223,35 @@ class LocalTable:
         Reference: README.md:34-38. Removes expired snapshot entries and
         physically deletes files no surviving snapshot references.
         Returns the expired snapshot ids.
+
+        Ordering (review finding): the metadata CAS runs BEFORE anything
+        irreversible. Previously the dirs were rmtree'd first and the
+        stale-handle refusal fired only at the final ``_write_meta`` —
+        the refusal then left on-disk metadata still referencing
+        already-deleted dirs (permanent corruption, not protection).
+        Now the whole read-check-modify-write runs under the table lock,
+        the new metadata publishes first, and the physical deletes run
+        last: a crash between publish and delete leaves only orphan
+        dirs, which ``remove_orphan_files`` reclaims.
         """
         self._check_gc_enabled("expire_snapshots")
+        with _table_lock(self.root):
+            return self._expire_snapshots_locked(older_than, retain_last)
+
+    def _expire_snapshots_locked(
+        self, older_than: datetime.datetime, retain_last: int
+    ) -> list[int]:
+        try:
+            disk = self._read_meta()
+        except FileNotFoundError:
+            disk = None
+        if disk is not None and int(disk.get("last_metadata_version", 0)) > int(
+            self._meta.get("last_metadata_version", 0)
+        ):
+            raise CommitConflictError(
+                f"metadata.json at {self.root} moved since this handle "
+                f"loaded it; reload the table and retry expire_snapshots"
+            )
         snaps = self.snapshots()
         keep_tail = {s.id for s in snaps[-retain_last:]}
         keep_tail.add(self._meta["current_snapshot_id"])
@@ -3177,6 +3277,7 @@ class LocalTable:
             referenced.update(s.data_dirs)
             referenced.update(s.delete_dirs)
             referenced.update(e["dir"] for e in s.eq_deletes)
+        to_delete: list[str] = []
         for s in expired:
             expired_dirs = (
                 list(s.data_dirs)
@@ -3195,8 +3296,9 @@ class LocalTable:
                     d not in referenced
                     and os.path.abspath(d).startswith(own_root)
                     and os.path.exists(d)
+                    and d not in to_delete
                 ):
-                    shutil.rmtree(d)
+                    to_delete.append(d)
         # Reparent survivors through expired nodes: a survivor whose
         # parent was expired hops to its nearest SURVIVING ancestor, so
         # the ancestry chain (time travel, changes(), rollback-by-
@@ -3235,5 +3337,8 @@ class LocalTable:
                 # and flip its is_current_ancestor back to true.
                 s.parent_id = _nearest_survivor(s.parent_id) or 0
         self._meta["snapshots"] = [s.to_json() for s in survivors]
-        self._write_meta()
+        self._write_meta(locked=True)
+        # publish first, delete last (see expire_snapshots docstring)
+        for d in to_delete:
+            shutil.rmtree(d)
         return sorted(expired_ids)

@@ -42,14 +42,23 @@ def verify_table_in_duckdb(
     ``native=False`` keeps the original export-merged-scan fallback for
     callers that want to verify a scan Spark already materialized."""
     results: list[ProbeResult] = []
+    if native:
+        # add_files-imported dirs have no materialized _row_id: the
+        # compiled read refuses (loudly) and the exported-scan probe
+        # takes over — never a silently wrong native read
+        from iceberg_v2_to_v3_upgrade_spark.tables.duckdb_reader import (
+            DuckDBReadUnsupported,
+            duckdb_table_sql,
+        )
+
+        try:
+            native_sql = duckdb_table_sql(table)
+        except DuckDBReadUnsupported:
+            native = False
     con = duckdb.connect()
     try:
         if native:
-            from iceberg_v2_to_v3_upgrade_spark.tables.duckdb_reader import (
-                duckdb_table_sql,
-            )
-
-            con.execute(f"CREATE VIEW t AS {duckdb_table_sql(table)}")
+            con.execute(f"CREATE VIEW t AS {native_sql}")
         else:
             export_dir = tempfile.mkdtemp(prefix="xengine_verify_")
             export = os.path.join(export_dir, "export.parquet")

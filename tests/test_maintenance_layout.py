@@ -44,9 +44,9 @@ def test_remove_orphan_files(spark, tmp_path):
     with open(os.path.join(orphan, "junk.parquet"), "w") as f:
         f.write("not really parquet")
 
-    dry = t.remove_orphan_files(dry_run=True)
+    dry = t.remove_orphan_files(dry_run=True, older_than_seconds=0)
     assert dry == [orphan] and os.path.exists(orphan)
-    removed = t.remove_orphan_files()
+    removed = t.remove_orphan_files(older_than_seconds=0)
     assert removed == [orphan] and not os.path.exists(orphan)
     assert t.count() == 10  # live data untouched
 
