@@ -1724,8 +1724,9 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
     (
         re.compile(
             rf"CALL system\.remove_orphan_files\s*\(\s*table\s*=>\s*'{_NAME}'"
-            rf"(?:\s*,\s*dry_run\s*=>\s*(?P<dry>true))?"
-            rf"(?:\s*,\s*older_than_seconds\s*=>\s*(?P<grace>\d+))?\s*\)\s*$",
+            rf"(?:\s*,\s*(?:dry_run\s*=>\s*(?P<dry>true)"
+            rf"|older_than_seconds\s*=>\s*(?P<grace>\d+(?:\.\d+)?)))"
+            rf"{{0,2}}\s*\)\s*$",
             re.IGNORECASE,
         ),
         EngineSQL._call_remove_orphans,

@@ -76,14 +76,46 @@ _DUCK_PRIMITIVES = {
 }
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside <...> or (...)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def _duck_type(simple: str) -> str:
-    """Spark simpleString -> DuckDB type (primitives, decimal, arrays)."""
+    """Spark simpleString -> DuckDB type (primitives, decimal, arrays,
+    maps, structs — complex types must map faithfully or a null-fill
+    arm typed VARCHAR collides with real MAP/STRUCT arms in the
+    UNION ALL BY NAME, review finding)."""
     m = re.fullmatch(r"decimal\((\d+),(\d+)\)", simple)
     if m:
         return f"DECIMAL({m.group(1)},{m.group(2)})"
     m = re.fullmatch(r"array<(.+)>", simple)
     if m:
         return f"{_duck_type(m.group(1))}[]"
+    m = re.fullmatch(r"map<(.+)>", simple)
+    if m:
+        k, v = _split_top_level(m.group(1))
+        return f"MAP({_duck_type(k.strip())}, {_duck_type(v.strip())})"
+    m = re.fullmatch(r"struct<(.+)>", simple)
+    if m:
+        fields = []
+        for part in _split_top_level(m.group(1)):
+            name, _, dt = part.partition(":")
+            fields.append(f'"{name.strip()}" {_duck_type(dt.strip())}')
+        return f"STRUCT({', '.join(fields)})"
     return _DUCK_PRIMITIVES.get(simple, "VARCHAR")
 
 
@@ -109,23 +141,43 @@ def duckdb_table_sql(table: LocalTable, snap: Snapshot | None = None) -> str:
     imported = table._meta.get("imported_dirs", {})
     renames = table._meta.get("renames", [])
     defaults = table._meta.get("column_defaults", {})
+    evolved = bool(renames or defaults or table._meta.get("schema_log"))
+    declared_names = set(declared.fieldNames())
+    written_at: dict[int, set[str]] = {}  # write_seq -> physical columns
     data_parts = []
+    import glob as _glob
+
     for d in snap.data_dirs:
         if d in imported:
             raise DuckDBReadUnsupported(
                 f"{d} was registered by add_files (no materialized "
                 f"{_ROW_ID}); use the exported-scan verification path"
             )
+        if not _glob.glob(
+            os.path.join(d, "**", "*.parquet"), recursive=True
+        ):
+            # a zero-row partitioned write leaves a dir with no parquet
+            # files at all (engine-supported state — see _read_dirs);
+            # a bare read_parquet glob on it is an IO error in DuckDB
+            continue
         seq = table._delete_scope_seq(d, snap)
         write_seq = LocalTable._parse_dir_seq(d)
         # columns physically present when this dir was written (current
-        # names resolve through the rename walk below)
-        written = {
-            f.name
-            for f in table.spark.createDataFrame(
-                [], table.schema_at(write_seq)
-            ).schema
-        }
+        # names resolve through the rename walk below). One JVM DDL
+        # parse per DISTINCT schema epoch, not per dir — and none at
+        # all for never-evolved tables (review finding).
+        if not evolved:
+            written = declared_names
+        elif write_seq in written_at:
+            written = written_at[write_seq]
+        else:
+            written = {
+                f.name
+                for f in table.spark.createDataFrame(
+                    [], table.schema_at(write_seq)
+                ).schema
+            }
+            written_at[write_seq] = written
         proj = []
         for f in declared:
             name = f.name
@@ -159,23 +211,40 @@ def duckdb_table_sql(table: LocalTable, snap: Snapshot | None = None) -> str:
             f"FROM read_parquet('{_dir_glob(d)}', "
             f"hive_partitioning=1, union_by_name=1)"
         )
+    if not data_parts:  # every data dir was a zero-row write
+        typed = ", ".join(
+            f"CAST(NULL AS {_duck_type(f.dataType.simpleString())})"
+            f' AS "{f.name}"'
+            for f in declared
+        )
+        return f"SELECT {typed} WHERE FALSE"
     data_sql = "\nUNION ALL BY NAME\n".join(data_parts)
+
+    def _has_files(d: str) -> bool:
+        return bool(
+            _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        )
+
     filters = []
-    if snap.delete_dirs:
-        del_parts = []
-        for d in snap.delete_dirs:
-            dseq = LocalTable._parse_dir_seq(d) or 10**9
-            del_parts.append(
-                f"SELECT \"{_ROW_ID}\" AS _del_row_id, "
-                f"CAST({dseq} AS BIGINT) AS _dseq "
-                f"FROM read_parquet('{_dir_glob(d)}')"
-            )
+    del_parts = []
+    for d in snap.delete_dirs:
+        if not _has_files(d):  # zero-match delete: nothing to mask
+            continue
+        dseq = LocalTable._parse_dir_seq(d) or 10**9
+        del_parts.append(
+            f"SELECT \"{_ROW_ID}\" AS _del_row_id, "
+            f"CAST({dseq} AS BIGINT) AS _dseq "
+            f"FROM read_parquet('{_dir_glob(d)}')"
+        )
+    if del_parts:
         dels_sql = " UNION ALL ".join(del_parts)
         filters.append(
             f"NOT EXISTS (SELECT 1 FROM ({dels_sql}) x "
             f"WHERE x._del_row_id = d.\"{_ROW_ID}\" AND d._seq < x._dseq)"
         )
     for entry in snap.eq_deletes:
+        if not _has_files(entry["dir"]):
+            continue
         # null-UNSAFE key equality, matching the engine's == semantics
         # (_apply_eq_deletes): a NULL key deletes nothing
         key_cond = " AND ".join(

@@ -859,6 +859,19 @@ class LocalTable:
             os.makedirs(candidate, exist_ok=True)
             return candidate
 
+    @staticmethod
+    def _remove_reservation_marker(d: str) -> None:
+        """Reclaim the ``.{name}.rsv`` sibling when its dir is physically
+        deleted (expire / orphan GC) — markers otherwise accumulate one
+        per lifetime write (review finding)."""
+        marker = os.path.join(
+            os.path.dirname(d), f".{os.path.basename(d)}.rsv"
+        )
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass
+
     def _assign_row_ids(self, df: DataFrame) -> DataFrame:
         base = int(self._meta["next_row_id"])
         return df.withColumn(
@@ -3183,7 +3196,32 @@ class LocalTable:
             orphans = self._orphan_walk(older_than_seconds)
             for d in orphans:
                 shutil.rmtree(d)
+                self._remove_reservation_marker(d)
+            self._sweep_stale_markers(older_than_seconds)
         return orphans
+
+    def _sweep_stale_markers(self, older_than_seconds: float) -> None:
+        """Remove ``.X.rsv`` reservation markers whose dir X is gone
+        (expired or GC'd before marker cleanup existed), age-gated like
+        the orphan walk so a reservation between marker-create and
+        mkdir is never swept."""
+        import time as _time
+
+        now = _time.time()
+        for kind in ("data", "deletes"):
+            base = os.path.join(self.root, kind)
+            if not os.path.isdir(base):
+                continue
+            for f in os.listdir(base):
+                m = re.fullmatch(r"\.(.+)\.rsv", f)
+                if not m or os.path.isdir(os.path.join(base, m.group(1))):
+                    continue
+                full = os.path.join(base, f)
+                try:
+                    if now - os.path.getmtime(full) >= older_than_seconds:
+                        os.remove(full)
+                except OSError:
+                    pass
 
     def _orphan_walk(self, older_than_seconds: float) -> list[str]:
         import time as _time
@@ -3341,4 +3379,5 @@ class LocalTable:
         # publish first, delete last (see expire_snapshots docstring)
         for d in to_delete:
             shutil.rmtree(d)
+            self._remove_reservation_marker(d)
         return sorted(expired_ids)
