@@ -196,9 +196,14 @@ def main() -> None:
     # headline streaming queries already paid in pass 1 (round-4 judge
     # finding: the driver recorded l12 at 19.7 s vs 7.8 s warm — JVM
     # first-stream noise, not a plan property). min-of-2 reports the
-    # steady-state number that actually tracks regressions.
+    # steady-state number that actually tracks regressions. The same
+    # rule covers Arrow/Pandas-UDF queries (round-7 finding: m3 swung
+    # 0.9 s -> 3.2 s run-to-run purely on whether an earlier query had
+    # already spawned the python worker pool — worker startup is session
+    # state, not a plan property).
+    _WARM_TAGS = {"streaming", "multimodal", "pandas-udf", "arrow", "udf"}
     for name, passes in [(n, 2) for n in HEADLINE] + [
-        (n, 2 if "streaming" in registry[n].tags else 1)
+        (n, 2 if _WARM_TAGS & set(registry[n].tags) else 1)
         for n in tail_queries
     ]:
         fn = registry[name].fn
