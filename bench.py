@@ -197,13 +197,36 @@ def main() -> None:
     # finding: the driver recorded l12 at 19.7 s vs 7.8 s warm — JVM
     # first-stream noise, not a plan property). min-of-2 reports the
     # steady-state number that actually tracks regressions. The same
-    # rule covers Arrow/Pandas-UDF queries (round-7 finding: m3 swung
+    # rule covers Python-worker queries (round-7 finding: m3 swung
     # 0.9 s -> 3.2 s run-to-run purely on whether an earlier query had
     # already spawned the python worker pool — worker startup is session
-    # state, not a plan property).
-    _WARM_TAGS = {"streaming", "multimodal", "pandas-udf", "arrow", "udf"}
+    # state, not a plan property). Eligibility is DERIVED from the
+    # operator's source rather than a hand-kept tag list that drifts
+    # (second round-7 review pass: the tag list missed n2e/n3c); a
+    # comment mentioning the API costs one harmless extra pass.
+    import inspect as _inspect
+
+    def _warms_python_workers(fn) -> bool:
+        try:
+            src = _inspect.getsource(fn)
+        except (OSError, TypeError):
+            return True  # can't inspect: take the safe 2-pass path
+        return any(
+            k in src
+            for k in (
+                "applyInPandas", "mapInPandas", "pandas_udf", "udtf",
+                "InPandasWithState", "mapInArrow",
+            )
+        )
+
     for name, passes in [(n, 2) for n in HEADLINE] + [
-        (n, 2 if _WARM_TAGS & set(registry[n].tags) else 1)
+        (
+            n,
+            2
+            if "streaming" in registry[n].tags
+            or _warms_python_workers(registry[n].fn)
+            else 1,
+        )
         for n in tail_queries
     ]:
         fn = registry[name].fn

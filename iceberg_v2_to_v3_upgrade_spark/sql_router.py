@@ -900,13 +900,15 @@ class EngineSQL:
         self._authorize_table("ALTER", m.group("db"), m.group("table"))
         t = self.catalog.load_table(m.group("db"), m.group("table"))
         # default grace mirrors Iceberg's refusal to GC recent files;
-        # older_than_seconds => 0 is the explicit immediate mode
+        # older_than_seconds => 0 is the explicit immediate mode. Args
+        # parse in either order; dry_run accepts true AND false (review
+        # finding: only the literal true used to route). A repeated arg
+        # keeps its last value (named-arg CALLs; last-wins like a conf).
         kwargs = {}
         if m.group("grace") is not None:
             kwargs["older_than_seconds"] = float(m.group("grace"))
-        removed = t.remove_orphan_files(
-            dry_run=bool(m.group("dry")), **kwargs
-        )
+        dry = (m.group("dry") or "").lower() == "true"
+        removed = t.remove_orphan_files(dry_run=dry, **kwargs)
         return StatementResult(
             sql, "remove_orphan_files", message=f"removed {removed}"
         )
@@ -1724,7 +1726,7 @@ EngineSQL._ROUTES: list[tuple[re.Pattern, Any]] = [
     (
         re.compile(
             rf"CALL system\.remove_orphan_files\s*\(\s*table\s*=>\s*'{_NAME}'"
-            rf"(?:\s*,\s*(?:dry_run\s*=>\s*(?P<dry>true)"
+            rf"(?:\s*,\s*(?:dry_run\s*=>\s*(?P<dry>true|false)"
             rf"|older_than_seconds\s*=>\s*(?P<grace>\d+(?:\.\d+)?)))"
             rf"{{0,2}}\s*\)\s*$",
             re.IGNORECASE,

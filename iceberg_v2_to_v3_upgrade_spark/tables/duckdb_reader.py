@@ -44,6 +44,7 @@ silently resurrecting deleted imported rows (review finding).
 
 from __future__ import annotations
 
+import glob
 import os
 import re
 
@@ -125,6 +126,31 @@ def _dir_glob(d: str) -> str:
     return os.path.join(d, "**", "*.parquet").replace("'", "''")
 
 
+def _has_parquet(d: str) -> bool:
+    """True when the snapshot-referenced dir holds parquet files. A dir
+    that EXISTS with no files is a zero-row write (engine-supported,
+    skip it); a dir that does not exist at all is corruption — fail
+    loudly rather than compile a confidently wrong read that silently
+    drops data or delete filters (review finding)."""
+    if not os.path.isdir(d):
+        raise FileNotFoundError(
+            f"snapshot references missing dir {d}; refusing to compile "
+            f"a partial table read"
+        )
+    return bool(
+        glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+    )
+
+
+def _empty_select(declared) -> str:
+    typed = ", ".join(
+        f"CAST(NULL AS {_duck_type(f.dataType.simpleString())})"
+        f' AS "{f.name}"'
+        for f in declared
+    )
+    return f"SELECT {typed} WHERE FALSE"
+
+
 def duckdb_table_sql(table: LocalTable, snap: Snapshot | None = None) -> str:
     """One DuckDB SELECT that reproduces ``table.scan()`` for ``snap``
     (default: current snapshot) straight from the table's files."""
@@ -132,12 +158,7 @@ def duckdb_table_sql(table: LocalTable, snap: Snapshot | None = None) -> str:
     declared = table.spark.createDataFrame([], table.schema_ddl).schema
     cols = ", ".join(f'"{name}"' for name in declared.fieldNames())
     if not snap.data_dirs:
-        typed = ", ".join(
-            f"CAST(NULL AS {_duck_type(f.dataType.simpleString())})"
-            f' AS "{f.name}"'
-            for f in declared
-        )
-        return f"SELECT {typed} WHERE FALSE"
+        return _empty_select(declared)
     imported = table._meta.get("imported_dirs", {})
     renames = table._meta.get("renames", [])
     defaults = table._meta.get("column_defaults", {})
@@ -145,17 +166,13 @@ def duckdb_table_sql(table: LocalTable, snap: Snapshot | None = None) -> str:
     declared_names = set(declared.fieldNames())
     written_at: dict[int, set[str]] = {}  # write_seq -> physical columns
     data_parts = []
-    import glob as _glob
-
     for d in snap.data_dirs:
         if d in imported:
             raise DuckDBReadUnsupported(
                 f"{d} was registered by add_files (no materialized "
                 f"{_ROW_ID}); use the exported-scan verification path"
             )
-        if not _glob.glob(
-            os.path.join(d, "**", "*.parquet"), recursive=True
-        ):
+        if not _has_parquet(d):
             # a zero-row partitioned write leaves a dir with no parquet
             # files at all (engine-supported state — see _read_dirs);
             # a bare read_parquet glob on it is an IO error in DuckDB
@@ -212,23 +229,12 @@ def duckdb_table_sql(table: LocalTable, snap: Snapshot | None = None) -> str:
             f"hive_partitioning=1, union_by_name=1)"
         )
     if not data_parts:  # every data dir was a zero-row write
-        typed = ", ".join(
-            f"CAST(NULL AS {_duck_type(f.dataType.simpleString())})"
-            f' AS "{f.name}"'
-            for f in declared
-        )
-        return f"SELECT {typed} WHERE FALSE"
+        return _empty_select(declared)
     data_sql = "\nUNION ALL BY NAME\n".join(data_parts)
-
-    def _has_files(d: str) -> bool:
-        return bool(
-            _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
-        )
-
     filters = []
     del_parts = []
     for d in snap.delete_dirs:
-        if not _has_files(d):  # zero-match delete: nothing to mask
+        if not _has_parquet(d):  # zero-match delete: nothing to mask
             continue
         dseq = LocalTable._parse_dir_seq(d) or 10**9
         del_parts.append(
@@ -243,7 +249,7 @@ def duckdb_table_sql(table: LocalTable, snap: Snapshot | None = None) -> str:
             f"WHERE x._del_row_id = d.\"{_ROW_ID}\" AND d._seq < x._dseq)"
         )
     for entry in snap.eq_deletes:
-        if not _has_files(entry["dir"]):
+        if not _has_parquet(entry["dir"]):
             continue
         # null-UNSAFE key equality, matching the engine's == semantics
         # (_apply_eq_deletes): a NULL key deletes nothing

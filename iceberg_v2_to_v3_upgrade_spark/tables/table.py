@@ -3202,11 +3202,17 @@ class LocalTable:
 
     def _sweep_stale_markers(self, older_than_seconds: float) -> None:
         """Remove ``.X.rsv`` reservation markers whose dir X is gone
-        (expired or GC'd before marker cleanup existed), age-gated like
-        the orphan walk so a reservation between marker-create and
-        mkdir is never swept."""
+        (expired or GC'd before marker cleanup existed). The sweep grace
+        is floored at 24 h REGARDLESS of the caller's dir grace (review
+        finding: a live writer's ``mode("overwrite")`` briefly deletes
+        its reserved dir, so a dir-missing marker under an aggressive
+        ``older_than_seconds=0`` could belong to an in-flight write —
+        sweeping it would re-open the double-reservation the marker CAS
+        exists to close; no write's delete-recreate window approaches
+        24 h, and stale markers are only a bytes-sized leak meanwhile)."""
         import time as _time
 
+        grace = max(older_than_seconds, 86400.0)
         now = _time.time()
         for kind in ("data", "deletes"):
             base = os.path.join(self.root, kind)
@@ -3218,7 +3224,7 @@ class LocalTable:
                     continue
                 full = os.path.join(base, f)
                 try:
-                    if now - os.path.getmtime(full) >= older_than_seconds:
+                    if now - os.path.getmtime(full) >= grace:
                         os.remove(full)
                 except OSError:
                     pass

@@ -191,11 +191,18 @@ def test_reservation_markers_reclaimed_with_their_dirs(
         for p in glob.glob(os.path.join(t.root, "data", ".*.rsv"))
     }
     assert leftover <= live
-    # a stray marker whose dir is gone is swept by orphan GC
+    # a stray marker whose dir is gone is swept by orphan GC — but only
+    # past the 24h floor: a FRESH dir-less marker can be a reservation
+    # whose dir is mid-overwrite (the sweep must never re-open the
+    # double-reservation window)
     stray = os.path.join(t.root, "data", ".snap-77777.rsv")
     open(stray, "w").close()
     t2 = LocalTable(spark, t.root)
     t2.remove_orphan_files(older_than_seconds=0)
+    assert os.path.exists(stray)  # fresh: retained regardless of grace
+    two_days_ago = __import__("time").time() - 2 * 86400
+    os.utime(stray, (two_days_ago, two_days_ago))
+    LocalTable(spark, t.root).remove_orphan_files(older_than_seconds=0)
     assert not os.path.exists(stray)
 
 
