@@ -216,16 +216,19 @@ def i43_iceberg_metadata_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISCOVERY arc, ``internal/verify_in_databricks.py:57-76``: read the
     metadata file, resolve current-snapshot-id, follow manifest-list,
     inventory files): after MoR DELETEs, the table is exported as an
-    Iceberg-v2-field metadata JSON + manifest lists
-    (``tables/iceberg_export.py``), and DuckDB reconstructs the merged
-    state from paths discovered in the EXPORT ALONE — no access to this
-    engine's native metadata. The returned frame is DuckDB's
-    reconstruction, hash-gated against the relational oracle.
+    Iceberg-v2-field metadata JSON + **Avro** manifest lists and
+    manifests (``tables/iceberg_export.py`` + the pure-stdlib writer in
+    ``tables/avro_io.py`` — round-8: the wire-format chain, not the JSON
+    twin), and DuckDB reconstructs the merged state from paths
+    discovered in the EXPORT ALONE — no access to this engine's native
+    metadata. The returned frame is DuckDB's reconstruction, hash-gated
+    against the relational oracle.
     """
     import json as _json
 
     import duckdb
 
+    from iceberg_v2_to_v3_upgrade_spark.tables.avro_io import read_avro
     from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
     from iceberg_v2_to_v3_upgrade_spark.tables.iceberg_export import (
         export_iceberg_metadata,
@@ -254,19 +257,16 @@ def i43_iceberg_metadata_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in meta["snapshots"]
         if s["snapshot-id"] == meta["current-snapshot-id"]
     )
-    manifests = _json.load(open(current["manifest-list"]))
-    data_files = [
-        e["file_path"]
-        for m in manifests
-        if m["content"] == 0
-        for e in m["entries"]
-    ]
-    delete_files = [
-        e["file_path"]
-        for m in manifests
-        if m["content"] == 1
-        for e in m["entries"]
-    ]
+    # the Avro chain: manifest-list.avro -> manifest-*.avro -> data_file
+    # records (spec manifest_file / manifest_entry layouts)
+    _, _, manifests = read_avro(current["manifest-list"])
+    data_files: list[str] = []
+    delete_files: list[str] = []
+    for m in manifests:
+        _, mmeta, entries = read_avro(m["manifest_path"])
+        assert mmeta["format-version"] == "2", mmeta
+        paths = [e["data_file"]["file_path"] for e in entries]
+        (data_files if m["content"] == 0 else delete_files).extend(paths)
     assert data_files and delete_files, "export inventoried no files"
     con = duckdb.connect()
     try:
@@ -291,7 +291,7 @@ def _i41_oracle() -> str:
     clusters touched by the delta. Mirrors analytics16._ASSIGN_CTES
     with the fit restricted to the base split."""
     from iceberg_v2_to_v3_upgrade_spark.operators.analytics16 import (
-        _K,
+        _K_SQL,
         _ROUND_C,
         _ROUND_V,
         _TAU,
@@ -309,9 +309,12 @@ def _i41_oracle() -> str:
         FROM embeddings
     ),
     base AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+    kval AS (SELECT {_K_SQL} AS k FROM base),
     seeds AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
-        FROM base ORDER BY vec_id LIMIT {_K}
+        SELECT c, cv FROM (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+            FROM base
+        ) WHERE c < (SELECT k FROM kval)
     ),
     assign0 AS (
         SELECT b.vec_id, b.v,
@@ -392,10 +395,12 @@ def i41_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
        exact by freezing the fit).
 
     Scale: step-3 pairwise cost is O(sum over touched clusters c_i^2)
-    instead of O(sum over ALL clusters) — with k ~ n/1000 and a delta
-    hitting t << k clusters, per-drop dedup cost tracks the delta, not
-    the corpus. Assignment of the delta is map-only against k broadcast
-    literal centroids; ``changes()`` reads only the delta commit's dir.
+    instead of O(sum over ALL clusters) — k is now ADAPTIVE
+    (max(8, ceil(n/250)), analytics16._adaptive_k), so cluster size is
+    capped at ~250 and a delta hitting t << k clusters costs
+    ~250^2 * t, tracking the delta, not the corpus. Assignment of the
+    delta is map-only against k broadcast literal centroids;
+    ``changes()`` reads only the delta commit's dir.
     """
     from iceberg_v2_to_v3_upgrade_spark.operators.analytics16 import (
         _assign_to_centroids,

@@ -9,7 +9,7 @@ discovers a real Iceberg table: read ``v<N>.metadata.json``, resolve
 ``current-snapshot-id``, follow ``manifest-list``, list data/delete
 files.
 
-Fidelity and the one declared delta:
+Fidelity:
 - every REQUIRED v2 table-metadata field is emitted with spec names and
   spec-conformant values (format-version, table-uuid, location,
   last-sequence-number, last-updated-ms, last-column-id, schemas/
@@ -17,12 +17,21 @@ Fidelity and the one declared delta:
   with transforms + field ids, last-partition-id, sort-orders,
   properties, current-snapshot-id, snapshots with sequence-number /
   parent-snapshot-id / summary / manifest-list, snapshot-log, refs);
-- manifest lists are JSON files carrying the spec's manifest-file field
-  names (``manifest_path``/``content``/``added_snapshot_id``…) with the
-  per-dir file inventory inlined — the spec serializes these as Avro,
-  which needs an Avro writer this environment doesn't ship; the JSON
-  carries identical information and ``tables/duckdb_reader.py`` is the
-  executable proof a second engine can reconstruct the merged state.
+- manifest lists and manifests are **Avro object container files**
+  (round-8: the r7 wire-format gap, closed via the pure-stdlib writer
+  in ``tables/avro_io.py``): ``manifest-list`` points at a
+  ``snap-<id>-manifest-list.avro`` of spec ``manifest_file`` records
+  (field-ids 500-517 annotated in the embedded schema), each of whose
+  ``manifest_path`` is a ``manifest-*.avro`` of spec ``manifest_entry``
+  records (status / snapshot_id / sequence_number + ``data_file`` with
+  content / file_path / file_format / partition / record_count /
+  file_size_in_bytes / equality_ids, ids 100-144) carrying the manifest
+  key-value metadata the spec requires (``schema``, ``partition-spec``,
+  ``partition-spec-id``, ``format-version``, ``content``). A JSON twin
+  of each manifest list is written alongside (same stem, ``.json``) as
+  the human-readable form; ``operators/lifecycle9.py::i43`` is the
+  executable proof a second engine can reconstruct the merged state
+  from the AVRO chain alone.
 
 Public-spec reference: https://iceberg.apache.org/spec/ (v2 table
 metadata field list).
@@ -36,6 +45,9 @@ import os
 import re
 import uuid
 
+import pyarrow.parquet as pq
+
+from iceberg_v2_to_v3_upgrade_spark.tables.avro_io import write_avro
 from iceberg_v2_to_v3_upgrade_spark.tables.table import LocalTable, Snapshot
 
 #: Spark simpleString -> Iceberg primitive type name
@@ -182,57 +194,281 @@ def _ts_ms(iso: str) -> int:
     )
 
 
+#: Spec ``data_file`` struct (field-ids per the v2 spec table). The
+#: ``partition`` tuple is the empty struct: the export inventories
+#: files (partition values stay in the parquet/paths), the one
+#: documented simplification.
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+            "field-id": 102,
+        },
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {
+            "name": "equality_ids",
+            "type": [
+                "null",
+                {"type": "array", "items": "int", "element-id": 136},
+            ],
+            "default": None,
+            "field-id": 135,
+        },
+    ],
+}
+
+#: Spec ``manifest_entry`` (the record type inside each manifest file).
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {
+            "name": "snapshot_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 1,
+        },
+        {
+            "name": "sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 3,
+        },
+        {
+            "name": "file_sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 4,
+        },
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+#: Spec ``manifest_file`` (the record type inside the manifest list).
+#: Field names follow the Iceberg Java writer (added_data_files_count
+#: etc. — the wire names real v2 files carry).
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                                "field-id": 509,
+                            },
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "default": None,
+                                "field-id": 518,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                    "element-id": 508,
+                },
+            ],
+            "default": None,
+            "field-id": 507,
+        },
+        {
+            "name": "key_metadata",
+            "type": ["null", "bytes"],
+            "default": None,
+            "field-id": 519,
+        },
+    ],
+}
+
+
+def _write_manifest(
+    out_dir: str,
+    name: str,
+    snap: Snapshot,
+    seq: int,
+    files: list[str],
+    *,
+    df_content: int,
+    eq_ids: list[int] | None,
+    schema_json: str,
+    spec_json: str,
+) -> tuple[str, int, int]:
+    """Write one spec ``manifest_entry`` Avro manifest; returns
+    (path, byte_length, row_count). ``df_content`` is the data_file
+    content code (0 data / 1 position deletes / 2 equality deletes)."""
+    entries = []
+    rows = 0
+    for f in files:
+        n = pq.ParquetFile(f).metadata.num_rows
+        rows += n
+        entries.append(
+            {
+                "status": 1,  # ADDED (each manifest belongs to its snap)
+                "snapshot_id": snap.id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": df_content,
+                    "file_path": f,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(f),
+                    "equality_ids": eq_ids,
+                },
+            }
+        )
+    path = write_avro(
+        os.path.join(out_dir, name),
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        metadata={
+            "schema": schema_json,
+            "schema-id": "0",
+            "partition-spec": spec_json,
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data" if df_content == 0 else "deletes",
+        },
+    )
+    return path, os.path.getsize(path), rows
+
+
 def _manifest_list(
-    table: LocalTable, snap: Snapshot, out_dir: str
+    table: LocalTable,
+    snap: Snapshot,
+    out_dir: str,
+    *,
+    schema_json: str,
+    ids: dict[str, int],
 ) -> str:
-    """One JSON manifest list for ``snap``: spec manifest-file records
-    (content 0=data, 1=deletes) with the per-dir parquet inventory
-    inlined under ``entries``."""
+    """The Avro manifest list for ``snap`` (spec ``manifest_file``
+    records, content 0=data / 1=deletes), each row pointing at a spec
+    ``manifest_entry`` Avro manifest for one of the snapshot's dirs;
+    a JSON twin (same stem, ``.json``, file inventory inlined) is
+    written alongside as the human-readable form. Returns the AVRO
+    path — that is what ``metadata.json``'s ``manifest-list`` carries,
+    matching what a real Iceberg reader follows."""
+    spec_json = json.dumps({"spec-id": 0, "fields": []})
     records = []
+    twin = []
+    groups: list[tuple[int, int, str, int, list[int] | None]] = []
     for content, dirs in ((0, snap.data_dirs), (1, snap.delete_dirs)):
         for d in dirs:
-            files = sorted(
-                glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
-            )
-            records.append(
-                {
-                    "manifest_path": d,
-                    "manifest_length": sum(
-                        os.path.getsize(f) for f in files
-                    ),
-                    "partition_spec_id": 0,
-                    "content": content,
-                    "sequence_number": table._delete_scope_seq(d, snap),
-                    "added_snapshot_id": snap.id,
-                    "entries": [
-                        {"file_path": f, "file_format": "PARQUET"}
-                        for f in files
-                    ],
-                }
+            groups.append(
+                (content, content, d, table._delete_scope_seq(d, snap), None)
             )
     for entry in snap.eq_deletes:
-        files = sorted(
-            glob.glob(
-                os.path.join(entry["dir"], "**", "*.parquet"), recursive=True
+        groups.append(
+            (
+                1,
+                2,
+                entry["dir"],
+                int(entry["seq"]),
+                [ids.get(c, -1) for c in entry["cols"]],
             )
+        )
+    for i, (content, df_content, d, seq, eq_ids) in enumerate(groups):
+        files = sorted(
+            glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        )
+        mpath, mlen, rows = _write_manifest(
+            out_dir,
+            f"manifest-{snap.id}-{i}.avro",
+            snap,
+            seq,
+            files,
+            df_content=df_content,
+            eq_ids=eq_ids,
+            schema_json=schema_json,
+            spec_json=spec_json,
         )
         records.append(
             {
-                "manifest_path": entry["dir"],
-                "manifest_length": sum(os.path.getsize(f) for f in files),
+                "manifest_path": mpath,
+                "manifest_length": mlen,
                 "partition_spec_id": 0,
-                "content": 1,
-                "sequence_number": int(entry["seq"]),
-                "equality_ids": list(entry["cols"]),
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
                 "added_snapshot_id": snap.id,
+                "added_data_files_count": len(files),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+                "key_metadata": None,
+            }
+        )
+        twin.append(
+            {
+                **records[-1],
+                "source_dir": d,
+                **({"equality_ids": eq_ids} if eq_ids else {}),
                 "entries": [
                     {"file_path": f, "file_format": "PARQUET"} for f in files
                 ],
             }
         )
-    path = os.path.join(out_dir, f"snap-{snap.id}-manifest-list.json")
-    with open(path, "w") as f:
-        json.dump(records, f, indent=2)
+    path = write_avro(
+        os.path.join(out_dir, f"snap-{snap.id}-manifest-list.avro"),
+        _MANIFEST_FILE_SCHEMA,
+        records,
+        metadata={
+            "format-version": "2",
+            "snapshot-id": str(snap.id),
+            "sequence-number": str(snap.id),
+            "parent-snapshot-id": str(snap.parent_id or "null"),
+        },
+    )
+    with open(
+        os.path.join(out_dir, f"snap-{snap.id}-manifest-list.json"), "w"
+    ) as f:
+        json.dump(twin, f, indent=2)
     return path
 
 
@@ -241,6 +477,7 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
     snapshot) under ``out_dir``; returns the metadata file path."""
     os.makedirs(out_dir, exist_ok=True)
     schema, last_col, ids = _schema_struct(table)
+    schema_json = json.dumps(schema)
     specs, default_spec, last_pfid = _partition_specs(table, ids)
     snaps = table.snapshots()
     ancestors = {s.id for s in table.ancestry()}
@@ -256,7 +493,9 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
                 ),
                 "sequence-number": s.id,  # commit seq == snapshot numbering
                 "timestamp-ms": _ts_ms(s.timestamp),
-                "manifest-list": _manifest_list(table, s, out_dir),
+                "manifest-list": _manifest_list(
+                    table, s, out_dir, schema_json=schema_json, ids=ids
+                ),
                 "summary": {"operation": {
                     "create": "append",
                     "append": "append",
@@ -313,8 +552,9 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
         },
         # non-spec annotation (prefixed so spec-field consumers skip it)
         "x-export-note": (
-            "read-only export; manifest lists are JSON (the spec "
-            "serializes Avro) with identical field names/content"
+            "read-only export; manifest lists + manifests are Avro "
+            "object container files (tables/avro_io.py); a JSON twin "
+            "of each manifest list sits alongside (same stem, .json)"
         ),
     }
     path = os.path.join(out_dir, "v1.metadata.json")

@@ -10,8 +10,10 @@ for real with DuckDB reading ONLY paths discovered from the export.
 from __future__ import annotations
 
 import json
+import os
 
 import duckdb
+import pyarrow.parquet as pq
 
 from iceberg_v2_to_v3_upgrade_spark.tables import LocalTable
 from iceberg_v2_to_v3_upgrade_spark.tables.iceberg_export import (
@@ -74,8 +76,11 @@ def test_external_consumer_rebuilds_state_from_export_alone(
     spark, tmp_path
 ):
     """DuckDB reconstructs the merged table using ONLY the export: walk
-    metadata -> current snapshot -> manifest-list -> file inventory,
-    then data files anti-join positional delete files on _row_id."""
+    metadata -> current snapshot -> Avro manifest-list -> Avro manifests
+    -> file inventory, then data files anti-join positional delete files
+    on _row_id."""
+    from iceberg_v2_to_v3_upgrade_spark.tables.avro_io import read_avro
+
     t = _build(spark, tmp_path)
     meta = json.load(
         open(export_iceberg_metadata(t, str(tmp_path / "export")))
@@ -85,19 +90,20 @@ def test_external_consumer_rebuilds_state_from_export_alone(
         for s in meta["snapshots"]
         if s["snapshot-id"] == meta["current-snapshot-id"]
     )
-    manifests = json.load(open(current["manifest-list"]))
-    data_files = [
-        e["file_path"]
-        for m in manifests
-        if m["content"] == 0
-        for e in m["entries"]
-    ]
-    delete_files = [
-        e["file_path"]
-        for m in manifests
-        if m["content"] == 1
-        for e in m["entries"]
-    ]
+    assert current["manifest-list"].endswith(".avro")
+    _, _, manifests = read_avro(current["manifest-list"])
+    data_files, delete_files = [], []
+    for m in manifests:
+        # manifest_length is the spec meaning: the manifest FILE's size
+        assert m["manifest_length"] == os.path.getsize(m["manifest_path"])
+        _, _, entries = read_avro(m["manifest_path"])
+        paths = [e["data_file"]["file_path"] for e in entries]
+        # record_count matches the parquet footers it inventories
+        for e in entries:
+            assert e["data_file"]["record_count"] == pq.ParquetFile(
+                e["data_file"]["file_path"]
+            ).metadata.num_rows
+        (data_files if m["content"] == 0 else delete_files).extend(paths)
     assert data_files and delete_files
     con = duckdb.connect()
     dlist = ", ".join(f"'{f}'" for f in data_files)
