@@ -69,6 +69,138 @@ def j1_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tbl")
 
 
+_K6_ORACLE = """
+    WITH report(tbl, pre_fv, post_fv, action, post_delete_files,
+                n_rows) AS (
+        VALUES
+            ('lineitem_v3', '3', '3', 'compact_only', 0,
+             (SELECT CAST(count(*) AS BIGINT) FROM customer
+              WHERE c_custkey % 5 <> 0)),
+            ('orders_v2', '2', '3', 'upgrade_and_compact', 0,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_orderkey % 7 <> 0)),
+            ('raw_csv', '-', '-', 'skip_not_iceberg', 0,
+             CAST(NULL AS BIGINT))
+    )
+    SELECT tbl, pre_fv, post_fv, action, post_delete_files, n_rows,
+           0 AS rc_list, 0 AS rc_dry, 0 AS rc_all, 0 AS rc_v3,
+           1 AS rc_missing
+    FROM report ORDER BY tbl
+"""
+
+
+@declare("k6_cli_upgrade_arc", oracle=_K6_ORACLE, tags=("cli", "lifecycle"))
+def k6_cli_upgrade_arc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLI production entry point end-to-end (round-8 item 3 — the
+    reference's ``upgrade.sh:55-169`` / ``internal/upgrade_table.py:
+    173-228`` arc, previously tests-only K6): a 3-table database
+    (a V2 MoR table, an already-V3 table with delete files, a
+    registered NON-Iceberg csv table), then real ``cli.main`` argv
+    invocations:
+
+    - ``--list``: [WARN]/[OK]/[SKIP] report;
+    - ``--all --dry-run``: prints each plan (I6's conditional guards:
+      upgrade_and_compact for V2, skip for non-Iceberg) and must NOT
+      mutate;
+    - ``--all``: upgrades the V2 table (+compaction), skips the
+      non-Iceberg one, leaves the V3 table untouched;
+    - ``-t lineitem_v3``: the compact-only branch for already-V3;
+    - ``-t nope``: the not-found error path (exit 1).
+
+    The returned frame is the post-arc per-table state (pre/post
+    format-version, the action the CLI's OWN dry-run printed, residual
+    delete files, scanned rows) plus every exit code — all hash-gated.
+    """
+    import contextlib
+    import io as _io
+    import re as _re
+
+    from iceberg_v2_to_v3_upgrade_spark import cli
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="cli_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    db = "cli_db"
+    t2 = catalog.create_table(
+        db, "orders_v2", "o_orderkey BIGINT, o_totalprice DOUBLE"
+    )
+    t2.insert(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+    )
+    t2.delete_where("o_orderkey % 7 = 0")
+    t3 = catalog.create_table(
+        db, "lineitem_v3", "c_custkey BIGINT, c_acctbal DOUBLE"
+    )
+    t3.insert(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+    )
+    t3.delete_where("c_custkey % 5 = 0")
+    t3.set_properties({"format-version": "3"})
+    catalog.register_external_table(db, "raw_csv", table_type="EXTERNAL_CSV")
+
+    def run(argv: list[str]) -> tuple[int, str]:
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main(["upgrade", "-d", db, *argv, "--warehouse",
+                           warehouse])
+        return rc, buf.getvalue()
+
+    rc_list, out_list = run(["--list"])
+    assert "[SKIP] not an Iceberg table" in out_list, out_list
+    assert "[WARN] V2 - needs upgrade" in out_list, out_list
+
+    rc_dry, out_dry = run(["--all", "--dry-run"])
+    _, out_dry_v3 = run(["-t", "lineitem_v3", "--dry-run"])
+    actions = dict(
+        _re.findall(r"upgrade plan for cli_db\.(\w+): (\w+)",
+                    out_dry + out_dry_v3)
+    )
+    # dry-run must not mutate: still V2, delete files still present
+    info2 = catalog.get_table_info(db, "orders_v2")
+    assert info2["format_version"] == "2", "dry-run mutated the table"
+    assert catalog.load_table(db, "orders_v2").current_snapshot().delete_dirs
+
+    rc_all, out_all = run(["--all"])
+    assert "summary: 2/2 OK" in out_all, out_all
+    # --all excludes already-V3 tables: its delete files must survive
+    assert catalog.load_table(db, "lineitem_v3").current_snapshot().delete_dirs
+    rc_v3, _out = run(["-t", "lineitem_v3"])
+    rc_missing, out_missing = run(["-t", "nope"])
+    assert rc_missing == 1 and "0/1 OK" in out_missing, out_missing
+
+    rows = []
+    for name, pre_fv in (("lineitem_v3", "3"), ("orders_v2", "2"),
+                         ("raw_csv", None)):
+        info = catalog.get_table_info(db, name)
+        if info["format_version"] is None:
+            rows.append((name, "-", "-", actions[name], 0, None))
+        else:
+            t = catalog.load_table(db, name)
+            rows.append(
+                (
+                    name,
+                    pre_fv,
+                    str(info["format_version"]),
+                    actions[name],
+                    len(t.current_snapshot().delete_dirs),
+                    t.scan().count(),
+                )
+            )
+    return spark.createDataFrame(
+        [
+            (*r, rc_list, rc_dry, rc_all, rc_v3, rc_missing)
+            for r in rows
+        ],
+        "tbl string, pre_fv string, post_fv string, action string, "
+        "post_delete_files int, n_rows bigint, rc_list int, rc_dry int, "
+        "rc_all int, rc_v3 int, rc_missing int",
+    ).orderBy("tbl")
+
+
 _J2_ORACLE = """
     SELECT 'part_info' AS tbl,
            'ICEBERG_LOCAL' AS table_type,

@@ -1,0 +1,238 @@
+"""Round-8 driver-gate conversions: snapshot expiry (I5) and
+equality-delete CDC (the round-4 tests-only row).
+
+Both were pytest-verified control-plane paths with no hash-gate
+evidence; these queries put them behind the driver's DuckDB oracle the
+way j1/j7 converted the catalog/permission rows in round 7.
+
+Reference parity: ``README.md:34-38`` (the exact
+``CALL system.expire_snapshots(table =>, older_than => TIMESTAMP,
+retain_last =>)`` shape) and the streaming-CDC motive for equality
+deletes (Iceberg spec: equality delete files are what CDC writers
+emit because they cost O(1) per key — no position scan).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iceberg_v2_to_v3_upgrade_spark.io import load_table
+from iceberg_v2_to_v3_upgrade_spark.registry import declare
+
+_I44_ORACLE = """
+    WITH n3 AS (
+        SELECT CAST(count(*) AS BIGINT) AS v FROM orders
+        WHERE o_orderkey % 4 <> 0 AND o_totalprice >= 500
+    ),
+    report(phase, snap_ord, expired, travels, n_rows, reclaimed_dirs) AS (
+        VALUES
+            (1, 1, TRUE,  FALSE, CAST(NULL AS BIGINT), 0),
+            (1, 2, TRUE,  FALSE, CAST(NULL AS BIGINT), 0),
+            (1, 3, TRUE,  FALSE, CAST(NULL AS BIGINT), 0),
+            (1, 4, FALSE, TRUE,  (SELECT v FROM n3),   0),
+            (1, 5, FALSE, TRUE,  (SELECT v FROM n3),   0),
+            (2, 1, TRUE,  FALSE, CAST(NULL AS BIGINT), 3),
+            (2, 2, TRUE,  FALSE, CAST(NULL AS BIGINT), 3),
+            (2, 3, TRUE,  FALSE, CAST(NULL AS BIGINT), 3),
+            (2, 4, TRUE,  FALSE, CAST(NULL AS BIGINT), 3),
+            (2, 5, FALSE, TRUE,  (SELECT v FROM n3),   3)
+    )
+    SELECT phase, snap_ord, expired, travels, n_rows, reclaimed_dirs
+    FROM report ORDER BY phase, snap_ord
+"""
+
+
+def _parquet_dirs(root: str) -> set[str]:
+    import glob
+    import os
+
+    return {
+        os.path.dirname(f)
+        for f in glob.glob(
+            os.path.join(root, "**", "*.parquet"), recursive=True
+        )
+    }
+
+
+@declare(
+    "i44_snapshot_expiry",
+    oracle=_I44_ORACLE,
+    tags=("lifecycle", "maintenance", "gc"),
+)
+def i44_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``expire_snapshots`` end-to-end through the router's CALL (the
+    exact ``README.md:34-38`` shape — round-8 item 4, converting I5):
+    history = insert -> two MoR deletes -> full compaction, then
+
+    - phase 1 (``retain_last => 2``): snapshots 1-3 (create/insert/
+      first delete) expire; time travel to them REFUSES while 4-5
+      still travel with the right rows; and because survivor 4 still
+      references every pre-compaction dir, **zero** dirs may be
+      physically reclaimed (the safety half);
+    - phase 2 (``retain_last => 1``): snapshot 4 expires too; now only
+      the compacted dir is referenced, so exactly the 3 pre-compaction
+      dirs (1 data + 2 delete) are physically deleted (the reclamation
+      half), while the current scan stays invariant throughout.
+
+    The per-(phase, snapshot) refusal/travel/row-count/reclaim facts
+    are the returned frame, hash-gated.
+    """
+    from iceberg_v2_to_v3_upgrade_spark.sql_router import EngineSQL
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+    from iceberg_v2_to_v3_upgrade_spark.tables.table import TableError
+
+    warehouse = tempfile.mkdtemp(prefix="expiry_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "exp_db", "orders_exp", "o_orderkey BIGINT, o_totalprice DOUBLE"
+    )
+    t.insert(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+    )
+    t.delete_where("o_orderkey % 4 = 0")
+    t.delete_where("o_totalprice < 500")
+    t.rewrite_data_files(rewrite_all=True, delete_file_threshold=1)
+    # 5 snapshots: create (empty), insert, delete, delete, compaction
+    snap_ids = [s.id for s in t.snapshots()]
+    assert len(snap_ids) == 5, snap_ids
+    current_rows = t.scan().count()
+    router = EngineSQL(catalog)
+
+    def expire(retain: int) -> list[int]:
+        res = router.execute_one(
+            "CALL system.expire_snapshots(table => 'exp_db.orders_exp', "
+            "older_than => TIMESTAMP '2030-01-01 00:00:00', "
+            f"retain_last => {retain})"
+        )
+        assert res.kind == "expire_snapshots", res.message
+        return sorted(
+            int(x) for x in res.message.strip("expired []").split(",") if x.strip()
+        )
+
+    rows = []
+    for phase, retain, want_newly, want_expired in (
+        (1, 2, snap_ids[:3], snap_ids[:3]),
+        (2, 1, [snap_ids[3]], snap_ids[:4]),
+    ):
+        dirs_before = _parquet_dirs(t.root)
+        newly = expire(retain)
+        assert newly == sorted(want_newly), (newly, want_newly)
+        t = catalog.load_table("exp_db", "orders_exp")  # reload post-GC
+        assert t.scan().count() == current_rows, "expiry changed the scan"
+        reclaimed = len(dirs_before) - len(_parquet_dirs(t.root))
+        live = {s.id for s in t.snapshots()}
+        assert live == set(snap_ids) - set(want_expired), (live, want_expired)
+        for ord_, sid in enumerate(snap_ids, start=1):
+            if sid in live:
+                n = t.scan(snapshot_id=sid).count()
+                rows.append((phase, ord_, False, True, n, reclaimed))
+            else:
+                try:
+                    t.scan(snapshot_id=sid).count()
+                    travels = True
+                except TableError:
+                    travels = False
+                assert not travels, f"expired snapshot {sid} still travels"
+                rows.append((phase, ord_, True, False, None, reclaimed))
+    return spark.createDataFrame(
+        rows,
+        "phase int, snap_ord int, expired boolean, travels boolean, "
+        "n_rows bigint, reclaimed_dirs int",
+    ).orderBy("phase", "snap_ord")
+
+
+_I45_ORACLE = """
+    SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+    WHERE c_custkey % 6 <> 0 AND c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, c_acctbal + 10000, 'REINSTATED' FROM customer
+    WHERE c_custkey % 12 = 0 AND c_custkey % 60 <> 0
+    ORDER BY c_custkey, c_mktsegment
+"""
+
+
+@declare(
+    "i45_eq_delete_cdc",
+    oracle=_I45_ORACLE,
+    tags=("dml", "cdc", "eq-delete", "incremental"),
+)
+def i45_eq_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete CDC replay (round-8 item 7, converting the
+    round-4 tests-only row): a CDC-maintained table takes two
+    ``delete_by_keys`` equality deletes with a RE-INSERT in between —
+    the sequence-scoping case that distinguishes equality deletes from
+    positional ones (a key re-inserted AFTER a delete survives it; the
+    second delete then removes both generations of its keys). The
+    table's ``changes()`` stream seeds + replays an incremental
+    materialized view (sum-of-signs fold, the classic changelog-to-MV
+    construction), which is proven in-query to equal the table's own
+    MoR scan, then returned hash-gated against the oracle's direct
+    relational reconstruction.
+
+    Arc: s1 insert customers; s2 eq-delete keys %6==0; s3 re-insert
+    keys %12==0 (new acctbal, segment REINSTATED — NOT deleted by s2,
+    its seq is later); s4 eq-delete keys %10==0 (hits originals AND
+    the %60==0 re-inserts).
+
+    Scale: ``changes()`` reads only the delta commits (O(changed
+    rows)); the MV fold is one keyed groupBy over seed+delta — the
+    standard streaming-MV shape; eq-delete writes are O(keys) with no
+    table scan at write time.
+    """
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="eqcdc_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    ddl = "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING"
+    t = catalog.create_table("cdc_db", "cust_cdc", ddl)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    t.insert(cust)
+    base = t.current_snapshot().id
+
+    t.delete_by_keys(
+        cust.filter(F.col("c_custkey") % 6 == 0).select("c_custkey"),
+        ["c_custkey"],
+    )
+    t.insert(
+        cust.filter(F.col("c_custkey") % 12 == 0).select(
+            "c_custkey",
+            (F.col("c_acctbal") + 10000).alias("c_acctbal"),
+            F.lit("REINSTATED").alias("c_mktsegment"),
+        )
+    )
+    t.delete_by_keys(
+        cust.filter(F.col("c_custkey") % 10 == 0).select("c_custkey"),
+        ["c_custkey"],
+    )
+
+    cols = ["c_custkey", "c_acctbal", "c_mktsegment"]
+    seed = t.scan(snapshot_id=base).select(*cols).withColumn("s", F.lit(1))
+    delta = t.changes(base).select(
+        *cols,
+        F.when(F.col("_change_type") == "insert", F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    mv = (
+        seed.unionByName(delta)
+        .groupBy(*cols)
+        .agg(F.sum("s").alias("m"))
+        .filter(F.col("m") > 0)
+        .select(*cols)
+    ).persist()
+
+    # in-query equivalence: the replayed MV must equal the MoR scan
+    scan = t.scan().select(*cols)
+    assert mv.exceptAll(scan).count() == 0, "MV has rows the scan lacks"
+    assert scan.exceptAll(mv).count() == 0, "scan has rows the MV lacks"
+
+    out = mv.orderBy("c_custkey", "c_mktsegment")
+    result = out.collect()
+    mv.unpersist()
+    return spark.createDataFrame(result, out.schema)

@@ -297,6 +297,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         lifecycle9,
         catalog_queries,
         analytics17,
+        lifecycle10,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401

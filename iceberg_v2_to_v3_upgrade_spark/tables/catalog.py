@@ -395,6 +395,20 @@ class LocalCatalog:
         root = self.table_root(db, table)
         meta_path = os.path.join(root, "metadata.json")
         if not os.path.exists(meta_path):
+            ext_path = os.path.join(root, "_external_table.json")
+            if os.path.exists(ext_path):
+                with open(ext_path) as f:
+                    ext = json.load(f)
+                return {
+                    "name": table,
+                    "database": db,
+                    "location": ext.get("location", root),
+                    "table_type": ext.get("table_type", "EXTERNAL"),
+                    "format_version": None,
+                    "metadata_location": None,
+                    "properties": {},
+                    "current_snapshot_id": None,
+                }
             return None
         with open(meta_path) as f:
             meta = json.load(f)
@@ -409,6 +423,27 @@ class LocalCatalog:
             "properties": props,
             "current_snapshot_id": meta.get("current_snapshot_id"),
         }
+
+    def register_external_table(
+        self,
+        db: str,
+        table: str,
+        table_type: str = "EXTERNAL",
+        location: str | None = None,
+    ) -> None:
+        """Register a NON-Iceberg table in the catalog (reference
+        parity: a Glue database can hold plain CSV/parquet tables, and
+        ``internal/upgrade_table.py:117-119`` guards exactly this —
+        the upgrade must SKIP them, not fail). Writes a descriptor file
+        so ``get_table_info`` / ``--list`` / ``plan_upgrade`` see the
+        table with a non-Iceberg ``table_type``."""
+        self.create_database(db)
+        root = self.table_root(db, table)
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "_external_table.json"), "w") as f:
+            json.dump(
+                {"table_type": table_type, "location": location or root}, f
+            )
 
     def list_tables(self, db: str) -> list[dict[str, Any]]:
         """J2 (reference upgrade_table.py:149-170): every table with its
@@ -430,7 +465,11 @@ class LocalCatalog:
             (
                 t["name"],
                 str(t["format_version"]),
-                "[OK]" if t["format_version"] == "3" else "[WARN] V2 - needs upgrade",
+                "[OK]"
+                if t["format_version"] == "3"
+                else "[SKIP] not an Iceberg table"
+                if t["format_version"] is None
+                else "[WARN] V2 - needs upgrade",
             )
             for t in self.list_tables(db)
         ]

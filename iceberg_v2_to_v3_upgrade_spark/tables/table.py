@@ -878,8 +878,50 @@ class LocalTable:
             _ROW_ID, F.monotonically_increasing_id() + F.lit(base)
         )
 
-    def _bump_row_id_watermark(self, written: DataFrame) -> None:
-        hi = written.agg(F.max(_ROW_ID)).collect()[0][0]
+    def _bump_row_id_watermark(self, data_path: str) -> None:
+        """Advance ``next_row_id`` past the max ``_row_id`` in the
+        just-written dir, read from the parquet FOOTER statistics
+        (row-group max of the ``_row_id`` column) — the same number the
+        previous Spark re-read+agg computed, at O(files) driver-side
+        metadata cost instead of one full read job per write (round-8
+        perf item: this was an extra Spark job in EVERY streaming batch
+        commit; real Iceberg takes it from manifest stats the same
+        way). Files whose footer lacks min/max stats fall back to a
+        pyarrow column read of that file alone."""
+        import glob as _glob
+
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        hi: int | None = None
+        for f in _glob.glob(
+            os.path.join(data_path, "**", "*.parquet"), recursive=True
+        ):
+            pf = _pq.ParquetFile(f)
+            md = pf.metadata
+            col_idx = next(
+                (
+                    i
+                    for i in range(md.num_columns)
+                    if md.schema.column(i).name == _ROW_ID
+                ),
+                None,
+            )
+            if col_idx is None:
+                continue
+            fmax: int | None = None
+            stats_ok = md.num_row_groups > 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                if st is None or not st.has_min_max:
+                    stats_ok = False
+                    break
+                fmax = st.max if fmax is None else max(fmax, st.max)
+            if not stats_ok:
+                v = _pc.max(pf.read(columns=[_ROW_ID])[_ROW_ID]).as_py()
+                fmax = v
+            if fmax is not None:
+                hi = fmax if hi is None else max(hi, fmax)
         if hi is not None:
             self._meta["next_row_id"] = int(hi) + 1
             if self.format_version >= 3:
@@ -1288,9 +1330,7 @@ class LocalTable:
         snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
         path = self._next_dir("data", snap_id)
         self._write_data_dir(with_ids, path)
-        self._bump_row_id_watermark(
-            self._read_dirs([path], self._data_read_schema())
-        )
+        self._bump_row_id_watermark(path)
         return self._commit(
             "append",
             cur.data_dirs + [path],
@@ -1328,9 +1368,7 @@ class LocalTable:
         data_path = self._next_dir("data", snap_id)
         with_ids = self._assign_row_ids(aligned)
         self._write_data_dir(with_ids, data_path)
-        self._bump_row_id_watermark(
-            self._read_dirs([data_path], self._data_read_schema())
-        )
+        self._bump_row_id_watermark(data_path)
         if not spec:
             return self._commit(
                 "overwrite",
@@ -1526,7 +1564,11 @@ class LocalTable:
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
         cur = self._base_snapshot(branch)
         raw = self._scan_raw(cur)
-        matched = raw.filter(cond)
+        # persisted: feeds the delete file AND the rewrite (MoR), so the
+        # MoR scan runs once per UPDATE, not once per output (round-8
+        # perf item, the merge_into lesson); bounded by the predicate's
+        # matched set. Released after the commit.
+        matched = raw.filter(cond).persist()
         rewritten = self._apply_assignments(matched.drop(_ROW_ID), assignments)
         snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
         row_id_base = int(self._meta["next_row_id"])
@@ -1548,10 +1590,8 @@ class LocalTable:
             else:
                 with_ids = self._assign_row_ids(rewritten)
             self._write_data_dir(with_ids, data_path)
-            self._bump_row_id_watermark(
-                self._read_dirs([data_path], self._data_read_schema())
-            )
-            return self._commit(
+            self._bump_row_id_watermark(data_path)
+            snap = self._commit(
                 "update",
                 cur.data_dirs + [data_path],
                 cur.delete_dirs + [del_path],
@@ -1562,16 +1602,16 @@ class LocalTable:
                 fresh_row_dirs=[] if carried else [data_path],
                 row_id_base=None if carried else row_id_base,
             )
+            matched.unpersist()
+            return snap
         # copy-on-write
         untouched = raw.filter(~cond).drop(_ROW_ID)
         merged = untouched.unionByName(rewritten)
         data_path = self._next_dir("data", snap_id)
         with_ids = self._assign_row_ids(merged)
         self._write_data_dir(with_ids, data_path)
-        self._bump_row_id_watermark(
-            self._read_dirs([data_path], self._data_read_schema())
-        )
-        return self._commit(
+        self._bump_row_id_watermark(data_path)
+        snap = self._commit(
             "update",
             [data_path],
             [],
@@ -1579,6 +1619,8 @@ class LocalTable:
             fresh_row_dirs=[data_path],
             row_id_base=row_id_base,
         )
+        matched.unpersist()
+        return snap
 
     def _apply_assignments(
         self, df: DataFrame, assignments: dict[str, str | Column]
@@ -1631,9 +1673,14 @@ class LocalTable:
         condition are left untouched (no delete entry, no rewrite), and
         unmatched source rows that fail theirs are not inserted.
 
-        Scale: one equi-join keyed on ``on`` between target scan and
+        Scale: ONE equi-join keyed on ``on`` between target scan and
         source — broadcast when the source is small (the common upsert
-        case), AQE otherwise. Everything else is appends.
+        case), AQE otherwise. The join result (bounded by the source
+        size in the upsert pattern) is PERSISTED and feeds the delete
+        file, the rewrite rows, and the not-matched anti-join, so the
+        target scan executes once per MERGE instead of once per output
+        (round-8 perf item: this was 2-3 table scans per streaming
+        batch). Everything else is appends.
         """
         cur = self.current_snapshot()
         declared = self.spark.createDataFrame([], self.schema_ddl).schema
@@ -1643,9 +1690,18 @@ class LocalTable:
         cond = F.lit(True)
         for k in on:
             cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
-        matched = t.join(s, cond, "inner")
+        matched_raw = t.join(s, cond, "inner").persist()
+        matched = matched_raw
         if matched_condition:
             matched = matched.filter(F.expr(matched_condition))
+        # not-matched source rows = source anti-joined against the
+        # (persisted, batch-bounded) MATCHED KEYS — not against the full
+        # table scan, which would re-execute the MoR merge per output.
+        # Key semantics are identical: a null-keyed source row matches
+        # nothing under equality either way and stays "not matched".
+        matched_keys = matched_raw.select(
+            *[F.col(f"s.{k}").alias(k) for k in on]
+        ).distinct()
         new_rows = []
         if when_matched == "update":
             # source columns win; table fills the rest (classic upsert)
@@ -1686,7 +1742,7 @@ class LocalTable:
                     f"when_not_matched='insert' needs all table columns in "
                     f"source; missing {missing}"
                 )
-            unmatched_src = s.join(t, cond, "left_anti")
+            unmatched_src = s.join(matched_keys, on, "left_anti")
             if not_matched_condition:
                 unmatched_src = unmatched_src.filter(
                     F.expr(not_matched_condition)
@@ -1706,7 +1762,7 @@ class LocalTable:
             when_not_matched = {
                 canon[c.lower()]: v for c, v in when_not_matched.items()
             }
-            unmatched_src = s.join(t, cond, "left_anti")
+            unmatched_src = s.join(matched_keys, on, "left_anti")
             if not_matched_condition:
                 unmatched_src = unmatched_src.filter(
                     F.expr(not_matched_condition)
@@ -1746,12 +1802,10 @@ class LocalTable:
             data_path = self._next_dir("data", snap_id)
             with_ids = self._assign_row_ids(appended)
             self._write_data_dir(with_ids, data_path)
-            self._bump_row_id_watermark(
-                self._read_dirs([data_path], self._data_read_schema())
-            )
+            self._bump_row_id_watermark(data_path)
             data_dirs.append(data_path)
             fresh_row_dirs = [data_path]
-        return self._commit(
+        snap = self._commit(
             "merge",
             data_dirs,
             delete_dirs,
@@ -1759,6 +1813,8 @@ class LocalTable:
             fresh_row_dirs=fresh_row_dirs,
             row_id_base=row_id_base if fresh_row_dirs else None,
         )
+        matched_raw.unpersist()
+        return snap
 
     # ----------------------------------------------------- schema evolution
 
