@@ -298,6 +298,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         catalog_queries,
         analytics17,
         lifecycle10,
+        catalog_queries2,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
