@@ -221,6 +221,57 @@ def k2_session_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("item")
 
 
+_J5_ORACLE = """
+    WITH f(step, detail) AS (
+        VALUES ('create_new', 'true'),
+               ('create_idempotent', 'false'),
+               ('listed', 'true'),
+               ('table_under_root', 'true'),
+               ('drop_nonempty_refused', 'true'),
+               ('drop_cascade', 'true'),
+               ('gone', 'true')
+    )
+    SELECT step, detail FROM f ORDER BY step
+"""
+
+
+@declare(
+    "j5_database_lifecycle", oracle=_J5_ORACLE, tags=("catalog", "ddl")
+)
+def j5_database_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Database create / storage-root / drop lifecycle (J5/J6 — the
+    reference creates the Glue database with a storage location before
+    any table work): create is True-new then False-idempotent, the db
+    lists, a table lands UNDER the database's storage root, dropping a
+    NON-empty db without cascade refuses, cascade drops everything."""
+    import os
+
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="dbcycle_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    facts = {}
+    facts["create_new"] = catalog.create_database("life_db")
+    facts["create_idempotent"] = catalog.create_database("life_db")
+    facts["listed"] = "life_db" in catalog.list_databases()
+    t = catalog.create_table("life_db", "t1", "id BIGINT")
+    facts["table_under_root"] = t.root.startswith(
+        os.path.join(warehouse, "life_db")
+    )
+    try:
+        catalog.drop_database("life_db")
+        facts["drop_nonempty_refused"] = False
+    except Exception:  # noqa: BLE001 — the refusal contract
+        facts["drop_nonempty_refused"] = True
+    catalog.drop_database("life_db", cascade=True)
+    facts["drop_cascade"] = "life_db" not in catalog.list_databases()
+    facts["gone"] = not os.path.exists(os.path.join(warehouse, "life_db"))
+    return spark.createDataFrame(
+        sorted((k, str(v).lower()) for k, v in facts.items()),
+        "step string, detail string",
+    )
+
+
 _I46_ORACLE = """
     SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 2000
     UNION ALL
