@@ -277,7 +277,7 @@ _I46_ORACLE = """
     UNION ALL
     SELECT o_orderkey + 1000000, o_totalprice FROM orders
     WHERE o_orderkey % 5 = 0
-    ORDER BY o_orderkey
+    ORDER BY o_orderkey, o_totalprice
 """
 
 
@@ -318,7 +318,10 @@ def i46_cherrypick_seq_scoping(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_where("o_totalprice < 2000")  # commits on main, later seq
     t.cherrypick_snapshot(staged.id)
 
-    out = t.scan().orderBy("o_orderkey")
+    # tiebreak on o_totalprice too: at sf >= ~0.2 the +1000000 offset
+    # collides with real orderkeys, and a single-key sort would leave
+    # the hash gate order-nondeterministic (round-8 review finding)
+    out = t.scan().orderBy("o_orderkey", "o_totalprice")
     # the seq-scoping teeth: picked rows matching the delete predicate
     # are alive because their sequence is the PUBLISH commit's
     survivors_below = (

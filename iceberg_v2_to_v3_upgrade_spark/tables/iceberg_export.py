@@ -323,10 +323,25 @@ _MANIFEST_FILE_SCHEMA = {
 }
 
 
+def _file_stats(
+    f: str, cache: dict[str, tuple[int, int]]
+) -> tuple[int, int]:
+    """(num_rows, size_bytes) for one parquet file, cached across the
+    whole export — a multi-snapshot export re-inventories shared
+    ancestor dirs once per snapshot, and without the cache the footer
+    opens were O(snapshots x files) (round-8 review finding)."""
+    hit = cache.get(f)
+    if hit is None:
+        hit = (pq.ParquetFile(f).metadata.num_rows, os.path.getsize(f))
+        cache[f] = hit
+    return hit
+
+
 def _write_manifest(
     out_dir: str,
     name: str,
-    snap: Snapshot,
+    added_snapshot_id: int,
+    status: int,
     seq: int,
     files: list[str],
     *,
@@ -334,19 +349,24 @@ def _write_manifest(
     eq_ids: list[int] | None,
     schema_json: str,
     spec_json: str,
+    stats_cache: dict[str, tuple[int, int]],
 ) -> tuple[str, int, int]:
     """Write one spec ``manifest_entry`` Avro manifest; returns
     (path, byte_length, row_count). ``df_content`` is the data_file
-    content code (0 data / 1 position deletes / 2 equality deletes)."""
+    content code (0 data / 1 position deletes / 2 equality deletes);
+    ``status``/``added_snapshot_id`` carry the spec's ADDED-vs-EXISTING
+    attribution (1 + this snapshot for dirs this snapshot added, 0 +
+    the ORIGINAL adder for inherited dirs — an incremental consumer
+    reads "files added in snapshot N" straight off these fields)."""
     entries = []
     rows = 0
     for f in files:
-        n = pq.ParquetFile(f).metadata.num_rows
+        n, size = _file_stats(f, stats_cache)
         rows += n
         entries.append(
             {
-                "status": 1,  # ADDED (each manifest belongs to its snap)
-                "snapshot_id": snap.id,
+                "status": status,
+                "snapshot_id": added_snapshot_id,
                 "sequence_number": seq,
                 "file_sequence_number": seq,
                 "data_file": {
@@ -355,7 +375,7 @@ def _write_manifest(
                     "file_format": "PARQUET",
                     "partition": {},
                     "record_count": n,
-                    "file_size_in_bytes": os.path.getsize(f),
+                    "file_size_in_bytes": size,
                     "equality_ids": eq_ids,
                 },
             }
@@ -376,6 +396,21 @@ def _write_manifest(
     return path, os.path.getsize(path), rows
 
 
+def _dir_adders(snaps: list[Snapshot]) -> dict[str, int]:
+    """dir -> id of the snapshot that ADDED it (first appearance in id
+    order — dirs are immutable once committed, so first-seen is the
+    adder). Drives the spec's status/added_snapshot_id attribution."""
+    added: dict[str, int] = {}
+    for s in sorted(snaps, key=lambda s: s.id):
+        for d in (
+            *s.data_dirs,
+            *s.delete_dirs,
+            *(e["dir"] for e in s.eq_deletes),
+        ):
+            added.setdefault(d, s.id)
+    return added
+
+
 def _manifest_list(
     table: LocalTable,
     snap: Snapshot,
@@ -383,6 +418,8 @@ def _manifest_list(
     *,
     schema_json: str,
     ids: dict[str, int],
+    adders: dict[str, int],
+    stats_cache: dict[str, tuple[int, int]],
 ) -> str:
     """The Avro manifest list for ``snap`` (spec ``manifest_file``
     records, content 0=data / 1=deletes), each row pointing at a spec
@@ -401,29 +438,42 @@ def _manifest_list(
                 (content, content, d, table._delete_scope_seq(d, snap), None)
             )
     for entry in snap.eq_deletes:
+        missing = [c for c in entry["cols"] if c not in ids]
+        if missing:
+            # an unresolvable equality column would otherwise export as
+            # a sentinel field id a real reader cannot map — deleted
+            # rows would silently resurrect (round-8 review finding)
+            raise ValueError(
+                f"equality-delete columns {missing} not in the current "
+                f"schema; refusing to export an unreadable manifest"
+            )
         groups.append(
             (
                 1,
                 2,
                 entry["dir"],
                 int(entry["seq"]),
-                [ids.get(c, -1) for c in entry["cols"]],
+                [ids[c] for c in entry["cols"]],
             )
         )
     for i, (content, df_content, d, seq, eq_ids) in enumerate(groups):
         files = sorted(
             glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
         )
+        adder = adders.get(d, snap.id)
+        status = 1 if adder == snap.id else 0  # ADDED vs EXISTING
         mpath, mlen, rows = _write_manifest(
             out_dir,
             f"manifest-{snap.id}-{i}.avro",
-            snap,
+            adder,
+            status,
             seq,
             files,
             df_content=df_content,
             eq_ids=eq_ids,
             schema_json=schema_json,
             spec_json=spec_json,
+            stats_cache=stats_cache,
         )
         records.append(
             {
@@ -433,12 +483,12 @@ def _manifest_list(
                 "content": content,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
-                "added_snapshot_id": snap.id,
-                "added_data_files_count": len(files),
-                "existing_data_files_count": 0,
+                "added_snapshot_id": adder,
+                "added_data_files_count": len(files) if status == 1 else 0,
+                "existing_data_files_count": 0 if status == 1 else len(files),
                 "deleted_data_files_count": 0,
-                "added_rows_count": rows,
-                "existing_rows_count": 0,
+                "added_rows_count": rows if status == 1 else 0,
+                "existing_rows_count": 0 if status == 1 else rows,
                 "deleted_rows_count": 0,
                 "partitions": None,
                 "key_metadata": None,
@@ -480,6 +530,8 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
     schema_json = json.dumps(schema)
     specs, default_spec, last_pfid = _partition_specs(table, ids)
     snaps = table.snapshots()
+    adders = _dir_adders(snaps)
+    stats_cache: dict[str, tuple[int, int]] = {}
     ancestors = {s.id for s in table.ancestry()}
     snapshots = []
     for s in snaps:
@@ -494,7 +546,13 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
                 "sequence-number": s.id,  # commit seq == snapshot numbering
                 "timestamp-ms": _ts_ms(s.timestamp),
                 "manifest-list": _manifest_list(
-                    table, s, out_dir, schema_json=schema_json, ids=ids
+                    table,
+                    s,
+                    out_dir,
+                    schema_json=schema_json,
+                    ids=ids,
+                    adders=adders,
+                    stats_cache=stats_cache,
                 ),
                 "summary": {"operation": {
                     "create": "append",

@@ -923,9 +923,14 @@ class LocalTable:
             if fmax is not None:
                 hi = fmax if hi is None else max(hi, fmax)
         if hi is not None:
-            self._meta["next_row_id"] = int(hi) + 1
+            # MONOTONIC: a V3 carried-row update re-writes rows keeping
+            # their OLD (possibly low) ids — taking hi+1 unconditionally
+            # would move the watermark backwards and let the next insert
+            # mint duplicate _row_ids (round-8 review finding)
+            nxt = max(int(self._meta["next_row_id"]), int(hi) + 1)
+            self._meta["next_row_id"] = nxt
             if self.format_version >= 3:
-                self._meta["properties"]["next-row-id"] = str(int(hi) + 1)
+                self._meta["properties"]["next-row-id"] = str(nxt)
 
     @property
     def partition_spec_log(self) -> list[dict]:
@@ -1569,58 +1574,65 @@ class LocalTable:
         # perf item, the merge_into lesson); bounded by the predicate's
         # matched set. Released after the commit.
         matched = raw.filter(cond).persist()
-        rewritten = self._apply_assignments(matched.drop(_ROW_ID), assignments)
-        snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
-        row_id_base = int(self._meta["next_row_id"])
-        if self._meta["properties"].get("write.update.mode") == "merge-on-read":
-            del_path = self._next_dir("deletes", snap_id)
-            matched.select(_ROW_ID).write.mode("overwrite").parquet(del_path)
+        # try/finally: a CommitConflictError (or any validation raise)
+        # must not leak the cached frame (round-8 review finding)
+        try:
+            rewritten = self._apply_assignments(matched.drop(_ROW_ID), assignments)
+            snap_id = max(s["id"] for s in self._meta["snapshots"]) + 1
+            row_id_base = int(self._meta["next_row_id"])
+            if self._meta["properties"].get("write.update.mode") == "merge-on-read":
+                del_path = self._next_dir("deletes", snap_id)
+                matched.select(_ROW_ID).write.mode("overwrite").parquet(del_path)
+                data_path = self._next_dir("data", snap_id)
+                carried = self.format_version >= 3
+                if carried:
+                    # V3 row lineage: the rewritten row KEEPS its _row_id
+                    # (Iceberg V3 carried-over row ids — incremental consumers
+                    # can track a logical row across updates). The tombstone
+                    # above still hides the OLD position; the seq-scoped
+                    # delete application (flagged here) keeps the carried copy
+                    # visible. (rewritten above had _ROW_ID dropped — rebuild
+                    # the SET projection from `matched` keeping the id.)
+                    with_ids = self._apply_assignments(matched, assignments)
+                    self._meta["carried_row_ids"] = True
+                else:
+                    with_ids = self._assign_row_ids(rewritten)
+                self._write_data_dir(with_ids, data_path)
+                self._bump_row_id_watermark(data_path)
+                snap = self._commit(
+                    "update",
+                    cur.data_dirs + [data_path],
+                    cur.delete_dirs + [del_path],
+                    branch=branch,
+                    eq_deletes=cur.eq_deletes,
+                    # V3 carried rows keep their original ids — nothing to
+                    # shift on rebase; V2 rewrites got fresh ids
+                    fresh_row_dirs=[] if carried else [data_path],
+                    row_id_base=None if carried else row_id_base,
+                )
+                return snap
+            # copy-on-write. NULL-predicate rows are NOT matched (SQL
+            # three-valued logic) and must be KEPT: a bare ~cond is NULL for
+            # them too, which would silently drop the rows from the single
+            # rewritten dir (round-8 review finding; the MoR branch never
+            # had the problem because unmatched rows stay in their dir).
+            untouched = raw.filter(~F.coalesce(cond, F.lit(False))).drop(_ROW_ID)
+            merged = untouched.unionByName(rewritten)
             data_path = self._next_dir("data", snap_id)
-            carried = self.format_version >= 3
-            if carried:
-                # V3 row lineage: the rewritten row KEEPS its _row_id
-                # (Iceberg V3 carried-over row ids — incremental consumers
-                # can track a logical row across updates). The tombstone
-                # above still hides the OLD position; the seq-scoped
-                # delete application (flagged here) keeps the carried copy
-                # visible. (rewritten above had _ROW_ID dropped — rebuild
-                # the SET projection from `matched` keeping the id.)
-                with_ids = self._apply_assignments(matched, assignments)
-                self._meta["carried_row_ids"] = True
-            else:
-                with_ids = self._assign_row_ids(rewritten)
+            with_ids = self._assign_row_ids(merged)
             self._write_data_dir(with_ids, data_path)
             self._bump_row_id_watermark(data_path)
             snap = self._commit(
                 "update",
-                cur.data_dirs + [data_path],
-                cur.delete_dirs + [del_path],
+                [data_path],
+                [],
                 branch=branch,
-                eq_deletes=cur.eq_deletes,
-                # V3 carried rows keep their original ids — nothing to
-                # shift on rebase; V2 rewrites got fresh ids
-                fresh_row_dirs=[] if carried else [data_path],
-                row_id_base=None if carried else row_id_base,
+                fresh_row_dirs=[data_path],
+                row_id_base=row_id_base,
             )
-            matched.unpersist()
             return snap
-        # copy-on-write
-        untouched = raw.filter(~cond).drop(_ROW_ID)
-        merged = untouched.unionByName(rewritten)
-        data_path = self._next_dir("data", snap_id)
-        with_ids = self._assign_row_ids(merged)
-        self._write_data_dir(with_ids, data_path)
-        self._bump_row_id_watermark(data_path)
-        snap = self._commit(
-            "update",
-            [data_path],
-            [],
-            branch=branch,
-            fresh_row_dirs=[data_path],
-            row_id_base=row_id_base,
-        )
-        matched.unpersist()
-        return snap
+        finally:
+            matched.unpersist()
 
     def _apply_assignments(
         self, df: DataFrame, assignments: dict[str, str | Column]
@@ -1691,130 +1703,136 @@ class LocalTable:
         for k in on:
             cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
         matched_raw = t.join(s, cond, "inner").persist()
-        matched = matched_raw
-        if matched_condition:
-            matched = matched.filter(F.expr(matched_condition))
-        # not-matched source rows = source anti-joined against the
-        # (persisted, batch-bounded) MATCHED KEYS — not against the full
-        # table scan, which would re-execute the MoR merge per output.
-        # Key semantics are identical: a null-keyed source row matches
-        # nothing under equality either way and stays "not matched".
-        matched_keys = matched_raw.select(
-            *[F.col(f"s.{k}").alias(k) for k in on]
-        ).distinct()
-        new_rows = []
-        if when_matched == "update":
-            # source columns win; table fills the rest (classic upsert)
-            new_rows.append(
-                matched.select(
-                    *[
-                        F.col(f"s.{c}" if c in source.columns else f"t.{c}").alias(c)
-                        for c in cols
-                    ]
+        # try/finally: a CommitConflictError (the contended-writer
+        # case this persist exists to make cheap to retry) or any
+        # validation raise must not leak the cached join (round-8
+        # review finding)
+        try:
+            matched = matched_raw
+            if matched_condition:
+                matched = matched.filter(F.expr(matched_condition))
+            # not-matched source rows = source anti-joined against the
+            # (persisted, batch-bounded) MATCHED KEYS — not against the full
+            # table scan, which would re-execute the MoR merge per output.
+            # Key semantics are identical: a null-keyed source row matches
+            # nothing under equality either way and stays "not matched".
+            matched_keys = matched_raw.select(
+                *[F.col(f"s.{k}").alias(k) for k in on]
+            ).distinct()
+            new_rows = []
+            if when_matched == "update":
+                # source columns win; table fills the rest (classic upsert)
+                new_rows.append(
+                    matched.select(
+                        *[
+                            F.col(f"s.{c}" if c in source.columns else f"t.{c}").alias(c)
+                            for c in cols
+                        ]
+                    )
                 )
-            )
-        elif isinstance(when_matched, dict):
-            # SET expressions may use t.col / s.col qualifiers
-            updated = matched
-            assigned = {}
-            for col, expr in when_matched.items():
-                value = F.expr(expr) if isinstance(expr, str) else expr
-                value = value.cast(declared[col].dataType)
-                tmp = f"__set_{col}"
-                updated = updated.withColumn(tmp, value)
-                assigned[col] = tmp
-            new_rows.append(
-                updated.select(
-                    *[
-                        F.col(assigned[c]).alias(c)
-                        if c in assigned
-                        else F.col(f"t.{c}").alias(c)
-                        for c in cols
-                    ]
+            elif isinstance(when_matched, dict):
+                # SET expressions may use t.col / s.col qualifiers
+                updated = matched
+                assigned = {}
+                for col, expr in when_matched.items():
+                    value = F.expr(expr) if isinstance(expr, str) else expr
+                    value = value.cast(declared[col].dataType)
+                    tmp = f"__set_{col}"
+                    updated = updated.withColumn(tmp, value)
+                    assigned[col] = tmp
+                new_rows.append(
+                    updated.select(
+                        *[
+                            F.col(assigned[c]).alias(c)
+                            if c in assigned
+                            else F.col(f"t.{c}").alias(c)
+                            for c in cols
+                        ]
+                    )
                 )
-            )
-        elif when_matched not in ("delete", None):
-            raise TableError(f"bad when_matched: {when_matched!r}")
-        if when_not_matched == "insert":
-            missing = [c for c in cols if c not in source.columns]
-            if missing:
-                raise TableError(
-                    f"when_not_matched='insert' needs all table columns in "
-                    f"source; missing {missing}"
+            elif when_matched not in ("delete", None):
+                raise TableError(f"bad when_matched: {when_matched!r}")
+            if when_not_matched == "insert":
+                missing = [c for c in cols if c not in source.columns]
+                if missing:
+                    raise TableError(
+                        f"when_not_matched='insert' needs all table columns in "
+                        f"source; missing {missing}"
+                    )
+                unmatched_src = s.join(matched_keys, on, "left_anti")
+                if not_matched_condition:
+                    unmatched_src = unmatched_src.filter(
+                        F.expr(not_matched_condition)
+                    )
+                new_rows.append(unmatched_src.select(*cols))
+            elif isinstance(when_not_matched, dict):
+                # SQL identifiers are case-insensitive: normalize the INSERT
+                # column list to the declared casing before validating
+                canon = {c.lower(): c for c in cols}
+                unknown = [
+                    c for c in when_not_matched if c.lower() not in canon
+                ]
+                if unknown:
+                    raise TableError(
+                        f"INSERT column(s) not in table schema: {unknown}"
+                    )
+                when_not_matched = {
+                    canon[c.lower()]: v for c, v in when_not_matched.items()
+                }
+                unmatched_src = s.join(matched_keys, on, "left_anti")
+                if not_matched_condition:
+                    unmatched_src = unmatched_src.filter(
+                        F.expr(not_matched_condition)
+                    )
+                new_rows.append(
+                    unmatched_src.select(
+                        *[
+                            (
+                                F.expr(when_not_matched[c])
+                                if c in when_not_matched
+                                else F.lit(None)
+                            )
+                            .cast(declared[c].dataType)
+                            .alias(c)
+                            for c in cols
+                        ]
+                    )
                 )
-            unmatched_src = s.join(matched_keys, on, "left_anti")
-            if not_matched_condition:
-                unmatched_src = unmatched_src.filter(
-                    F.expr(not_matched_condition)
-                )
-            new_rows.append(unmatched_src.select(*cols))
-        elif isinstance(when_not_matched, dict):
-            # SQL identifiers are case-insensitive: normalize the INSERT
-            # column list to the declared casing before validating
-            canon = {c.lower(): c for c in cols}
-            unknown = [
-                c for c in when_not_matched if c.lower() not in canon
-            ]
-            if unknown:
-                raise TableError(
-                    f"INSERT column(s) not in table schema: {unknown}"
-                )
-            when_not_matched = {
-                canon[c.lower()]: v for c, v in when_not_matched.items()
-            }
-            unmatched_src = s.join(matched_keys, on, "left_anti")
-            if not_matched_condition:
-                unmatched_src = unmatched_src.filter(
-                    F.expr(not_matched_condition)
-                )
-            new_rows.append(
-                unmatched_src.select(
-                    *[
-                        (
-                            F.expr(when_not_matched[c])
-                            if c in when_not_matched
-                            else F.lit(None)
-                        )
-                        .cast(declared[c].dataType)
-                        .alias(c)
-                        for c in cols
-                    ]
-                )
-            )
-        elif when_not_matched is not None:
-            raise TableError(f"bad when_not_matched: {when_not_matched!r}")
+            elif when_not_matched is not None:
+                raise TableError(f"bad when_not_matched: {when_not_matched!r}")
 
-        snap_id = max(s2["id"] for s2 in self._meta["snapshots"]) + 1
-        delete_dirs = list(cur.delete_dirs)
-        data_dirs = list(cur.data_dirs)
-        if when_matched is not None:
-            del_path = self._next_dir("deletes", snap_id)
-            matched.select(F.col(f"t.{_ROW_ID}").alias(_ROW_ID)).write.mode(
-                "overwrite"
-            ).parquet(del_path)
-            delete_dirs.append(del_path)
-        appended = None
-        for df in new_rows:
-            appended = df if appended is None else appended.unionByName(df)
-        fresh_row_dirs: list[str] = []
-        row_id_base = int(self._meta["next_row_id"])
-        if appended is not None:
-            data_path = self._next_dir("data", snap_id)
-            with_ids = self._assign_row_ids(appended)
-            self._write_data_dir(with_ids, data_path)
-            self._bump_row_id_watermark(data_path)
-            data_dirs.append(data_path)
-            fresh_row_dirs = [data_path]
-        snap = self._commit(
-            "merge",
-            data_dirs,
-            delete_dirs,
-            eq_deletes=cur.eq_deletes,
-            fresh_row_dirs=fresh_row_dirs,
-            row_id_base=row_id_base if fresh_row_dirs else None,
-        )
-        matched_raw.unpersist()
-        return snap
+            snap_id = max(s2["id"] for s2 in self._meta["snapshots"]) + 1
+            delete_dirs = list(cur.delete_dirs)
+            data_dirs = list(cur.data_dirs)
+            if when_matched is not None:
+                del_path = self._next_dir("deletes", snap_id)
+                matched.select(F.col(f"t.{_ROW_ID}").alias(_ROW_ID)).write.mode(
+                    "overwrite"
+                ).parquet(del_path)
+                delete_dirs.append(del_path)
+            appended = None
+            for df in new_rows:
+                appended = df if appended is None else appended.unionByName(df)
+            fresh_row_dirs: list[str] = []
+            row_id_base = int(self._meta["next_row_id"])
+            if appended is not None:
+                data_path = self._next_dir("data", snap_id)
+                with_ids = self._assign_row_ids(appended)
+                self._write_data_dir(with_ids, data_path)
+                self._bump_row_id_watermark(data_path)
+                data_dirs.append(data_path)
+                fresh_row_dirs = [data_path]
+            snap = self._commit(
+                "merge",
+                data_dirs,
+                delete_dirs,
+                eq_deletes=cur.eq_deletes,
+                fresh_row_dirs=fresh_row_dirs,
+                row_id_base=row_id_base if fresh_row_dirs else None,
+            )
+            return snap
+        finally:
+            matched_raw.unpersist()
 
     # ----------------------------------------------------- schema evolution
 

@@ -226,15 +226,22 @@ def test_export_manifest_chain_reads_independently(spark, tmp_path):
     assert by_name["manifest_path"]["field-id"] == 500
     assert by_name["content"]["field-id"] == 517
     seen_files = []
+    statuses = set()
     for m in manifests:
         msch, mmeta, entries = independent_read(m["manifest_path"])
         assert mmeta["content"] in (b"data", b"deletes")
         assert json.loads(mmeta["schema"])["type"] == "struct"
         for e in entries:
-            assert e["status"] == 1
+            # ADDED (1) for dirs this snapshot added, EXISTING (0) for
+            # inherited dirs — both attributed to their ORIGINAL adder
+            assert e["status"] in (0, 1)
+            statuses.add(e["status"])
             assert e["snapshot_id"] == m["added_snapshot_id"]
             assert e["data_file"]["file_format"] == "PARQUET"
             seen_files.append(e["data_file"]["file_path"])
+    # the fixture has history (insert -> delete), so the CURRENT
+    # snapshot's list must carry both attributions
+    assert statuses == {0, 1}, statuses
     # the chain inventories exactly the table's current dirs
     snap = t.current_snapshot()
     import glob
