@@ -236,3 +236,118 @@ def i45_eq_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out.collect()
     mv.unpersist()
     return spark.createDataFrame(result, out.schema)
+
+
+_I47_ORACLE = """
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment = 'BUILDING'
+                THEN c_acctbal + 0.5 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    WHERE c_custkey % 7 <> 0 AND c_acctbal >= 1000
+    ORDER BY c_custkey
+"""
+
+
+@declare(
+    "i47_deletion_vector_export",
+    oracle=_I47_ORACLE,
+    tags=("lifecycle", "cross-engine", "v3", "metadata"),
+)
+def i47_deletion_vector_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg V3 deletion vectors over the wire (round-8 stretch — the
+    format the reference's 2->3 upgrade exists to unlock): a V3 table
+    takes two MoR DELETEs and a carried-row UPDATE, its positional
+    delete state is exported as spec-shaped ``deletion-vector-v1``
+    blobs (per-data-file Roaring bitmaps of row positions) in a Puffin
+    container (``tables/puffin_io.py``, pure stdlib), and a BLIND
+    consumer reconstructs the table: read the Puffin footer, decode
+    each blob's positions, and have DuckDB read the raw data files
+    excluding exactly those ``file_row_number`` positions — no access
+    to this engine's metadata or merge logic. DuckDB's independent
+    row numbering doubles as a check that exported positions are true
+    parquet file order. Hash-gated against the relational oracle.
+
+    The carried-row UPDATE is the sharp edge: V3 keeps the rewritten
+    row's ``_row_id`` in the NEW file while its OLD position must land
+    in the DV — per-(id, file) anti-join semantics, which the export
+    derives from the engine's own merge rather than re-deriving.
+    """
+    import pandas as pd
+
+    import duckdb
+
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+    from iceberg_v2_to_v3_upgrade_spark.tables.iceberg_export import (
+        export_deletion_vectors,
+    )
+    from iceberg_v2_to_v3_upgrade_spark.tables.puffin_io import (
+        deserialize_deletion_vector,
+        read_puffin,
+    )
+
+    warehouse = tempfile.mkdtemp(prefix="dv_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "dv_db",
+        "cust_dv",
+        "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING",
+    )
+    t.insert(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+    )
+    t.set_properties({"format-version": "3"})
+    t.delete_where("c_custkey % 7 = 0")
+    t.delete_where("c_acctbal < 1000")
+    t.update_set(
+        {"c_acctbal": "c_acctbal + 0.5"}, "c_mktsegment = 'BUILDING'"
+    )
+
+    puffin = export_deletion_vectors(t, tempfile.mkdtemp(prefix="dv_out_"))
+
+    # --- blind consumer: Puffin footer -> DV blobs -> positions
+    meta, blobs = read_puffin(puffin)
+    pairs = []
+    total_card = 0
+    for bm, payload in blobs:
+        assert bm["type"] == "deletion-vector-v1", bm
+        f = bm["properties"]["referenced-data-file"]
+        positions = deserialize_deletion_vector(payload)
+        assert len(positions) == int(bm["properties"]["cardinality"])
+        total_card += len(positions)
+        pairs.extend((f, p) for p in positions)
+    assert total_card > 0, "fixture produced no deletes"
+
+    import glob as _glob
+    import os as _os
+
+    files = sorted(
+        f
+        for d in t.current_snapshot().data_dirs
+        for f in _glob.glob(_os.path.join(d, "**", "*.parquet"),
+                            recursive=True)
+    )
+    con = duckdb.connect()
+    try:
+        con.register(
+            "dv", pd.DataFrame(pairs, columns=["fname", "pos"])
+        )
+        flist = ", ".join(f"'{f}'" for f in files)
+        pdf = con.execute(
+            f"""
+            SELECT c_custkey, c_acctbal, c_mktsegment
+            FROM read_parquet([{flist}], filename=1, file_row_number=1) r
+            WHERE NOT EXISTS (
+                SELECT 1 FROM dv
+                WHERE dv.fname = r.filename AND dv.pos = r.file_row_number
+            )
+            ORDER BY c_custkey
+            """
+        ).df()
+    finally:
+        con.close()
+    return spark.createDataFrame(
+        pdf, "c_custkey bigint, c_acctbal double, c_mktsegment string"
+    )

@@ -1,0 +1,234 @@
+"""Pure-stdlib Puffin file writer/reader + Roaring-bitmap serialization
+(round-8 stretch: the V3 deletion-vector wire format, the same gap-class
+the Avro manifests closed for v2 metadata).
+
+Iceberg V3 stores positional deletes as DELETION VECTORS: per-data-file
+Roaring bitmaps of deleted row positions, carried as blobs inside a
+Puffin container. Three public formats implemented here from their
+specifications alone:
+
+- **Puffin** (https://iceberg.apache.org/puffin-spec/): ``PFA1`` magic,
+  raw blobs, footer = magic + UTF-8 JSON FileMetadata + 4-byte LE
+  payload size + 4-byte flags + magic;
+- **32-bit Roaring** (https://github.com/RoaringBitmap/RoaringFormatSpec):
+  cookie 12346 (no run containers), container count, per-container
+  (u16 key, u16 cardinality-1) descriptive headers, u32 offsets, then
+  array containers (<= 4096 sorted u16s) or bitmap containers (1024
+  u64 words). Run containers are never WRITTEN (legal — the no-run
+  cookie declares that); the reader decodes array/bitmap and refuses
+  runs explicitly;
+- **64-bit portable Roaring** (Roaring64NavigableMap portable format,
+  referenced by the Iceberg v3 spec): u64 LE count of 32-bit bitmaps,
+  then per bitmap a u32 LE high-key + its 32-bit serialization;
+- **deletion-vector-v1 blob** (Iceberg v3 spec): 4-byte BIG-endian
+  combined length, magic ``D1 D3 3D D3``, the portable-64 vector,
+  4-byte BIG-endian CRC-32 of magic+vector.
+
+The reader is format-driven (cookie/headers decide decoding), not a
+mirror of the writer's call sites, so round-trip tests catch asymmetric
+encoding bugs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+
+_PUFFIN_MAGIC = b"PFA1"
+_DV_MAGIC = b"\xd1\xd3\x3d\xd3"
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE_RUN = 12347
+_ARRAY_MAX = 4096
+
+
+# ------------------------------------------------------ roaring 32-bit
+
+
+def _serialize_roaring32(values: list[int]) -> bytes:
+    """Serialize a SORTED, DEDUPLICATED list of u32 values (no run
+    containers — declared by the cookie)."""
+    containers: list[tuple[int, list[int]]] = []
+    for v in values:
+        key, low = v >> 16, v & 0xFFFF
+        if containers and containers[-1][0] == key:
+            containers[-1][1].append(low)
+        else:
+            containers.append((key, [low]))
+    out = bytearray()
+    out += struct.pack("<II", _SERIAL_COOKIE_NO_RUN, len(containers))
+    for key, lows in containers:
+        out += struct.pack("<HH", key, len(lows) - 1)
+    # offset header: byte position of each container from stream start
+    pos = len(out) + 4 * len(containers)
+    offsets = []
+    bodies = []
+    for _key, lows in containers:
+        if len(lows) <= _ARRAY_MAX:
+            body = struct.pack(f"<{len(lows)}H", *lows)
+        else:
+            words = [0] * 1024
+            for lo in lows:
+                words[lo >> 6] |= 1 << (lo & 63)
+            body = struct.pack("<1024Q", *words)
+        offsets.append(pos)
+        bodies.append(body)
+        pos += len(body)
+    for off in offsets:
+        out += struct.pack("<I", off)
+    for body in bodies:
+        out += body
+    return bytes(out)
+
+
+def _deserialize_roaring32(buf: bytes) -> list[int]:
+    cookie = struct.unpack_from("<I", buf, 0)[0]
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE_RUN:
+        raise ValueError("run containers not supported by this reader")
+    if cookie != _SERIAL_COOKIE_NO_RUN:
+        raise ValueError(f"bad roaring cookie {cookie}")
+    n = struct.unpack_from("<I", buf, 4)[0]
+    keys, cards = [], []
+    pos = 8
+    for _ in range(n):
+        k, c = struct.unpack_from("<HH", buf, pos)
+        keys.append(k)
+        cards.append(c + 1)
+        pos += 4
+    offsets = list(struct.unpack_from(f"<{n}I", buf, pos))
+    values: list[int] = []
+    for k, card, off in zip(keys, cards, offsets):
+        base = k << 16
+        if card <= _ARRAY_MAX:
+            lows = struct.unpack_from(f"<{card}H", buf, off)
+            values.extend(base | lo for lo in lows)
+        else:
+            words = struct.unpack_from("<1024Q", buf, off)
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    values.append(base | (wi << 6) | b.bit_length() - 1)
+                    w ^= b
+    return values
+
+
+def serialize_roaring64(positions) -> bytes:
+    """64-bit portable serialization of an iterable of u64 positions."""
+    by_high: dict[int, list[int]] = {}
+    for p in positions:
+        by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    out = bytearray(struct.pack("<Q", len(by_high)))
+    for high in sorted(by_high):
+        out += struct.pack("<I", high)
+        out += _serialize_roaring32(sorted(set(by_high[high])))
+    return bytes(out)
+
+
+def deserialize_roaring64(buf: bytes) -> list[int]:
+    n = struct.unpack_from("<Q", buf, 0)[0]
+    pos = 8
+    values: list[int] = []
+    for _ in range(n):
+        high = struct.unpack_from("<I", buf, pos)[0]
+        pos += 4
+        # decode the 32-bit bitmap in place: compute its length by
+        # walking its own headers (format-driven, no length prefix)
+        cookie, cnt = struct.unpack_from("<II", buf, pos)
+        if cookie != _SERIAL_COOKIE_NO_RUN:
+            raise ValueError(f"bad roaring cookie {cookie}")
+        hdr = pos + 8
+        cards = [
+            struct.unpack_from("<HH", buf, hdr + 4 * i)[1] + 1
+            for i in range(cnt)
+        ]
+        body = hdr + 4 * cnt + 4 * cnt
+        size = sum(
+            2 * c if c <= _ARRAY_MAX else 8192 for c in cards
+        )
+        end = body + size
+        # offsets in the sub-bitmap are relative to ITS start
+        sub = buf[pos:end]
+        values.extend((high << 32) | v for v in _deserialize_roaring32(sub))
+        pos = end
+    return values
+
+
+# ------------------------------------------------- deletion-vector blob
+
+
+def serialize_deletion_vector(positions) -> bytes:
+    """The Iceberg v3 ``deletion-vector-v1`` blob payload: BE length,
+    DV magic, portable-64 roaring vector, BE CRC-32 of magic+vector."""
+    vec = serialize_roaring64(positions)
+    body = _DV_MAGIC + vec
+    crc = zlib.crc32(body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + body + struct.pack(">I", crc)
+
+
+def deserialize_deletion_vector(blob: bytes) -> list[int]:
+    (length,) = struct.unpack_from(">I", blob, 0)
+    body = blob[4 : 4 + length]
+    if body[:4] != _DV_MAGIC:
+        raise ValueError("bad deletion-vector magic")
+    (crc,) = struct.unpack_from(">I", blob, 4 + length)
+    if zlib.crc32(body) & 0xFFFFFFFF != crc:
+        raise ValueError("deletion-vector CRC mismatch")
+    return deserialize_roaring64(body[4:])
+
+
+# --------------------------------------------------------- puffin file
+
+
+def write_puffin(
+    path: str,
+    blobs: list[tuple[bytes, dict]],
+    *,
+    file_properties: dict[str, str] | None = None,
+) -> str:
+    """Write a Puffin container. ``blobs`` is a list of
+    (payload_bytes, metadata_dict) — metadata carries the spec fields
+    except offset/length, which are computed here. Returns ``path``."""
+    buf = bytearray(_PUFFIN_MAGIC)
+    metas = []
+    for payload, meta in blobs:
+        m = dict(meta)
+        m["offset"] = len(buf)
+        m["length"] = len(payload)
+        buf += payload
+        metas.append(m)
+    footer_payload = json.dumps(
+        {"blobs": metas, "properties": dict(file_properties or {})}
+    ).encode("utf-8")
+    buf += _PUFFIN_MAGIC
+    buf += footer_payload
+    buf += struct.pack("<I", len(footer_payload))
+    buf += struct.pack("<I", 0)  # flags: footer payload uncompressed
+    buf += _PUFFIN_MAGIC
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(bytes(buf))
+    os.replace(tmp, path)
+    return path
+
+
+def read_puffin(path: str) -> tuple[dict, list[tuple[dict, bytes]]]:
+    """Read a Puffin container; returns (file_metadata_json,
+    [(blob_metadata, payload_bytes), ...])."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != _PUFFIN_MAGIC or data[-4:] != _PUFFIN_MAGIC:
+        raise ValueError(f"{path}: not a Puffin file")
+    (flags,) = struct.unpack_from("<I", data, len(data) - 8)
+    if flags & 1:
+        raise ValueError("compressed footer payload not supported")
+    (size,) = struct.unpack_from("<I", data, len(data) - 12)
+    payload_start = len(data) - 12 - size
+    if data[payload_start - 4 : payload_start] != _PUFFIN_MAGIC:
+        raise ValueError(f"{path}: footer magic mismatch")
+    meta = json.loads(data[payload_start : payload_start + size])
+    blobs = [
+        (b, data[b["offset"] : b["offset"] + b["length"]])
+        for b in meta["blobs"]
+    ]
+    return meta, blobs
