@@ -257,33 +257,38 @@ _I47_ORACLE = """
 def i47_deletion_vector_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg V3 deletion vectors over the wire (round-8 stretch — the
     format the reference's 2->3 upgrade exists to unlock): a V3 table
-    takes two MoR DELETEs and a carried-row UPDATE, its positional
-    delete state is exported as spec-shaped ``deletion-vector-v1``
-    blobs (per-data-file Roaring bitmaps of row positions) in a Puffin
-    container (``tables/puffin_io.py``, pure stdlib), and a BLIND
-    consumer reconstructs the table: read the Puffin footer, decode
-    each blob's positions, and have DuckDB read the raw data files
-    excluding exactly those ``file_row_number`` positions — no access
-    to this engine's metadata or merge logic. DuckDB's independent
-    row numbering doubles as a check that exported positions are true
-    parquet file order. Hash-gated against the relational oracle.
+    takes two MoR DELETEs and a carried-row UPDATE, then the FULL v3
+    metadata chain is exported (``tables/iceberg_export.py``) and a
+    BLIND consumer discovers everything from it alone: metadata.json ->
+    the current snapshot's Avro manifest list -> a PUFFIN delete
+    manifest whose ``manifest_entry`` rows carry
+    ``referenced_data_file`` / ``content_offset`` /
+    ``content_size_in_bytes`` (spec field-ids 143-145) -> slice each
+    ``deletion-vector-v1`` blob out of the Puffin container
+    (``tables/puffin_io.py``, pure stdlib) -> DuckDB reads the
+    manifest-listed data files excluding exactly those
+    ``file_row_number`` positions. DuckDB's independent row numbering
+    doubles as a check that exported positions are true parquet file
+    order. Hash-gated against the relational oracle.
 
     The carried-row UPDATE is the sharp edge: V3 keeps the rewritten
     row's ``_row_id`` in the NEW file while its OLD position must land
-    in the DV — per-(id, file) anti-join semantics, which the export
-    derives from the engine's own merge rather than re-deriving.
+    in the DV — per-(id, file) visibility, which the export derives
+    from the engine's own merge rather than re-deriving.
     """
+    import json as _json
+
     import pandas as pd
 
     import duckdb
 
+    from iceberg_v2_to_v3_upgrade_spark.tables.avro_io import read_avro
     from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
     from iceberg_v2_to_v3_upgrade_spark.tables.iceberg_export import (
-        export_deletion_vectors,
+        export_iceberg_metadata,
     )
     from iceberg_v2_to_v3_upgrade_spark.tables.puffin_io import (
         deserialize_deletion_vector,
-        read_puffin,
     )
 
     warehouse = tempfile.mkdtemp(prefix="dv_wh_")
@@ -305,30 +310,36 @@ def i47_deletion_vector_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"c_acctbal": "c_acctbal + 0.5"}, "c_mktsegment = 'BUILDING'"
     )
 
-    puffin = export_deletion_vectors(t, tempfile.mkdtemp(prefix="dv_out_"))
-
-    # --- blind consumer: Puffin footer -> DV blobs -> positions
-    meta, blobs = read_puffin(puffin)
+    meta = _json.load(
+        open(export_iceberg_metadata(t, tempfile.mkdtemp(prefix="dv_out_")))
+    )
+    current = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, manifests = read_avro(current["manifest-list"])
+    files: list[str] = []
     pairs = []
     total_card = 0
-    for bm, payload in blobs:
-        assert bm["type"] == "deletion-vector-v1", bm
-        f = bm["properties"]["referenced-data-file"]
-        positions = deserialize_deletion_vector(payload)
-        assert len(positions) == int(bm["properties"]["cardinality"])
-        total_card += len(positions)
-        pairs.extend((f, p) for p in positions)
+    for m in manifests:
+        _, _, entries = read_avro(m["manifest_path"])
+        for e in entries:
+            df = e["data_file"]
+            if m["content"] == 0:
+                files.append(df["file_path"])
+            elif df["file_format"] == "PUFFIN":
+                with open(df["file_path"], "rb") as fh:
+                    fh.seek(df["content_offset"])
+                    payload = fh.read(df["content_size_in_bytes"])
+                positions = deserialize_deletion_vector(payload)
+                assert len(positions) == df["record_count"]
+                total_card += len(positions)
+                pairs.extend(
+                    (df["referenced_data_file"], p) for p in positions
+                )
     assert total_card > 0, "fixture produced no deletes"
-
-    import glob as _glob
-    import os as _os
-
-    files = sorted(
-        f
-        for d in t.current_snapshot().data_dirs
-        for f in _glob.glob(_os.path.join(d, "**", "*.parquet"),
-                            recursive=True)
-    )
+    files = sorted(set(files))
     con = duckdb.connect()
     try:
         con.register(

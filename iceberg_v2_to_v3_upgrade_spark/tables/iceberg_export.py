@@ -221,6 +221,27 @@ _DATA_FILE_SCHEMA = {
             "default": None,
             "field-id": 135,
         },
+        # V3 deletion-vector fields (spec ids 143-145): a DV entry's
+        # file_path is the Puffin container; these locate the blob and
+        # name the data file whose positions it deletes
+        {
+            "name": "referenced_data_file",
+            "type": ["null", "string"],
+            "default": None,
+            "field-id": 143,
+        },
+        {
+            "name": "content_offset",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 144,
+        },
+        {
+            "name": "content_size_in_bytes",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 145,
+        },
     ],
 }
 
@@ -420,6 +441,7 @@ def _manifest_list(
     ids: dict[str, int],
     adders: dict[str, int],
     stats_cache: dict[str, tuple[int, int]],
+    dv_entries: list[dict] | None = None,
 ) -> str:
     """The Avro manifest list for ``snap`` (spec ``manifest_file``
     records, content 0=data / 1=deletes), each row pointing at a spec
@@ -432,10 +454,12 @@ def _manifest_list(
     records = []
     twin = []
     groups: list[tuple[int, int, str, int, list[int] | None]] = []
-    for content, dirs in ((0, snap.data_dirs), (1, snap.delete_dirs)):
-        for d in dirs:
+    for d in snap.data_dirs:
+        groups.append((0, 0, d, table._delete_scope_seq(d, snap), None))
+    if dv_entries is None:
+        for d in snap.delete_dirs:
             groups.append(
-                (content, content, d, table._delete_scope_seq(d, snap), None)
+                (1, 1, d, table._delete_scope_seq(d, snap), None)
             )
     for entry in snap.eq_deletes:
         missing = [c for c in entry["cols"] if c not in ids]
@@ -504,6 +528,80 @@ def _manifest_list(
                 ],
             }
         )
+    if dv_entries:
+        # V3: the CURRENT snapshot's positional deletes ship as Puffin
+        # deletion vectors (spec: v3 writers MUST write DVs, not
+        # position-delete files) — one manifest_entry per DV blob,
+        # file_format PUFFIN, fields 143-145 locating the blob
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snap.id,
+                "sequence_number": snap.id,
+                "file_sequence_number": snap.id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": e["puffin"],
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": e["cardinality"],
+                    "file_size_in_bytes": e["length"],
+                    "referenced_data_file": e["referenced"],
+                    "content_offset": e["offset"],
+                    "content_size_in_bytes": e["length"],
+                },
+            }
+            for e in dv_entries
+        ]
+        mpath = write_avro(
+            os.path.join(out_dir, f"manifest-{snap.id}-dv.avro"),
+            _MANIFEST_ENTRY_SCHEMA,
+            entries,
+            metadata={
+                "schema": schema_json,
+                "schema-id": "0",
+                "partition-spec": spec_json,
+                "partition-spec-id": "0",
+                "format-version": "3",
+                "content": "deletes",
+            },
+        )
+        records.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": snap.id,
+                "min_sequence_number": snap.id,
+                "added_snapshot_id": snap.id,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": sum(
+                    e["cardinality"] for e in dv_entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+                "key_metadata": None,
+            }
+        )
+        twin.append(
+            {
+                **records[-1],
+                "entries": [
+                    {
+                        "file_path": e["puffin"],
+                        "file_format": "PUFFIN",
+                        "referenced_data_file": e["referenced"],
+                        "content_offset": e["offset"],
+                        "content_size_in_bytes": e["length"],
+                    }
+                    for e in dv_entries
+                ],
+            }
+        )
     path = write_avro(
         os.path.join(out_dir, f"snap-{snap.id}-manifest-list.avro"),
         _MANIFEST_FILE_SCHEMA,
@@ -532,6 +630,29 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
     snaps = table.snapshots()
     adders = _dir_adders(snaps)
     stats_cache: dict[str, tuple[int, int]] = {}
+    current_id = table._meta["current_snapshot_id"]
+    dv_current: list[dict] | None = None
+    if table.format_version >= 3:
+        # V3: the current snapshot's positional deletes export as
+        # Puffin deletion vectors referenced from its delete manifest
+        # (fields 143-145); historical snapshots keep their parquet
+        # form (they are pre-upgrade history)
+        from iceberg_v2_to_v3_upgrade_spark.tables.puffin_io import (
+            read_puffin,
+        )
+
+        dv_path = export_deletion_vectors(table, out_dir)
+        dv_meta, _ = read_puffin(dv_path)
+        dv_current = [
+            {
+                "puffin": dv_path,
+                "offset": bm["offset"],
+                "length": bm["length"],
+                "referenced": bm["properties"]["referenced-data-file"],
+                "cardinality": int(bm["properties"]["cardinality"]),
+            }
+            for bm in dv_meta["blobs"]
+        ]
     ancestors = {s.id for s in table.ancestry()}
     snapshots = []
     for s in snaps:
@@ -553,6 +674,7 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
                     ids=ids,
                     adders=adders,
                     stats_cache=stats_cache,
+                    dv_entries=dv_current if s.id == current_id else None,
                 ),
                 "summary": {"operation": {
                     "create": "append",
