@@ -371,6 +371,7 @@ def _write_manifest(
     schema_json: str,
     spec_json: str,
     stats_cache: dict[str, tuple[int, int]],
+    format_version: str,
 ) -> tuple[str, int, int]:
     """Write one spec ``manifest_entry`` Avro manifest; returns
     (path, byte_length, row_count). ``df_content`` is the data_file
@@ -410,7 +411,7 @@ def _write_manifest(
             "schema-id": "0",
             "partition-spec": spec_json,
             "partition-spec-id": "0",
-            "format-version": "2",
+            "format-version": format_version,
             "content": "data" if df_content == 0 else "deletes",
         },
     )
@@ -420,7 +421,12 @@ def _write_manifest(
 def _dir_adders(snaps: list[Snapshot]) -> dict[str, int]:
     """dir -> id of the snapshot that ADDED it (first appearance in id
     order — dirs are immutable once committed, so first-seen is the
-    adder). Drives the spec's status/added_snapshot_id attribution."""
+    adder). Callers pass ONE snapshot's ANCESTRY chain, not the global
+    list: attribution is chain-relative — a dir staged on a branch at
+    snapshot 5 and cherry-picked to main at snapshot 7 is ADDED-at-5 on
+    the branch's manifests but ADDED-at-7 on main's, exactly as
+    Iceberg's cherry-pick records the publish snapshot as the adder
+    (round-8 second-review finding)."""
     added: dict[str, int] = {}
     for s in sorted(snaps, key=lambda s: s.id):
         for d in (
@@ -461,23 +467,30 @@ def _manifest_list(
             groups.append(
                 (1, 1, d, table._delete_scope_seq(d, snap), None)
             )
+    current_id = table._meta["current_snapshot_id"]
     for entry in snap.eq_deletes:
         missing = [c for c in entry["cols"] if c not in ids]
-        if missing:
-            # an unresolvable equality column would otherwise export as
-            # a sentinel field id a real reader cannot map — deleted
-            # rows would silently resurrect (round-8 review finding)
+        if missing and snap.id == current_id:
+            # an unresolvable equality column in the CURRENT state would
+            # export as a field id no reader can map — deleted rows
+            # would silently resurrect (round-8 review finding)
             raise ValueError(
                 f"equality-delete columns {missing} not in the current "
                 f"schema; refusing to export an unreadable manifest"
             )
+        # historical snapshots may legally reference since-dropped
+        # columns (drop_column is allowed once no LIVE eq-delete needs
+        # it); their manifests export with equality_ids=null rather
+        # than blocking the whole table's export forever (second-review
+        # finding) — time travel to them goes through the engine, not
+        # this read-only export
         groups.append(
             (
                 1,
                 2,
                 entry["dir"],
                 int(entry["seq"]),
-                [ids[c] for c in entry["cols"]],
+                None if missing else [ids[c] for c in entry["cols"]],
             )
         )
     for i, (content, df_content, d, seq, eq_ids) in enumerate(groups):
@@ -498,6 +511,7 @@ def _manifest_list(
             schema_json=schema_json,
             spec_json=spec_json,
             stats_cache=stats_cache,
+            format_version=str(table.format_version),
         )
         records.append(
             {
@@ -607,7 +621,7 @@ def _manifest_list(
         _MANIFEST_FILE_SCHEMA,
         records,
         metadata={
-            "format-version": "2",
+            "format-version": str(table.format_version),
             "snapshot-id": str(snap.id),
             "sequence-number": str(snap.id),
             "parent-snapshot-id": str(snap.parent_id or "null"),
@@ -628,11 +642,19 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
     schema_json = json.dumps(schema)
     specs, default_spec, last_pfid = _partition_specs(table, ids)
     snaps = table.snapshots()
-    adders = _dir_adders(snaps)
+    # attribution is ANCESTRY-relative (cherry-picked dirs are added by
+    # the publish snapshot on main, by the staging snapshot on the
+    # branch), so each snapshot resolves adders against its own chain
+    adders_by_snap = {
+        s.id: _dir_adders(table.ancestry(s.id)) for s in snaps
+    }
     stats_cache: dict[str, tuple[int, int]] = {}
     current_id = table._meta["current_snapshot_id"]
     dv_current: list[dict] | None = None
-    if table.format_version >= 3:
+    cur_snap = table.current_snapshot()
+    if table.format_version >= 3 and (
+        cur_snap.delete_dirs or table._meta.get("carried_row_ids")
+    ):
         # V3: the current snapshot's positional deletes export as
         # Puffin deletion vectors referenced from its delete manifest
         # (fields 143-145); historical snapshots keep their parquet
@@ -672,7 +694,7 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
                     out_dir,
                     schema_json=schema_json,
                     ids=ids,
-                    adders=adders,
+                    adders=adders_by_snap[s.id],
                     stats_cache=stats_cache,
                     dv_entries=dv_current if s.id == current_id else None,
                 ),
@@ -690,7 +712,7 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
             }
         )
     meta = {
-        "format-version": 2,
+        "format-version": int(table.format_version),
         "table-uuid": str(
             uuid.uuid5(uuid.NAMESPACE_URL, f"file://{table.root}")
         ),
@@ -787,30 +809,68 @@ def export_deletion_vectors(table: LocalTable, out_dir: str) -> str:
 
     os.makedirs(out_dir, exist_ok=True)
     cur = table.current_snapshot()
+    puffin_path = os.path.join(out_dir, f"snap-{cur.id}-deletes.puffin")
+    if not (
+        cur.delete_dirs or table._meta.get("carried_row_ids")
+    ):
+        # no positional-delete state at all: skip the per-dir scans
+        # entirely (second-review finding: a clean V3 table should not
+        # pay corpus-shaped anti-joins to learn it has nothing to say)
+        return write_puffin(puffin_path, [])
 
     def _plain(uri: str) -> str:
-        # input_file_name() returns file:/, file:// or file:/// forms
-        if uri.startswith("file:"):
-            return "/" + uri.split(":", 1)[1].lstrip("/")
-        return uri
+        # input_file_name() returns a percent-encoded file:/, file:// or
+        # file:/// URI — decode it or paths with spaces/% break
+        import urllib.parse
 
+        if uri.startswith("file:"):
+            uri = "/" + uri.split(":", 1)[1].lstrip("/")
+        return urllib.parse.unquote(uri)
+
+    imported = table.imported_dirs
     by_file: dict[str, set[int]] = {}
     for d in cur.data_dirs:
-        physical = table._read_one_dir(d, table._data_read_schema()).select(
+        if d in imported:
+            # add_files dirs carry no physical _row_id column; the
+            # engine synthesizes first_row_id + row index at read time
+            physical = table._read_imported_dir(
+                d, table._data_read_schema(), imported[d]
+            )
+        else:
+            physical = table._read_one_dir(d, table._data_read_schema())
+        physical = physical.select(
             F.col(_ROW_ID).alias("rid"), F.input_file_name().alias("f")
         )
-        snap_d = dataclasses.replace(cur, data_dirs=[d])
+        # single-dir clone; EQUALITY deletes are stripped — they stay
+        # parquet manifests in v3 and must not double-report here
+        snap_d = dataclasses.replace(cur, data_dirs=[d], eq_deletes=[])
         visible = table._scan_raw(snap_d).select(
             F.col(_ROW_ID).alias("rid")
         )
         deleted = physical.join(visible, ["rid"], "left_anti").collect()
         for r in deleted:
             by_file.setdefault(_plain(r["f"]), set()).add(int(r["rid"]))
+
+    # imported files: positions are rid - first_row_id by construction
+    # (keys recorded as file:/ URIs — normalize like input_file_name's)
+    import_bases: dict[str, int] = {
+        _plain(fp): int(b)
+        for entry in imported.values()
+        for fp, b in entry["files"].items()
+    }
     blobs = []
     for f in sorted(by_file):
         rids = by_file[f]
-        col = pq.read_table(f, columns=[_ROW_ID])[_ROW_ID].to_pylist()
-        positions = [i for i, rid in enumerate(col) if rid in rids]
+        if f in import_bases:
+            base = import_bases[f]
+            n_rows = pq.ParquetFile(f).metadata.num_rows
+            positions = sorted(rid - base for rid in rids)
+            assert positions and 0 <= positions[0] and positions[-1] < n_rows, (
+                f, positions[:1], positions[-1:], n_rows
+            )
+        else:
+            col = pq.read_table(f, columns=[_ROW_ID])[_ROW_ID].to_pylist()
+            positions = [i for i, rid in enumerate(col) if rid in rids]
         assert len(positions) == len(rids), (f, len(positions), len(rids))
         blobs.append(
             (

@@ -212,3 +212,39 @@ def test_export_deletion_vectors_carried_row_case(spark, tmp_path):
     t2.insert(spark.createDataFrame([(1,)], "id BIGINT"))
     with pytest.raises(ValueError, match="V3 feature"):
         export_deletion_vectors(t2, str(tmp_path / "dv2"))
+
+
+def test_export_deletion_vectors_imported_dir(spark, tmp_path):
+    """add_files dirs carry no physical _row_id column — the engine
+    synthesizes first_row_id + file row index at read time, and DV
+    positions for them must come from rid - first_row_id, not a column
+    read (round-8 second-review finding: the column read crashed)."""
+    from iceberg_v2_to_v3_upgrade_spark.tables.iceberg_export import (
+        export_deletion_vectors,
+    )
+
+    ext = str(tmp_path / "external")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(12)], "id BIGINT, v DOUBLE"
+    ).coalesce(1).write.parquet(ext)
+    t = LocalTable.create(spark, str(tmp_path / "t"), "id BIGINT, v DOUBLE")
+    t.add_files(ext)
+    t.set_properties({"format-version": "3"})
+    t.delete_where("id IN (2, 5, 11)")
+
+    out = export_deletion_vectors(t, str(tmp_path / "dv"))
+    meta, blobs = _ipuffin(out)
+    got = {}
+    for bm, payload in blobs:
+        got[bm["properties"]["referenced-data-file"]] = _idv(payload)
+    # one imported file; the deleted positions are the row indexes of
+    # ids 2, 5, 11 in insertion order
+    assert len(got) == 1
+    assert next(iter(got.values())) == [2, 5, 11]
+    # and no deletes -> no scans, empty container (the short-circuit)
+    t2 = LocalTable.create(spark, str(tmp_path / "clean"), "id BIGINT")
+    t2.insert(spark.createDataFrame([(1,)], "id BIGINT"))
+    t2.set_properties({"format-version": "3"})
+    out2 = export_deletion_vectors(t2, str(tmp_path / "dv_clean"))
+    _, blobs2 = _ipuffin(out2)
+    assert blobs2 == []
