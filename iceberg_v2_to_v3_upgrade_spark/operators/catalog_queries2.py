@@ -93,11 +93,11 @@ _H1_ORACLE = """
 
 
 @declare(
-    "h1_current_timestamp_insert",
+    "h26_current_timestamp_insert",
     oracle=_H1_ORACLE,
     tags=("functions", "dml"),
 )
-def h1_current_timestamp_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def h26_current_timestamp_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``current_timestamp()`` through the gateway's INSERT path (H1,
     create_demo_table.py's created_at column): the value is
     nondeterministic by nature, so the gate pins its CONTRACT instead —
@@ -179,8 +179,8 @@ _K2_ORACLE = """
 """
 
 
-@declare("k2_session_contract", oracle=_K2_ORACLE, tags=("session", "config"))
-def k2_session_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+@declare("k15_session_contract", oracle=_K2_ORACLE, tags=("session", "config"))
+def k15_session_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The session gate + config contract (K2/K3/K5,
     upgrade_table.py:59-97: every statement ships with the same conf
     set): ``apply_runtime_confs`` is applied to the LIVE session and the
