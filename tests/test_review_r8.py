@@ -85,6 +85,22 @@ def test_merge_conflict_releases_persisted_join(spark, tmp_path):
     )
 
 
+def test_query_id_prefixes_unique():
+    """bench.py keys its compact JSON line by each query name's first
+    underscore token and asserts uniqueness AT THE END of a ~15-minute
+    run — catch a colliding new name at test time instead (round-8:
+    h1_current_timestamp_insert collided with h1_string_functions and
+    aborted the bench after all timings were taken)."""
+    from iceberg_v2_to_v3_upgrade_spark.registry import load_all_operators
+
+    names = list(load_all_operators())
+    seen: dict[str, str] = {}
+    for n in names:
+        p = n.split("_")[0]
+        assert p not in seen, f"{n} collides with {seen[p]} on prefix {p!r}"
+        seen[p] = n
+
+
 def test_export_refuses_unresolvable_eq_delete_columns(spark, tmp_path):
     from iceberg_v2_to_v3_upgrade_spark.tables.iceberg_export import (
         export_iceberg_metadata,
