@@ -169,10 +169,15 @@ def main() -> None:
     # Round-4 mandate: EVERY declared query is benched at least once per
     # round (the round-3 never-benched tail hid the broken k12). The
     # hand-ranked HEADLINE list keeps its order (cross-round per-query
-    # regression comparability, 2 timed passes = steady-state); the tail
-    # gets ONE timed pass each — at the 50 s/query budget a single pass
-    # including codegen is decisive, and it keeps total bench wall-clock
-    # bounded. No exclusions: len(timings) + len(errors) == len(registry).
+    # regression comparability). Round-9 protocol change (judge mandate):
+    # EVERY query — headline and tail alike — gets >=2 timed passes and
+    # reports the MIN (steady-state). The round-8 "regressions"
+    # (q7/q2/q20/l2/l3/l13/k14/n3g) were all single-pass tail queries
+    # whose one timing absorbed plan-compilation + codegen + whatever GC
+    # the 300-query session had accrued; a single sample on this VM has
+    # ±20% session noise and is not evidence. min-of-2 makes per-query
+    # numbers comparable across rounds regardless of session position.
+    # No exclusions: len(timings) + len(errors) == len(registry).
     tail_queries = sorted(n for n in registry if n not in HEADLINE)
 
     # warmup: spin executors + codegen, untimed (failure non-fatal)
@@ -212,43 +217,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
-    # Streaming tail queries also get 2 passes: their first invocation
-    # pays landing-zone staging + state-store/stream-machinery init that
-    # headline streaming queries already paid in pass 1 (round-4 judge
-    # finding: the driver recorded l12 at 19.7 s vs 7.8 s warm — JVM
-    # first-stream noise, not a plan property). min-of-2 reports the
-    # steady-state number that actually tracks regressions. The same
-    # rule covers Python-worker queries (round-7 finding: m3 swung
-    # 0.9 s -> 3.2 s run-to-run purely on whether an earlier query had
-    # already spawned the python worker pool — worker startup is session
-    # state, not a plan property). Eligibility is DERIVED from the
-    # operator's source rather than a hand-kept tag list that drifts
-    # (second round-7 review pass: the tag list missed n2e/n3c); a
-    # comment mentioning the API costs one harmless extra pass.
-    import inspect as _inspect
-
-    def _warms_python_workers(fn) -> bool:
-        try:
-            src = _inspect.getsource(fn)
-        except (OSError, TypeError):
-            return True  # can't inspect: take the safe 2-pass path
-        return any(
-            k in src
-            for k in (
-                "applyInPandas", "mapInPandas", "pandas_udf", "udtf",
-                "InPandasWithState", "mapInArrow",
-            )
-        )
-
     for name, passes in [(n, 2) for n in HEADLINE] + [
-        (
-            n,
-            2
-            if "streaming" in registry[n].tags
-            or _warms_python_workers(registry[n].fn)
-            else 1,
-        )
-        for n in tail_queries
+        (n, 2) for n in tail_queries
     ]:
         fn = registry[name].fn
         best = float("inf")
@@ -276,6 +246,7 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        "protocol": "min_of_2",
         "queries": timings,
         "sf": sf,
         "cold_run_total_sec": round(sum(cold.values()), 3),
@@ -297,6 +268,7 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        "protocol": "min_of_2",
         "queries": short,
         "sf": sf,
         "cold_run_total_sec": round(sum(cold.values()), 3),

@@ -109,9 +109,9 @@ def i44_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"retain_last => {retain})"
         )
         assert res.kind == "expire_snapshots", res.message
-        return sorted(
-            int(x) for x in res.message.strip("expired []").split(",") if x.strip()
-        )
+        # structured payload, not message parsing (round-8 advice: the
+        # str.strip char-set hack silently mis-parses on rewording)
+        return sorted(int(x) for x in res.data)
 
     rows = []
     for phase, retain, want_newly, want_expired in (

@@ -89,6 +89,10 @@ class StatementResult:
     kind: str
     df: DataFrame | None = None
     message: str = ""
+    # Structured payload for procedures whose result is data, not prose
+    # (e.g. expire_snapshots -> the expired snapshot ids). Callers must
+    # not parse ``message`` — its wording is presentation, not contract.
+    data: object | None = None
 
 
 def _parse_props(block: str) -> dict[str, str]:
@@ -1019,7 +1023,10 @@ class EngineSQL:
             older_than=older, retain_last=int(m.group("retain") or 1)
         )
         return StatementResult(
-            sql, "expire_snapshots", message=f"expired {expired}"
+            sql,
+            "expire_snapshots",
+            message=f"expired {expired}",
+            data=list(expired),
         )
 
     def _describe(self, sql: str, m: re.Match) -> StatementResult:

@@ -219,6 +219,11 @@ class _Cursor:
         self.pos = 0
 
     def read(self, n: int) -> bytes:
+        if n < 0:
+            # A corrupt varint can decode to a negative length; a negative
+            # slice bound would silently return the wrong bytes AND rewind
+            # pos instead of failing.
+            raise ValueError(f"negative Avro length: {n}")
         if self.pos + n > len(self.data):
             raise EOFError("truncated Avro data")
         out = self.data[self.pos : self.pos + n]
@@ -318,6 +323,10 @@ def read_avro(path: str) -> tuple[dict, dict[str, str], list]:
     while cur.pos < len(cur.data):
         count = cur.read_long()
         size = cur.read_long()
+        if count < 0 or size < 0:
+            raise ValueError(
+                f"{path}: negative Avro block count/size ({count}/{size})"
+            )
         block = cur.read(size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)

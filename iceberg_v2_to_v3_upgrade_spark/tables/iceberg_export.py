@@ -372,6 +372,7 @@ def _write_manifest(
     spec_json: str,
     stats_cache: dict[str, tuple[int, int]],
     format_version: str,
+    extra_metadata: dict[str, str] | None = None,
 ) -> tuple[str, int, int]:
     """Write one spec ``manifest_entry`` Avro manifest; returns
     (path, byte_length, row_count). ``df_content`` is the data_file
@@ -413,6 +414,7 @@ def _write_manifest(
             "partition-spec-id": "0",
             "format-version": format_version,
             "content": "data" if df_content == 0 else "deletes",
+            **(extra_metadata or {}),
         },
     )
     return path, os.path.getsize(path), rows
@@ -459,13 +461,13 @@ def _manifest_list(
     spec_json = json.dumps({"spec-id": 0, "fields": []})
     records = []
     twin = []
-    groups: list[tuple[int, int, str, int, list[int] | None]] = []
+    groups: list[tuple[int, int, str, int, list[int] | None, dict | None]] = []
     for d in snap.data_dirs:
-        groups.append((0, 0, d, table._delete_scope_seq(d, snap), None))
+        groups.append((0, 0, d, table._delete_scope_seq(d, snap), None, None))
     if dv_entries is None:
         for d in snap.delete_dirs:
             groups.append(
-                (1, 1, d, table._delete_scope_seq(d, snap), None)
+                (1, 1, d, table._delete_scope_seq(d, snap), None, None)
             )
     current_id = table._meta["current_snapshot_id"]
     for entry in snap.eq_deletes:
@@ -483,7 +485,10 @@ def _manifest_list(
         # it); their manifests export with equality_ids=null rather
         # than blocking the whole table's export forever (second-review
         # finding) — time travel to them goes through the engine, not
-        # this read-only export
+        # this read-only export. The unresolvable column NAMES are
+        # recorded in the manifest's key-value metadata so a consumer
+        # can DETECT the gap instead of silently mis-reading a
+        # content=2 entry with null equality_ids (round-8 advice).
         groups.append(
             (
                 1,
@@ -491,9 +496,23 @@ def _manifest_list(
                 entry["dir"],
                 int(entry["seq"]),
                 None if missing else [ids[c] for c in entry["cols"]],
+                {
+                    "unresolved-equality-columns": json.dumps(
+                        sorted(missing)
+                    ),
+                    "unresolved-reason": (
+                        "equality-delete columns dropped after this "
+                        "snapshot; field ids unresolvable in the "
+                        "current schema"
+                    ),
+                }
+                if missing
+                else None,
             )
         )
-    for i, (content, df_content, d, seq, eq_ids) in enumerate(groups):
+    for i, (content, df_content, d, seq, eq_ids, extra_meta) in enumerate(
+        groups
+    ):
         files = sorted(
             glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
         )
@@ -512,6 +531,7 @@ def _manifest_list(
             spec_json=spec_json,
             stats_cache=stats_cache,
             format_version=str(table.format_version),
+            extra_metadata=extra_meta,
         )
         records.append(
             {

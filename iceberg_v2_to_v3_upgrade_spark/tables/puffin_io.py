@@ -227,8 +227,18 @@ def read_puffin(path: str) -> tuple[dict, list[tuple[dict, bytes]]]:
     if data[payload_start - 4 : payload_start] != _PUFFIN_MAGIC:
         raise ValueError(f"{path}: footer magic mismatch")
     meta = json.loads(data[payload_start : payload_start + size])
-    blobs = [
-        (b, data[b["offset"] : b["offset"] + b["length"]])
-        for b in meta["blobs"]
-    ]
+    blobs = []
+    for b in meta["blobs"]:
+        off, length = b["offset"], b["length"]
+        # Bounds-check against the blob region (everything before the
+        # footer's leading magic): out-of-range offsets would otherwise
+        # yield a silently truncated slice and a confusing struct error
+        # at deserialize time.
+        if not (0 <= off and length >= 0 and off + length <= payload_start - 4):
+            raise ValueError(
+                f"{path}: blob {b.get('type')!r} offset/length "
+                f"({off}/{length}) out of range for blob region "
+                f"[0, {payload_start - 4})"
+            )
+        blobs.append((b, data[off : off + length]))
     return meta, blobs
