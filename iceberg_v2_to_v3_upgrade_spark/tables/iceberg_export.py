@@ -39,10 +39,13 @@ metadata field list).
 
 from __future__ import annotations
 
+import datetime
 import glob
 import json
 import os
 import re
+import struct
+import urllib.parse
 import uuid
 
 import pyarrow.parquet as pq
@@ -150,40 +153,239 @@ _TRANSFORM = re.compile(
 )
 
 
+_EPOCH = datetime.date(1970, 1, 1)
+
+
+def _ser_i4(v) -> bytes:
+    return struct.pack("<i", int(v))
+
+
+def _ser_i8(v) -> bytes:
+    return struct.pack("<q", int(v))
+
+
+def _ser_f4(v) -> bytes:
+    return struct.pack("<f", float(v))
+
+
+def _ser_f8(v) -> bytes:
+    return struct.pack("<d", float(v))
+
+
+def _identity_codec(spark_type: str):
+    """(avro_type, hive-dir-string parser, spec single-value serializer)
+    for an identity/truncate partition value of one Spark type. The
+    serializer implements the spec's binary single-value forms (int
+    4-byte LE, long 8-byte LE, string UTF-8, date = days-from-epoch
+    int, timestamp = micros long) used in field-summary bounds."""
+    t = spark_type.lower()
+    if t in ("tinyint", "smallint", "int", "integer"):
+        return "int", int, _ser_i4
+    if t in ("bigint", "long"):
+        return "long", int, _ser_i8
+    if t == "float":
+        return "float", float, _ser_f4
+    if t == "double":
+        return "double", float, _ser_f8
+    if t == "boolean":
+        return (
+            "boolean",
+            lambda v: v.lower() == "true",
+            lambda v: b"\x01" if v else b"\x00",
+        )
+    if t == "date":
+        return (
+            {"type": "int", "logicalType": "date"},
+            lambda v: (datetime.date.fromisoformat(v) - _EPOCH).days,
+            _ser_i4,
+        )
+    if t.startswith("timestamp"):
+        return (
+            {"type": "long", "logicalType": "timestamp-micros"},
+            lambda v: int(
+                (
+                    datetime.datetime.fromisoformat(v)
+                    - datetime.datetime(1970, 1, 1)
+                ).total_seconds()
+                * 1_000_000
+            ),
+            _ser_i8,
+        )
+    return "string", str, lambda v: v.encode("utf-8")
+
+
+def _parse_month(v: str) -> int:
+    y, m = v.split("-")
+    return (int(y) - 1970) * 12 + (int(m) - 1)
+
+
 def _partition_specs(
     table: LocalTable, ids: dict[str, int]
-) -> tuple[list[dict], int, int]:
+) -> tuple[list[dict], int, int, dict[int, dict]]:
     """Every spec in the evolution log as Iceberg partition-specs;
-    returns (specs, default_spec_id, last_partition_id). Partition field
-    ids start at 1000 per the spec."""
-    specs = []
+    returns (specs, default_spec_id, last_partition_id, by_id).
+    Partition field ids start at 1000 per the spec.
+
+    ``by_id`` maps spec_id -> {"seq": first_commit_seq, "json": the
+    spec dict, "descs": [field descriptor]} and is shared with the
+    manifest writer so the r102 partition-tuple field ids in every
+    manifest agree with the partition-specs block, and field NAMES
+    agree with the engine's hive directory columns (the round-8 export
+    named ``ts_days`` what the dirs call ``ts_day``). Each descriptor
+    carries the Avro type for the r102 field, a parser from the hive
+    dir string, and the spec single-value serializer for field-summary
+    bounds."""
+    types = {
+        f.name: f.dataType.simpleString()
+        for f in table.spark.createDataFrame([], table.schema_ddl).schema
+    }
+    specs: list[dict] = []
+    by_id: dict[int, dict] = {}
     pfid = 999
     for entry in table.partition_spec_log:
         fields = []
-        for part in entry["partition_by"]:
-            m = _TRANSFORM.match(part)
+        descs = []
+        for name, canon, derived, src in LocalTable._spec_names(
+            entry["partition_by"]
+        ):
             pfid += 1
-            if m:
-                fn = m.group("fn").lower()
-                transform = (
-                    f"{fn}[{m.group('n')}]"
-                    if fn in ("bucket", "truncate")
-                    else fn.rstrip("s")  # days -> day, months -> month
-                )
-                col, name = m.group("col"), f"{m.group('col')}_{fn}"
+            if not derived:
+                transform = "identity"
+                avro_t, parse, ser = _identity_codec(types.get(src, "string"))
             else:
-                transform, col, name = "identity", part, part
+                m = _TRANSFORM.match(canon)
+                fn = m.group("fn").lower()
+                n = m.group("n")
+                if fn == "bucket":
+                    transform = f"bucket[{n}]"
+                    avro_t, parse, ser = "int", int, _ser_i4
+                elif fn == "truncate":
+                    transform = f"truncate[{n}]"
+                    avro_t, parse, ser = _identity_codec(
+                        types.get(src, "string")
+                    )
+                elif fn == "days":
+                    transform = "day"
+                    avro_t = {"type": "int", "logicalType": "date"}
+                    parse = lambda v: (  # noqa: E731
+                        datetime.date.fromisoformat(v) - _EPOCH
+                    ).days
+                    ser = _ser_i4
+                else:  # months
+                    transform, avro_t, parse, ser = (
+                        "month",
+                        "int",
+                        _parse_month,
+                        _ser_i4,
+                    )
             fields.append(
                 {
                     "name": name,
                     "transform": transform,
-                    "source-id": ids.get(col, -1),
+                    "source-id": ids.get(src, -1),
                     "field-id": pfid,
                 }
             )
-        specs.append({"spec-id": int(entry["spec_id"]), "fields": fields})
+            descs.append(
+                {
+                    "name": name,
+                    "field_id": pfid,
+                    "avro": avro_t,
+                    "parse": parse,
+                    "ser": ser,
+                }
+            )
+        spec = {"spec-id": int(entry["spec_id"]), "fields": fields}
+        specs.append(spec)
+        by_id[int(entry["spec_id"])] = {
+            "seq": int(entry["seq"]),
+            "json": spec,
+            "descs": descs,
+        }
     default = max(s["spec-id"] for s in specs)
-    return specs, default, pfid
+    return specs, default, pfid, by_id
+
+
+def _spec_id_for_dir(by_id: dict[int, dict], d: str) -> int:
+    """The partition spec a data dir was written under: the spec whose
+    first commit seq is the largest <= the dir's snap-NNNNN seq (ties
+    go to the later spec_id) — mirrors LocalTable._spec_for_seq."""
+    seq = LocalTable._parse_dir_seq(d)
+    return max(
+        (info["seq"], sid)
+        for sid, info in by_id.items()
+        if info["seq"] <= seq
+    )[1]
+
+
+def _partition_tuple(
+    f: str, d: str, descs: list[dict]
+) -> dict[str, object]:
+    """Parse one data file's partition values from its hive-style path
+    segments under dir root ``d``. Missing segments (imported dirs,
+    delete files not laid out under the spec) and hive NULL markers
+    parse to None — every r102 field is a null-defaulted union for
+    exactly this reason."""
+    segs: dict[str, str] = {}
+    rel = os.path.relpath(f, d)
+    for part in rel.split(os.sep)[:-1]:
+        k, eq, v = part.partition("=")
+        if eq:
+            segs[k] = urllib.parse.unquote(v)
+    out: dict[str, object] = {}
+    for desc in descs:
+        raw = segs.get(desc["name"])
+        if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+            out[desc["name"]] = None
+        else:
+            out[desc["name"]] = desc["parse"](raw)
+    return out
+
+
+def _entry_schema(descs: list[dict]) -> dict:
+    """The manifest_entry Avro schema with the r102 partition record
+    populated from one spec's field descriptors (each a null-defaulted
+    union so unencoded dirs stay writable)."""
+    import copy
+
+    s = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    df = next(f for f in s["fields"] if f["name"] == "data_file")
+    part = next(
+        f for f in df["type"]["fields"] if f["name"] == "partition"
+    )
+    part["type"]["fields"] = [
+        {
+            "name": desc["name"],
+            "type": ["null", desc["avro"]],
+            "default": None,
+            "field-id": desc["field_id"],
+        }
+        for desc in descs
+    ]
+    return s
+
+
+def _field_summaries(
+    descs: list[dict], tuples: list[dict]
+) -> list[dict] | None:
+    """Spec field_summary (r508) per partition field over one
+    manifest's entries: contains_null + single-value-serialized
+    lower/upper bounds — what manifest-list-level pruning reads."""
+    if not descs:
+        return None
+    out = []
+    for desc in descs:
+        vals = [t[desc["name"]] for t in tuples]
+        nonnull = [v for v in vals if v is not None]
+        out.append(
+            {
+                "contains_null": len(nonnull) < len(vals),
+                "contains_nan": None,
+                "lower_bound": desc["ser"](min(nonnull)) if nonnull else None,
+                "upper_bound": desc["ser"](max(nonnull)) if nonnull else None,
+            }
+        )
+    return out
 
 
 def _ts_ms(iso: str) -> int:
@@ -195,9 +397,11 @@ def _ts_ms(iso: str) -> int:
 
 
 #: Spec ``data_file`` struct (field-ids per the v2 spec table). The
-#: ``partition`` tuple is the empty struct: the export inventories
-#: files (partition values stay in the parquet/paths), the one
-#: documented simplification.
+#: ``partition`` (r102) field here is the empty-struct TEMPLATE; each
+#: written manifest replaces it via ``_entry_schema`` with the typed
+#: fields of the partition spec its dir was written under, and each
+#: entry carries the file's real partition tuple (round-9: was the
+#: documented empty-struct simplification through round 8).
 _DATA_FILE_SCHEMA = {
     "type": "record",
     "name": "r2",
@@ -373,19 +577,33 @@ def _write_manifest(
     stats_cache: dict[str, tuple[int, int]],
     format_version: str,
     extra_metadata: dict[str, str] | None = None,
-) -> tuple[str, int, int]:
+    dir_root: str | None = None,
+    descs: list[dict] | None = None,
+    spec_id: int = 0,
+) -> tuple[str, int, int, list[dict] | None]:
     """Write one spec ``manifest_entry`` Avro manifest; returns
-    (path, byte_length, row_count). ``df_content`` is the data_file
-    content code (0 data / 1 position deletes / 2 equality deletes);
-    ``status``/``added_snapshot_id`` carry the spec's ADDED-vs-EXISTING
-    attribution (1 + this snapshot for dirs this snapshot added, 0 +
-    the ORIGINAL adder for inherited dirs — an incremental consumer
-    reads "files added in snapshot N" straight off these fields)."""
+    (path, byte_length, row_count, field_summaries). ``df_content`` is
+    the data_file content code (0 data / 1 position deletes / 2
+    equality deletes); ``status``/``added_snapshot_id`` carry the
+    spec's ADDED-vs-EXISTING attribution (1 + this snapshot for dirs
+    this snapshot added, 0 + the ORIGINAL adder for inherited dirs —
+    an incremental consumer reads "files added in snapshot N" straight
+    off these fields). ``descs`` (the dir's partition-spec field
+    descriptors) populates the r102 partition tuple per entry from the
+    file's hive path segments under ``dir_root`` — the field metadata-
+    only readers prune on."""
+    descs = descs or []
     entries = []
+    tuples: list[dict] = []
     rows = 0
     for f in files:
         n, size = _file_stats(f, stats_cache)
         rows += n
+        part = (
+            _partition_tuple(f, dir_root, descs) if dir_root else
+            {desc["name"]: None for desc in descs}
+        )
+        tuples.append(part)
         entries.append(
             {
                 "status": status,
@@ -396,7 +614,7 @@ def _write_manifest(
                     "content": df_content,
                     "file_path": f,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": part,
                     "record_count": n,
                     "file_size_in_bytes": size,
                     "equality_ids": eq_ids,
@@ -405,19 +623,24 @@ def _write_manifest(
         )
     path = write_avro(
         os.path.join(out_dir, name),
-        _MANIFEST_ENTRY_SCHEMA,
+        _entry_schema(descs),
         entries,
         metadata={
             "schema": schema_json,
             "schema-id": "0",
             "partition-spec": spec_json,
-            "partition-spec-id": "0",
+            "partition-spec-id": str(spec_id),
             "format-version": format_version,
             "content": "data" if df_content == 0 else "deletes",
             **(extra_metadata or {}),
         },
     )
-    return path, os.path.getsize(path), rows
+    return (
+        path,
+        os.path.getsize(path),
+        rows,
+        _field_summaries(descs, tuples),
+    )
 
 
 def _dir_adders(snaps: list[Snapshot]) -> dict[str, int]:
@@ -449,6 +672,7 @@ def _manifest_list(
     ids: dict[str, int],
     adders: dict[str, int],
     stats_cache: dict[str, tuple[int, int]],
+    specs_by_id: dict[int, dict],
     dv_entries: list[dict] | None = None,
 ) -> str:
     """The Avro manifest list for ``snap`` (spec ``manifest_file``
@@ -457,8 +681,16 @@ def _manifest_list(
     a JSON twin (same stem, ``.json``, file inventory inlined) is
     written alongside as the human-readable form. Returns the AVRO
     path — that is what ``metadata.json``'s ``manifest-list`` carries,
-    matching what a real Iceberg reader follows."""
-    spec_json = json.dumps({"spec-id": 0, "fields": []})
+    matching what a real Iceberg reader follows.
+
+    Each manifest carries the partition spec its dir was written under
+    (partition_spec_id + the spec JSON in the manifest's key-value
+    metadata), real r102 partition tuples per entry parsed from the
+    hive path segments, and r508 field summaries (contains_null +
+    single-value bounds) in the manifest_file record — a metadata-only
+    reader can prune files by partition value without touching data,
+    matching the pruning the reference's remote engines get from the
+    catalog wiring (internal/upgrade_table.py:66-71)."""
     records = []
     twin = []
     groups: list[tuple[int, int, str, int, list[int] | None, dict | None]] = []
@@ -518,7 +750,9 @@ def _manifest_list(
         )
         adder = adders.get(d, snap.id)
         status = 1 if adder == snap.id else 0  # ADDED vs EXISTING
-        mpath, mlen, rows = _write_manifest(
+        spec_id = _spec_id_for_dir(specs_by_id, d)
+        spec_info = specs_by_id[spec_id]
+        mpath, mlen, rows, summaries = _write_manifest(
             out_dir,
             f"manifest-{snap.id}-{i}.avro",
             adder,
@@ -528,16 +762,19 @@ def _manifest_list(
             df_content=df_content,
             eq_ids=eq_ids,
             schema_json=schema_json,
-            spec_json=spec_json,
+            spec_json=json.dumps(spec_info["json"]),
             stats_cache=stats_cache,
             format_version=str(table.format_version),
             extra_metadata=extra_meta,
+            dir_root=d,
+            descs=spec_info["descs"],
+            spec_id=spec_id,
         )
         records.append(
             {
                 "manifest_path": mpath,
                 "manifest_length": mlen,
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_id,
                 "content": content,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
@@ -548,13 +785,29 @@ def _manifest_list(
                 "added_rows_count": rows if status == 1 else 0,
                 "existing_rows_count": 0 if status == 1 else rows,
                 "deleted_rows_count": 0,
-                "partitions": None,
+                "partitions": summaries,
                 "key_metadata": None,
             }
         )
         twin.append(
             {
                 **records[-1],
+                # JSON-safe form of the r508 summaries (bounds are spec
+                # single-value BYTES in the Avro record; hex here)
+                "partitions": [
+                    {
+                        **s,
+                        "lower_bound": s["lower_bound"].hex()
+                        if s["lower_bound"] is not None
+                        else None,
+                        "upper_bound": s["upper_bound"].hex()
+                        if s["upper_bound"] is not None
+                        else None,
+                    }
+                    for s in summaries
+                ]
+                if summaries
+                else None,
                 "source_dir": d,
                 **({"equality_ids": eq_ids} if eq_ids else {}),
                 "entries": [
@@ -566,7 +819,14 @@ def _manifest_list(
         # V3: the CURRENT snapshot's positional deletes ship as Puffin
         # deletion vectors (spec: v3 writers MUST write DVs, not
         # position-delete files) — one manifest_entry per DV blob,
-        # file_format PUFFIN, fields 143-145 locating the blob
+        # file_format PUFFIN, fields 143-145 locating the blob. DV
+        # entries carry the current default spec with an all-null
+        # partition tuple (a DV spans its referenced data file; the
+        # data file's own entry carries the real tuple).
+        dv_spec_id = max(
+            specs_by_id, key=lambda sid: (specs_by_id[sid]["seq"], sid)
+        )
+        dv_spec = specs_by_id[dv_spec_id]
         entries = [
             {
                 "status": 1,
@@ -589,13 +849,13 @@ def _manifest_list(
         ]
         mpath = write_avro(
             os.path.join(out_dir, f"manifest-{snap.id}-dv.avro"),
-            _MANIFEST_ENTRY_SCHEMA,
+            _entry_schema(dv_spec["descs"]),
             entries,
             metadata={
                 "schema": schema_json,
                 "schema-id": "0",
-                "partition-spec": spec_json,
-                "partition-spec-id": "0",
+                "partition-spec": json.dumps(dv_spec["json"]),
+                "partition-spec-id": str(dv_spec_id),
                 "format-version": "3",
                 "content": "deletes",
             },
@@ -604,7 +864,7 @@ def _manifest_list(
             {
                 "manifest_path": mpath,
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0,
+                "partition_spec_id": dv_spec_id,
                 "content": 1,
                 "sequence_number": snap.id,
                 "min_sequence_number": snap.id,
@@ -660,7 +920,9 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
     os.makedirs(out_dir, exist_ok=True)
     schema, last_col, ids = _schema_struct(table)
     schema_json = json.dumps(schema)
-    specs, default_spec, last_pfid = _partition_specs(table, ids)
+    specs, default_spec, last_pfid, specs_by_id = _partition_specs(
+        table, ids
+    )
     snaps = table.snapshots()
     # attribution is ANCESTRY-relative (cherry-picked dirs are added by
     # the publish snapshot on main, by the staging snapshot on the
@@ -716,6 +978,7 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
                     ids=ids,
                     adders=adders_by_snap[s.id],
                     stats_cache=stats_cache,
+                    specs_by_id=specs_by_id,
                     dv_entries=dv_current if s.id == current_id else None,
                 ),
                 "summary": {"operation": {
