@@ -362,3 +362,126 @@ def i47_deletion_vector_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pdf, "c_custkey bigint, c_acctbal double, c_mktsegment string"
     )
+
+
+_I48_ORACLE = """
+    SELECT c_custkey, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_custkey % 5 <> 0
+    ORDER BY c_custkey
+"""
+
+
+@declare(
+    "i48_dv_time_travel",
+    oracle=_I48_ORACLE,
+    tags=("lifecycle", "cross-engine", "v3", "metadata", "time-travel"),
+)
+def i48_dv_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the exported V3 chain at a HISTORICAL
+    snapshot (round-9 verdict #3 — round-8's export shipped DVs for
+    the current snapshot only, so travel fell back to parquet delete
+    manifests): a V3 table takes two MoR DELETEs and a carried-row
+    UPDATE; the export now references Puffin deletion vectors from
+    EVERY snapshot's own manifest list
+    (``iceberg_export.export_deletion_vectors(snapshot=...)``). A
+    blind consumer resolves the snapshot AFTER THE FIRST DELETE from
+    the exported metadata alone, walks ITS manifest list, asserts its
+    positional deletes arrive as PUFFIN deletion vectors (not parquet),
+    slices the blobs, and DuckDB reconstructs the state as of that
+    snapshot — only the first delete applied, the second delete and
+    the update invisible. Hash-gated against the relational oracle.
+
+    Reference parity: the time-travel verification the reference runs
+    post-upgrade (``internal/verify_in_databricks.py:57-76`` reads
+    history and older snapshots through the catalog), here exercised
+    against the exported wire format with no engine access.
+    """
+    import json as _json
+
+    import pandas as pd
+
+    import duckdb
+
+    from iceberg_v2_to_v3_upgrade_spark.tables.avro_io import read_avro
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+    from iceberg_v2_to_v3_upgrade_spark.tables.iceberg_export import (
+        export_iceberg_metadata,
+    )
+    from iceberg_v2_to_v3_upgrade_spark.tables.puffin_io import (
+        deserialize_deletion_vector,
+    )
+
+    warehouse = tempfile.mkdtemp(prefix="dvt_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "dvt_db",
+        "cust_tt",
+        "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING",
+    )
+    t.insert(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+    )
+    t.set_properties({"format-version": "3"})
+    t.delete_where("c_custkey % 5 = 0")
+    t.delete_where("c_acctbal < 3000")
+    t.update_set(
+        {"c_acctbal": "c_acctbal + 0.25"}, "c_mktsegment = 'MACHINERY'"
+    )
+    target_id = min(
+        s.id for s in t.snapshots() if s.operation == "delete"
+    )
+
+    meta = _json.load(
+        open(export_iceberg_metadata(t, tempfile.mkdtemp(prefix="dvt_out_")))
+    )
+    target = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == target_id
+    )
+    assert target_id != meta["current-snapshot-id"], "target must be old"
+    _, _, manifests = read_avro(target["manifest-list"])
+    files: list[str] = []
+    pairs = []
+    total_card = 0
+    for m in manifests:
+        _, _, entries = read_avro(m["manifest_path"])
+        for e in entries:
+            df = e["data_file"]
+            if m["content"] == 0:
+                files.append(df["file_path"])
+                continue
+            # historical positional deletes must arrive as DVs now
+            assert df["file_format"] == "PUFFIN", df["file_format"]
+            with open(df["file_path"], "rb") as fh:
+                fh.seek(df["content_offset"])
+                payload = fh.read(df["content_size_in_bytes"])
+            positions = deserialize_deletion_vector(payload)
+            assert len(positions) == df["record_count"]
+            total_card += len(positions)
+            pairs.extend(
+                (df["referenced_data_file"], p) for p in positions
+            )
+    assert total_card > 0, "historical snapshot exported no DVs"
+    files = sorted(set(files))
+    con = duckdb.connect()
+    try:
+        con.register("dv", pd.DataFrame(pairs, columns=["fname", "pos"]))
+        flist = ", ".join(f"'{f}'" for f in files)
+        pdf = con.execute(
+            f"""
+            SELECT c_custkey, c_acctbal, c_mktsegment
+            FROM read_parquet([{flist}], filename=1, file_row_number=1) r
+            WHERE NOT EXISTS (
+                SELECT 1 FROM dv
+                WHERE dv.fname = r.filename AND dv.pos = r.file_row_number
+            )
+            ORDER BY c_custkey
+            """
+        ).df()
+    finally:
+        con.close()
+    return spark.createDataFrame(
+        pdf, "c_custkey bigint, c_acctbal double, c_mktsegment string"
+    )

@@ -236,10 +236,14 @@ def i43_iceberg_metadata_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     warehouse = tempfile.mkdtemp(prefix="icexport_wh_")
     catalog = LocalCatalog(spark, warehouse)
+    # identity-partitioned by o_orderstatus (round-9): the export's
+    # manifest entries carry real r102 partition tuples, so the blind
+    # consumer below also proves METADATA-ONLY partition pruning
     t = catalog.create_table(
         "ix_db",
         "orders_ix",
         "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+        partition_by=["o_orderstatus"],
     )
     t.insert(
         load_table(spark, sf_dir, "orders").select(
@@ -262,22 +266,59 @@ def i43_iceberg_metadata_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, manifests = read_avro(current["manifest-list"])
     data_files: list[str] = []
     delete_files: list[str] = []
+    pruned_files: list[str] = []  # metadata-only prune: status = 'F'
     for m in manifests:
         _, mmeta, entries = read_avro(m["manifest_path"])
         assert mmeta["format-version"] == "2", mmeta
         paths = [e["data_file"]["file_path"] for e in entries]
-        (data_files if m["content"] == 0 else delete_files).extend(paths)
+        if m["content"] == 0:
+            data_files.extend(paths)
+            pruned_files.extend(
+                e["data_file"]["file_path"]
+                for e in entries
+                if e["data_file"]["partition"]["o_orderstatus"] == "F"
+            )
+            # manifest-list-level pruning input: r508 field summaries
+            # carry utf-8 single-value bounds for the partition field
+            lo = m["partitions"][0]["lower_bound"]
+            hi = m["partitions"][0]["upper_bound"]
+            assert lo is not None and lo <= b"F" <= hi, (lo, hi)
+        else:
+            delete_files.extend(paths)
     assert data_files and delete_files, "export inventoried no files"
+    assert pruned_files and len(pruned_files) < len(data_files)
     con = duckdb.connect()
     try:
+        # identity hive layout: o_orderstatus lives in the path segments
         dlist = ", ".join(f"'{f}'" for f in data_files)
         xlist = ", ".join(f"'{f}'" for f in delete_files)
+        plist = ", ".join(f"'{f}'" for f in pruned_files)
+        not_deleted = (
+            f"_row_id NOT IN (SELECT _row_id FROM read_parquet([{xlist}]))"
+        )
         pdf = con.execute(
             f"SELECT o_orderkey, o_orderstatus, o_totalprice "
-            f"FROM read_parquet([{dlist}], union_by_name=1) WHERE _row_id "
-            f"NOT IN (SELECT _row_id FROM read_parquet([{xlist}])) "
-            f"ORDER BY o_orderkey"
+            f"FROM read_parquet([{dlist}], union_by_name=1, "
+            f"hive_partitioning=1) WHERE {not_deleted} ORDER BY o_orderkey"
         ).df()
+        # pruning proof: reading ONLY the files the manifest partition
+        # tuples select for status 'F' must reconstruct exactly the
+        # full state filtered to 'F'
+        n_pruned = con.execute(
+            f"SELECT count(*), coalesce(sum(o_orderkey), 0) "
+            f"FROM read_parquet([{plist}], union_by_name=1, "
+            f"hive_partitioning=1) WHERE {not_deleted}"
+        ).fetchone()
+        n_full_f = con.execute(
+            f"SELECT count(*), coalesce(sum(o_orderkey), 0) "
+            f"FROM read_parquet([{dlist}], union_by_name=1, "
+            f"hive_partitioning=1) "
+            f"WHERE {not_deleted} AND o_orderstatus = 'F'"
+        ).fetchone()
+        assert n_pruned == n_full_f and n_pruned[0] > 0, (
+            n_pruned,
+            n_full_f,
+        )
     finally:
         con.close()
     return spark.createDataFrame(

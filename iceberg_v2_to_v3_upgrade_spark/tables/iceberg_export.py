@@ -931,32 +931,36 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
         s.id: _dir_adders(table.ancestry(s.id)) for s in snaps
     }
     stats_cache: dict[str, tuple[int, int]] = {}
-    current_id = table._meta["current_snapshot_id"]
-    dv_current: list[dict] | None = None
-    cur_snap = table.current_snapshot()
-    if table.format_version >= 3 and (
-        cur_snap.delete_dirs or table._meta.get("carried_row_ids")
-    ):
-        # V3: the current snapshot's positional deletes export as
-        # Puffin deletion vectors referenced from its delete manifest
-        # (fields 143-145); historical snapshots keep their parquet
-        # form (they are pre-upgrade history)
+    dv_by_snap: dict[int, list[dict]] = {}
+    if table.format_version >= 3:
+        # V3: EVERY snapshot's positional deletes export as Puffin
+        # deletion vectors referenced from that snapshot's own manifest
+        # list (fields 143-145) — round-9: was current-snapshot-only,
+        # which made time travel through the export fall back to the
+        # parquet delete form. Cost is one Puffin per snapshot with
+        # positional state (per-dir bounded anti-joins, delete-count-
+        # shaped, not corpus-shaped); snapshots without positional
+        # state skip the scans entirely.
         from iceberg_v2_to_v3_upgrade_spark.tables.puffin_io import (
             read_puffin,
         )
 
-        dv_path = export_deletion_vectors(table, out_dir)
-        dv_meta, _ = read_puffin(dv_path)
-        dv_current = [
-            {
-                "puffin": dv_path,
-                "offset": bm["offset"],
-                "length": bm["length"],
-                "referenced": bm["properties"]["referenced-data-file"],
-                "cardinality": int(bm["properties"]["cardinality"]),
-            }
-            for bm in dv_meta["blobs"]
-        ]
+        carried = bool(table._meta.get("carried_row_ids"))
+        for s in snaps:
+            if not (s.delete_dirs or carried):
+                continue
+            dv_path = export_deletion_vectors(table, out_dir, snapshot=s)
+            dv_meta, _ = read_puffin(dv_path)
+            dv_by_snap[s.id] = [
+                {
+                    "puffin": dv_path,
+                    "offset": bm["offset"],
+                    "length": bm["length"],
+                    "referenced": bm["properties"]["referenced-data-file"],
+                    "cardinality": int(bm["properties"]["cardinality"]),
+                }
+                for bm in dv_meta["blobs"]
+            ]
     ancestors = {s.id for s in table.ancestry()}
     snapshots = []
     for s in snaps:
@@ -979,7 +983,7 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
                     adders=adders_by_snap[s.id],
                     stats_cache=stats_cache,
                     specs_by_id=specs_by_id,
-                    dv_entries=dv_current if s.id == current_id else None,
+                    dv_entries=dv_by_snap.get(s.id),
                 ),
                 "summary": {"operation": {
                     "create": "append",
@@ -1048,13 +1052,20 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
     return path
 
 
-def export_deletion_vectors(table: LocalTable, out_dir: str) -> str:
-    """Export the CURRENT snapshot's positional-delete state as Iceberg
-    V3 **deletion vectors** — one ``deletion-vector-v1`` blob per data
-    file inside a single Puffin container (round-8 stretch: the V3 wire
-    format for position deletes, the format the reference's 2->3 upgrade
-    exists to unlock; ``tables/puffin_io.py`` implements Puffin and the
-    Roaring serializations from their public specs).
+def export_deletion_vectors(
+    table: LocalTable, out_dir: str, snapshot: Snapshot | None = None
+) -> str:
+    """Export one snapshot's positional-delete state (default: the
+    CURRENT snapshot) as Iceberg V3 **deletion vectors** — one
+    ``deletion-vector-v1`` blob per data file inside a single Puffin
+    container (round-8 stretch: the V3 wire format for position
+    deletes, the format the reference's 2->3 upgrade exists to unlock;
+    ``tables/puffin_io.py`` implements Puffin and the Roaring
+    serializations from their public specs). Round-9: ``snapshot``
+    generalizes this to HISTORICAL snapshots so a V3 export can
+    reference DVs from every snapshot's own manifest list — time
+    travel through the export no longer falls back to parquet delete
+    manifests.
 
     Semantics are delegated to the ENGINE's own merge, not re-derived:
     for each data dir, the table is scanned through a single-dir
@@ -1091,7 +1102,7 @@ def export_deletion_vectors(table: LocalTable, out_dir: str) -> str:
     from iceberg_v2_to_v3_upgrade_spark.tables.table import _ROW_ID
 
     os.makedirs(out_dir, exist_ok=True)
-    cur = table.current_snapshot()
+    cur = snapshot if snapshot is not None else table.current_snapshot()
     puffin_path = os.path.join(out_dir, f"snap-{cur.id}-deletes.puffin")
     if not (
         cur.delete_dirs or table._meta.get("carried_row_ids")

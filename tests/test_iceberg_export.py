@@ -151,3 +151,120 @@ def test_export_maps_nested_and_decimal_types(spark, tmp_path):
     }
     assert not (ids & nested)
     assert meta["last-column-id"] >= max(ids | nested)
+
+
+def test_partition_tuples_and_summaries(spark, tmp_path):
+    """Round-9: manifest entries carry typed r102 partition tuples
+    (identity string, bucket int, day date-int) parsed from the hive
+    layout, under the spec each dir was written under; the manifest
+    list carries r508 field summaries with single-value bounds."""
+    import datetime
+    import struct
+
+    from iceberg_v2_to_v3_upgrade_spark.tables.avro_io import read_avro
+
+    t = LocalTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "id BIGINT, cat STRING, ts TIMESTAMP",
+        partition_by=["cat", "bucket(4, id)", "days(ts)"],
+    )
+    rows = [
+        (i, "ab"[i % 2], datetime.datetime(2024, 1, 1 + i % 3))
+        for i in range(20)
+    ]
+    t.insert(
+        spark.createDataFrame(rows, "id BIGINT, cat STRING, ts TIMESTAMP")
+    )
+    meta = json.load(
+        open(export_iceberg_metadata(t, str(tmp_path / "export")))
+    )
+    spec = meta["partition-specs"][meta["default-spec-id"]]
+    by_name = {f["name"]: f for f in spec["fields"]}
+    assert by_name["cat"]["transform"] == "identity"
+    assert by_name["id_bucket"]["transform"] == "bucket[4]"
+    assert by_name["ts_day"]["transform"] == "day"
+    current = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, manifests = read_avro(current["manifest-list"])
+    data = [m for m in manifests if m["content"] == 0]
+    assert data
+    epoch = datetime.date(1970, 1, 1)
+    want_days = {
+        (datetime.date(2024, 1, 1 + k) - epoch).days for k in range(3)
+    }
+    seen = set()
+    for m in data:
+        assert m["partition_spec_id"] == meta["default-spec-id"]
+        _, mmeta, entries = read_avro(m["manifest_path"])
+        assert json.loads(mmeta["partition-spec"]) == spec
+        for e in entries:
+            p = e["data_file"]["partition"]
+            assert p["cat"] in ("a", "b")
+            assert 0 <= p["id_bucket"] < 4
+            assert p["ts_day"] in want_days
+            # tuple agrees with the file's own hive path
+            assert f"cat={p['cat']}" in e["data_file"]["file_path"]
+            seen.add((p["cat"], p["id_bucket"], p["ts_day"]))
+        # r508 summaries: bounds per field in spec order, spec
+        # single-value binary (string utf-8, int 4-byte LE)
+        s_cat, s_bucket, s_day = m["partitions"]
+        assert s_cat["lower_bound"] in (b"a", b"b")
+        lo_b = struct.unpack("<i", s_bucket["lower_bound"])[0]
+        hi_b = struct.unpack("<i", s_bucket["upper_bound"])[0]
+        assert 0 <= lo_b <= hi_b < 4
+        lo_d = struct.unpack("<i", s_day["lower_bound"])[0]
+        assert lo_d == min(want_days)
+        assert not s_cat["contains_null"]
+    assert len(seen) > 1, "partitioned insert produced one tuple"
+
+
+def test_partition_tuples_follow_spec_evolution(spark, tmp_path):
+    """Dirs written before a partition-spec change keep their ORIGINAL
+    spec in the export: per-manifest partition_spec_id, embedded spec
+    JSON, and tuple fields all match the dir's own layout."""
+    from iceberg_v2_to_v3_upgrade_spark.tables.avro_io import read_avro
+
+    t = LocalTable.create(
+        spark, str(tmp_path / "t"), _SCHEMA, partition_by=["cat"]
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i)) for i in range(8)], _SCHEMA
+        )
+    )
+    t.evolve_partition_spec(["bucket(2, id)"])
+    t.insert(
+        spark.createDataFrame(
+            [(i, "c", float(i)) for i in range(8, 12)], _SCHEMA
+        )
+    )
+    meta = json.load(
+        open(export_iceberg_metadata(t, str(tmp_path / "export")))
+    )
+    current = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, manifests = read_avro(current["manifest-list"])
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    seen_specs = set()
+    for m in manifests:
+        if m["content"] != 0:
+            continue
+        sid = m["partition_spec_id"]
+        seen_specs.add(sid)
+        _, mmeta, entries = read_avro(m["manifest_path"])
+        assert int(mmeta["partition-spec-id"]) == sid
+        names = {f["name"] for f in specs[sid]["fields"]}
+        for e in entries:
+            assert set(e["data_file"]["partition"]) == names
+            assert all(
+                v is not None
+                for v in e["data_file"]["partition"].values()
+            )
+    assert seen_specs == {0, 1}, seen_specs

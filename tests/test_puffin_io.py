@@ -248,3 +248,60 @@ def test_export_deletion_vectors_imported_dir(spark, tmp_path):
     out2 = export_deletion_vectors(t2, str(tmp_path / "dv_clean"))
     _, blobs2 = _ipuffin(out2)
     assert blobs2 == []
+
+
+def test_historical_snapshots_export_dvs(spark, tmp_path):
+    """Round-9: every snapshot with positional-delete state references
+    Puffin DVs from its OWN manifest list in a V3 export (was
+    current-snapshot-only in round 8 — time travel fell back to the
+    parquet delete form)."""
+    import json
+
+    from iceberg_v2_to_v3_upgrade_spark.tables.avro_io import read_avro
+    from iceberg_v2_to_v3_upgrade_spark.tables.iceberg_export import (
+        export_iceberg_metadata,
+    )
+
+    t = LocalTable.create(spark, str(tmp_path / "t"), "id BIGINT, v DOUBLE")
+    t.insert(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(30)], "id BIGINT, v DOUBLE"
+        )
+    )
+    t.set_properties({"format-version": "3"})
+    t.delete_where("id % 3 = 0")   # snapshot A
+    t.delete_where("id % 5 = 0")   # snapshot B (current)
+    meta = json.load(
+        open(export_iceberg_metadata(t, str(tmp_path / "export")))
+    )
+    delete_snaps = [s.id for s in t.snapshots() if s.operation == "delete"]
+    assert len(delete_snaps) == 2
+    for sid in delete_snaps:
+        snap = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == sid
+        )
+        _, _, manifests = read_avro(snap["manifest-list"])
+        delete_ms = [m for m in manifests if m["content"] == 1]
+        assert delete_ms, f"snapshot {sid} lists no delete manifest"
+        for m in delete_ms:
+            _, _, entries = read_avro(m["manifest_path"])
+            assert entries and all(
+                e["data_file"]["file_format"] == "PUFFIN" for e in entries
+            ), f"snapshot {sid} still exports parquet position deletes"
+    # the two snapshots' DV cardinalities differ (A: only %3 deleted)
+    def _card(sid):
+        snap = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == sid
+        )
+        _, _, manifests = read_avro(snap["manifest-list"])
+        tot = 0
+        for m in manifests:
+            if m["content"] != 1:
+                continue
+            _, _, entries = read_avro(m["manifest_path"])
+            tot += sum(e["data_file"]["record_count"] for e in entries)
+        return tot
+
+    a, b = sorted(delete_snaps)
+    assert _card(a) == 10          # ids 0,3,...,27
+    assert _card(b) == 10 + 4      # plus 5,10(dup? no),...
