@@ -82,34 +82,78 @@ def _serialize_roaring32(values: list[int]) -> bytes:
     return bytes(out)
 
 
-def _deserialize_roaring32(buf: bytes) -> list[int]:
-    cookie = struct.unpack_from("<I", buf, 0)[0]
+_NO_OFFSET_THRESHOLD = 4  # spec: run-format files this small omit offsets
+
+
+def _read_roaring32(buf: bytes, start: int) -> tuple[list[int], int]:
+    """Decode one 32-bit roaring bitmap at ``start``; returns
+    (values, end_position). Handles BOTH portable formats: cookie
+    12346 (no run containers, u32 container count, offsets always
+    present) and cookie 12347 (run containers allowed — container
+    count in the cookie's high bits + a run-flag bitset; the offset
+    header is omitted when there are fewer than 4 containers). Run
+    container body: u16 n_runs then n_runs x (u16 start, u16
+    length-1) covering start..start+length inclusive. Round-9: the
+    round-8 reader refused cookie 12347, so DVs written by a
+    run-optimizing encoder (e.g. CRoaring after runOptimize) could
+    not be imported."""
+    cookie = struct.unpack_from("<I", buf, start)[0]
     if (cookie & 0xFFFF) == _SERIAL_COOKIE_RUN:
-        raise ValueError("run containers not supported by this reader")
-    if cookie != _SERIAL_COOKIE_NO_RUN:
+        n = (cookie >> 16) + 1
+        pos = start + 4
+        nbitset = (n + 7) // 8
+        run_flags = buf[pos : pos + nbitset]
+        is_run = [bool(run_flags[i >> 3] & (1 << (i & 7))) for i in range(n)]
+        pos += nbitset
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        n = struct.unpack_from("<I", buf, start + 4)[0]
+        pos = start + 8
+        is_run = [False] * n
+        has_offsets = True
+    else:
         raise ValueError(f"bad roaring cookie {cookie}")
-    n = struct.unpack_from("<I", buf, 4)[0]
     keys, cards = [], []
-    pos = 8
     for _ in range(n):
         k, c = struct.unpack_from("<HH", buf, pos)
         keys.append(k)
         cards.append(c + 1)
         pos += 4
-    offsets = list(struct.unpack_from(f"<{n}I", buf, pos))
+    if has_offsets:
+        pos += 4 * n  # bodies are laid out in order; walk sequentially
     values: list[int] = []
-    for k, card, off in zip(keys, cards, offsets):
+    for i, (k, card) in enumerate(zip(keys, cards)):
         base = k << 16
-        if card <= _ARRAY_MAX:
-            lows = struct.unpack_from(f"<{card}H", buf, off)
+        if is_run[i]:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            got = 0
+            for _ in range(n_runs):
+                lo, ln = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(base | v for v in range(lo, lo + ln + 1))
+                got += ln + 1
+            if got != card:
+                raise ValueError(
+                    f"run container cardinality mismatch ({got} != {card})"
+                )
+        elif card <= _ARRAY_MAX:
+            lows = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
             values.extend(base | lo for lo in lows)
         else:
-            words = struct.unpack_from("<1024Q", buf, off)
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
             for wi, w in enumerate(words):
                 while w:
                     b = w & -w
                     values.append(base | (wi << 6) | b.bit_length() - 1)
                     w ^= b
+    return values, pos
+
+
+def _deserialize_roaring32(buf: bytes) -> list[int]:
+    values, _ = _read_roaring32(buf, 0)
     return values
 
 
@@ -132,25 +176,10 @@ def deserialize_roaring64(buf: bytes) -> list[int]:
     for _ in range(n):
         high = struct.unpack_from("<I", buf, pos)[0]
         pos += 4
-        # decode the 32-bit bitmap in place: compute its length by
-        # walking its own headers (format-driven, no length prefix)
-        cookie, cnt = struct.unpack_from("<II", buf, pos)
-        if cookie != _SERIAL_COOKIE_NO_RUN:
-            raise ValueError(f"bad roaring cookie {cookie}")
-        hdr = pos + 8
-        cards = [
-            struct.unpack_from("<HH", buf, hdr + 4 * i)[1] + 1
-            for i in range(cnt)
-        ]
-        body = hdr + 4 * cnt + 4 * cnt
-        size = sum(
-            2 * c if c <= _ARRAY_MAX else 8192 for c in cards
-        )
-        end = body + size
-        # offsets in the sub-bitmap are relative to ITS start
-        sub = buf[pos:end]
-        values.extend((high << 32) | v for v in _deserialize_roaring32(sub))
-        pos = end
+        # decode the 32-bit bitmap in place; its length comes out of
+        # the format-driven walk (no length prefix in the container)
+        sub_values, pos = _read_roaring32(buf, pos)
+        values.extend((high << 32) | v for v in sub_values)
     return values
 
 
