@@ -299,6 +299,8 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         analytics17,
         lifecycle10,
         catalog_queries2,
+        security2,
+        lifecycle11,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
