@@ -55,6 +55,10 @@ _LAST_PROGRESS: dict[str, list] = {}
 #: don't accumulate every drained result on the driver (the sf1 audit
 #: needed a 48g driver purely from leaked sinks).
 _LAST_SINK: dict[str, str] = {}
+#: Per-prefix parquet dir of the most recent FILE-sink drain
+#: (SPARK_GRAFT_STREAM_SINK=file) — removed on the next drain so a long
+#: audit session doesn't fill /tmp either.
+_LAST_SINK_DIR: dict[str, str] = {}
 
 
 def _stage_table(
@@ -136,20 +140,59 @@ def _drain(stream_df: DataFrame, mode: str, prefix: str) -> str:
     identical at any value."""
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{prefix}_")
-    runner = {
-        "complete": run_to_memory_sink,
-        "append": run_append_to_memory_sink,
-        "update": run_update_to_memory_sink,
-    }[mode]
     spark = stream_df.sparkSession
+    # Sink selection (round-9 verdict #7): the default memory sink is
+    # right for the bench/driver scale (results are small aggregates and
+    # live exactly one pass), but a LONG audit session at sf1 parks
+    # every drained result on the driver — the documented 48g-driver
+    # artifact. SPARK_GRAFT_STREAM_SINK=file drains through foreachBatch
+    # into parquet instead (complete: per-batch overwrite so the final
+    # batch IS the result; append: plain appends), keeping driver heap
+    # flat; the result is read back lazily and registered under the same
+    # name so callers are sink-agnostic. Update-mode drains (l5) keep
+    # the memory sink: their emission is per-KEY rows whose final state
+    # needs last-emission-per-key reconstruction, and their result is
+    # bounded by distinct keys, not corpus volume.
+    use_file = (
+        os.environ.get("SPARK_GRAFT_STREAM_SINK") == "file"
+        and mode != "update"
+    )
     stale = _LAST_SINK.pop(prefix, None)
     if stale is not None:
         spark.catalog.dropTempView(stale)
+        stale_dir = _LAST_SINK_DIR.pop(prefix, None)
+        if stale_dir is not None:
+            import shutil
+
+            shutil.rmtree(stale_dir, ignore_errors=True)
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     spark.conf.set(key, os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
     try:
-        q = runner(stream_df, name, ckpt)
+        if use_file:
+            out_dir = tempfile.mkdtemp(prefix=f"sink_{prefix}_")
+            write_mode = "overwrite" if mode == "complete" else "append"
+
+            def _write_batch(batch_df: DataFrame, _bid: int) -> None:
+                batch_df.write.mode(write_mode).parquet(out_dir)
+
+            q = (
+                stream_df.writeStream.foreachBatch(_write_batch)
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            spark.read.parquet(out_dir).createOrReplaceTempView(name)
+            _LAST_SINK_DIR[prefix] = out_dir
+        else:
+            runner = {
+                "complete": run_to_memory_sink,
+                "append": run_append_to_memory_sink,
+                "update": run_update_to_memory_sink,
+            }[mode]
+            q = runner(stream_df, name, ckpt)
         # Keep the micro-batch progress log (batch sizes, watermarks,
         # numRowsDroppedByWatermark) so queries/tests can assert the
         # batching STRUCTURE, not just the result values — a silent
