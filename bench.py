@@ -217,13 +217,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, passes in [(n, 2) for n in HEADLINE] + [
-        (n, 2) for n in tail_queries
-    ]:
+    for name in HEADLINE + tail_queries:
         fn = registry[name].fn
         best = float("inf")
         try:
-            for it in range(passes):
+            for it in range(2):
                 start = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 elapsed = time.perf_counter() - start

@@ -184,7 +184,17 @@ def _drain(stream_df: DataFrame, mode: str, prefix: str) -> str:
                 .start()
             )
             q.awaitTermination()
-            spark.read.parquet(out_dir).createOrReplaceTempView(name)
+            if any(
+                f.endswith(".parquet") for f in os.listdir(out_dir)
+            ):
+                spark.read.parquet(out_dir).createOrReplaceTempView(name)
+            else:
+                # zero micro-batches fired: foreachBatch never ran, so
+                # mirror the memory sink's valid EMPTY table instead of
+                # crashing on schema inference (round-9 review finding)
+                spark.createDataFrame(
+                    [], stream_df.schema
+                ).createOrReplaceTempView(name)
             _LAST_SINK_DIR[prefix] = out_dir
         else:
             runner = {

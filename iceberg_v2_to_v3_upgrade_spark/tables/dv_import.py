@@ -79,7 +79,12 @@ def import_deletion_vectors(
                 f"deletion vector references a file outside the "
                 f"table's current data dirs: {f}"
             )
-        positions = deserialize_deletion_vector(payload)
+        # SORT before range checks: nothing in the Roaring spec forces a
+        # foreign serializer to store container keys in ascending order,
+        # and the checks below look at positions[0]/positions[-1] — an
+        # unsorted list would bypass them and delete the wrong rows
+        # (round-9 review finding)
+        positions = sorted(deserialize_deletion_vector(payload))
         card = meta["properties"].get("cardinality")
         if card is not None and int(card) != len(positions):
             raise TableError(
@@ -98,10 +103,12 @@ def import_deletion_vectors(
             rids.extend(base + p for p in positions)
         else:
             col = pq.read_table(f, columns=[_ROW_ID])[_ROW_ID].to_pylist()
-            if positions and positions[-1] >= len(col):
+            if positions and not (
+                0 <= positions[0] and positions[-1] < len(col)
+            ):
                 raise TableError(
-                    f"deletion vector position {positions[-1]} out of "
-                    f"range for {f} ({len(col)} rows)"
+                    f"deletion vector position out of range for {f} "
+                    f"({len(col)} rows)"
                 )
             rids.extend(int(col[p]) for p in positions)
     if n_blobs == 0:

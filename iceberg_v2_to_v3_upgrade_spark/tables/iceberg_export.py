@@ -200,15 +200,17 @@ def _identity_codec(spark_type: str):
             _ser_i4,
         )
     if t.startswith("timestamp"):
+        # integer timedelta division, NOT total_seconds()*1e6: float
+        # resolution near epoch-scale values is ~0.5µs, so the float
+        # form can round a microsecond-precision partition value to the
+        # adjacent microsecond (round-9 review finding)
         return (
             {"type": "long", "logicalType": "timestamp-micros"},
-            lambda v: int(
-                (
-                    datetime.datetime.fromisoformat(v)
-                    - datetime.datetime(1970, 1, 1)
-                ).total_seconds()
-                * 1_000_000
-            ),
+            lambda v: (
+                datetime.datetime.fromisoformat(v)
+                - datetime.datetime(1970, 1, 1)
+            )
+            // datetime.timedelta(microseconds=1),
             _ser_i8,
         )
     return "string", str, lambda v: v.encode("utf-8")
@@ -945,9 +947,14 @@ def export_iceberg_metadata(table: LocalTable, out_dir: str) -> str:
             read_puffin,
         )
 
-        carried = bool(table._meta.get("carried_row_ids"))
         for s in snaps:
-            if not (s.delete_dirs or carried):
+            # a snapshot has positional-delete state iff it lists delete
+            # dirs: carried rows (V3 UPDATE) always commit alongside the
+            # positional tombstone dir (table.py::update_set), so a
+            # table-level carried flag would only force corpus-shaped
+            # scans of pre-delete snapshots to produce empty Puffins
+            # (round-9 review finding)
+            if not s.delete_dirs:
                 continue
             dv_path = export_deletion_vectors(table, out_dir, snapshot=s)
             dv_meta, _ = read_puffin(dv_path)

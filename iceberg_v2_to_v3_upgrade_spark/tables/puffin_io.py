@@ -119,18 +119,30 @@ def _read_roaring32(buf: bytes, start: int) -> tuple[list[int], int]:
         keys.append(k)
         cards.append(c + 1)
         pos += 4
+    offsets: list[int] | None = None
     if has_offsets:
-        pos += 4 * n  # bodies are laid out in order; walk sequentially
+        # honor the offset header instead of assuming bodies are laid
+        # out contiguously in header order — the header exists exactly
+        # so a serializer MAY pad or reorder bodies, and this reader is
+        # now the ingestion point for untrusted foreign DVs (round-9
+        # review finding). Offsets are relative to the bitmap start.
+        offsets = [
+            start + off
+            for off in struct.unpack_from(f"<{n}I", buf, pos)
+        ]
+        pos += 4 * n
     values: list[int] = []
+    end = pos
     for i, (k, card) in enumerate(zip(keys, cards)):
         base = k << 16
+        at = offsets[i] if offsets is not None else pos
         if is_run[i]:
-            (n_runs,) = struct.unpack_from("<H", buf, pos)
-            pos += 2
+            (n_runs,) = struct.unpack_from("<H", buf, at)
+            at += 2
             got = 0
             for _ in range(n_runs):
-                lo, ln = struct.unpack_from("<HH", buf, pos)
-                pos += 4
+                lo, ln = struct.unpack_from("<HH", buf, at)
+                at += 4
                 values.extend(base | v for v in range(lo, lo + ln + 1))
                 got += ln + 1
             if got != card:
@@ -138,18 +150,21 @@ def _read_roaring32(buf: bytes, start: int) -> tuple[list[int], int]:
                     f"run container cardinality mismatch ({got} != {card})"
                 )
         elif card <= _ARRAY_MAX:
-            lows = struct.unpack_from(f"<{card}H", buf, pos)
-            pos += 2 * card
+            lows = struct.unpack_from(f"<{card}H", buf, at)
+            at += 2 * card
             values.extend(base | lo for lo in lows)
         else:
-            words = struct.unpack_from("<1024Q", buf, pos)
-            pos += 8192
+            words = struct.unpack_from("<1024Q", buf, at)
+            at += 8192
             for wi, w in enumerate(words):
                 while w:
                     b = w & -w
                     values.append(base | (wi << 6) | b.bit_length() - 1)
                     w ^= b
-    return values, pos
+        if offsets is None:
+            pos = at
+        end = max(end, at)
+    return values, end
 
 
 def _deserialize_roaring32(buf: bytes) -> list[int]:

@@ -201,3 +201,87 @@ def test_import_rejects_unknown_file_and_bad_cardinality(spark, tmp_path):
     write_puffin(p, [blob])
     with pytest.raises(TableError, match="outside the table"):
         import_deletion_vectors(t, p)
+
+
+def test_unsorted_foreign_containers_decode_and_import(spark, tmp_path):
+    """Round-9 review findings 1+4: a spec-legal foreign bitmap whose
+    offset header points at REORDERED bodies must decode via the
+    offsets (not sequential assumption), and an out-of-key-order
+    container layout must not bypass dv_import's range checks."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    # 4 containers (offset header present), bodies written in REVERSED
+    # order relative to headers; keys deliberately descending too
+    conts = [
+        (3, _run_body([1, 2, 3]), 3),
+        (2, struct.pack("<2H", 7, 9), 2),
+        (1, _run_body([100]), 1),
+        (0, struct.pack("<3H", 0, 5, 6), 3),
+    ]
+    n = len(conts)
+    out = bytearray(struct.pack("<I", 12347 | ((n - 1) << 16)))
+    out += (0b0101).to_bytes(1, "little")  # containers 0 and 2 are runs
+    for key, _b, card in conts:
+        out += struct.pack("<HH", key, card - 1)
+    # bodies appended in REVERSE order; offsets point at true positions
+    body_area = len(out) + 4 * n
+    placed: dict[int, int] = {}
+    bodies = b""
+    for i in reversed(range(n)):
+        placed[i] = body_area + len(bodies)
+        bodies += conts[i][1]
+    for i in range(n):
+        out += struct.pack("<I", placed[i])
+    out += bodies
+    got = _deserialize_roaring32(bytes(out))
+    want = (
+        [(3 << 16) | v for v in (1, 2, 3)]
+        + [(2 << 16) | v for v in (7, 9)]
+        + [(1 << 16) | 100]
+        + [0, 5, 6]
+    )
+    assert sorted(got) == sorted(want)
+
+    # import path: positions decoded from a descending-key bitmap are
+    # range-checked (sorted first) and delete the right rows
+    t = LocalTable.create(spark, str(tmp_path / "t"), "id BIGINT")
+    t.insert(
+        spark.createDataFrame(
+            [(i,) for i in range(40)], "id BIGINT"
+        ).coalesce(1)
+    )
+    f = sorted(
+        glob.glob(str(tmp_path / "t") + "/data/**/*.parquet", recursive=True)
+    )[0]
+    ids = pq.read_table(f, columns=["id"])["id"].to_pylist()
+    assert len(ids) == 40, "expected a single data file"
+    kill = {i for i, x in enumerate(ids) if x in (3, 4, 5)}
+    # hand-build: single high bucket, one run container per position
+    # with keys ascending (positions < 2^16 here) — covered above for
+    # ordering; here exercise the sorted() path via reversed list
+    import zlib as _z
+
+    r32 = bytearray(struct.pack("<I", 12347 | (0 << 16)))
+    r32 += (1).to_bytes(1, "little")
+    lows = sorted(kill)
+    r32 += struct.pack("<HH", 0, len(lows) - 1)
+    r32 += _run_body(lows)
+    vec = struct.pack("<Q", 1) + struct.pack("<I", 0) + bytes(r32)
+    body = b"\xd1\xd3\x3d\xd3" + vec
+    blob = (
+        struct.pack(">I", len(body))
+        + body
+        + struct.pack(">I", _z.crc32(body) & 0xFFFFFFFF)
+    )
+    p = str(tmp_path / "f.puffin")
+    write_puffin(
+        p,
+        [(blob, {"type": "deletion-vector-v1", "fields": [],
+                 "properties": {"referenced-data-file": f,
+                                "cardinality": str(len(lows))}})],
+    )
+    import_deletion_vectors(t, p)
+    got_ids = sorted(r["id"] for r in t.scan().collect())
+    assert got_ids == [x for x in range(40) if x not in (3, 4, 5)]
