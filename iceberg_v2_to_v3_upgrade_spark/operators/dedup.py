@@ -234,14 +234,37 @@ def _exact_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    sx = shingled.select(
+    # Verification ships 8-byte hashed shingles instead of strings —
+    # the candidate-pair join attaches BOTH docs' full sets to every
+    # candidate row, and at x10 that shuffle (12M pairs x 2 x ~200
+    # ~25-byte shingles) dominated n92's wall clock. Exactness is
+    # GUARDED, not assumed: xxhash64 must be injective on this corpus's
+    # vocabulary, asserted with one vocab-sized aggregate (collision
+    # probability ~|V|^2/2^64; a hit raises instead of silently merging
+    # two shingles and corrupting a Jaccard).
+    vocab = df_counts.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct(F.xxhash64("shingle")).alias("n_hashes"),
+    ).collect()[0]
+    if vocab["n_shingles"] != vocab["n_hashes"]:
+        raise ValueError(
+            "xxhash64 collision in the shingle vocabulary "
+            f"({vocab['n_shingles']} shingles, {vocab['n_hashes']} "
+            "hashes); exact verification cannot use hashed sets here"
+        )
+    hashed = shingled.select(
+        "doc_id",
+        "n",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"),
+    )
+    sx = hashed.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("set_a"),
+        F.col("hs").alias("set_a"),
         F.col("n").alias("na"),
     )
-    sy = shingled.select(
+    sy = hashed.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("set_b"),
+        F.col("hs").alias("set_b"),
         F.col("n").alias("nb"),
     )
     common = F.size(F.array_intersect("set_a", "set_b"))
