@@ -301,6 +301,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         catalog_queries2,
         security2,
         lifecycle11,
+        retrieval2,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
