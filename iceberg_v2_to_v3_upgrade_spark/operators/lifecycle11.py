@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from iceberg_v2_to_v3_upgrade_spark.io import load_table
 from iceberg_v2_to_v3_upgrade_spark.registry import declare
@@ -171,3 +171,132 @@ def i50_metadata_integrity_arc(
     return spark.createDataFrame(
         rows, "step int, fact string, value bigint"
     ).orderBy("step")
+
+
+_I51_ORACLE = """
+    WITH final AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0
+                    THEN text || ' refreshed content'
+                    ELSE text END AS text
+        FROM documents
+        WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 10000000, 'brand new document about ' ||
+               CAST(doc_id AS VARCHAR) || ' retrieval'
+        FROM documents WHERE doc_id % 13 = 0
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM final),
+    postings AS (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY term, doc_id)
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM postings
+    WHERE term IN ('retrieval', 'refreshed', 'table', 'join', 'scan',
+                   'customer', 'vector')
+    GROUP BY term ORDER BY term
+"""
+
+
+@declare(
+    "i51_incremental_index",
+    oracle=_I51_ORACLE,
+    tags=("lifecycle", "cdc", "retrieval", "incremental"),
+)
+def i51_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance from table CDC (round-9
+    extra — the retrieval-side twin of i28's incremental MV): an index
+    table (term, doc_id, tf) is seeded from a documents LocalTable,
+    then the table takes a MoR DELETE, a MoR text UPDATE, and an
+    INSERT; ``changes()`` emits the row-level deltas and the index is
+    maintained by the signed-postings fold (insert rows add their
+    postings, delete rows subtract; an UPDATE is delete+insert, so a
+    rewritten doc's old postings vanish and new ones appear). The
+    maintained index is proven IN-QUERY to equal a full rebuild from
+    the final scan (exceptAll both directions), and a per-term summary
+    over a fixed vocabulary slice is returned hash-gated.
+
+    Scale: changes() reads only the delta commits (O(changed rows));
+    the fold is one keyed groupBy over seed+delta postings — the
+    whole point vs re-exploding the corpus per refresh.
+    """
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+
+    warehouse = tempfile.mkdtemp(prefix="idx_wh_")
+    catalog = LocalCatalog(spark, warehouse)
+    t = catalog.create_table(
+        "idx_db", "docs_idx", "doc_id BIGINT, text STRING"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t.insert(docs)
+    seed_snap = t.current_snapshot().id
+
+    def postings(frame):
+        return (
+            frame.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("term")
+            )
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    seed = postings(t.scan().select("doc_id", "text"))
+
+    # the day's DML: retire a slice, refresh a slice, ingest new docs
+    t.delete_where("doc_id % 7 = 0")
+    t.update_set(
+        {"text": "concat(text, ' refreshed content')"}, "doc_id % 11 = 0"
+    )
+    t.insert(
+        docs.filter("doc_id % 13 = 0").selectExpr(
+            "doc_id + 10000000 AS doc_id",
+            "concat('brand new document about ', CAST(doc_id AS STRING), "
+            "' retrieval') AS text",
+        )
+    )
+
+    delta = t.changes(seed_snap).select("doc_id", "text", "_change_type")
+    signed = postings(delta.where("_change_type = 'insert'")).select(
+        "term", "doc_id", F.col("tf").alias("s")
+    ).unionAll(
+        postings(delta.where("_change_type = 'delete'")).select(
+            "term", "doc_id", (-F.col("tf")).alias("s")
+        )
+    )
+    maintained = (
+        seed.select("term", "doc_id", F.col("tf").alias("s"))
+        .unionAll(signed)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("s").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+
+    # in-query equivalence: maintained index == full rebuild
+    rebuilt = postings(t.scan().select("doc_id", "text"))
+    m = maintained.persist()
+    try:
+        assert m.exceptAll(rebuilt).count() == 0, "maintained ⊃ rebuild"
+        assert rebuilt.exceptAll(m).count() == 0, "rebuild ⊃ maintained"
+        out = (
+            m.filter(
+                F.col("term").isin(
+                    "retrieval", "refreshed", "table", "join", "scan",
+                    "customer", "vector",
+                )
+            )
+            .groupBy("term")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("tf").cast("bigint").alias("total_tf"),
+                F.min("doc_id").cast("bigint").alias("min_doc"),
+            )
+            .orderBy("term")
+        )
+        rows = out.collect()
+    finally:
+        m.unpersist()
+    return spark.createDataFrame(rows, out.schema)
