@@ -182,7 +182,15 @@ def _exact_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
     sh = shingled.select(
         "doc_id", "n", F.explode("shingles").alias("shingle")
     )
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # persisted: the injectivity guard below collects over this frame
+    # EAGERLY and the prefix join consumes it again inside the real
+    # query action — without the cache that is two corpus-shaped token
+    # aggregations where one suffices (round-9 second-review finding)
+    df_counts = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     rarity = Window.partitionBy("doc_id").orderBy("df", "shingle")
     prefix = (
         sh.join(df_counts, "shingle")

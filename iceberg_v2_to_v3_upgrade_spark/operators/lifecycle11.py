@@ -275,8 +275,11 @@ def i51_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tf") > 0)
     )
 
-    # in-query equivalence: maintained index == full rebuild
-    rebuilt = postings(t.scan().select("doc_id", "text"))
+    # in-query equivalence: maintained index == full rebuild. BOTH
+    # sides persist: each exceptAll direction is its own count job, and
+    # an unpersisted rebuild re-scans + re-aggregates the whole corpus
+    # per direction (round-9 second-review finding)
+    rebuilt = postings(t.scan().select("doc_id", "text")).persist()
     m = maintained.persist()
     try:
         assert m.exceptAll(rebuilt).count() == 0, "maintained ⊃ rebuild"
@@ -299,4 +302,5 @@ def i51_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         m.unpersist()
+        rebuilt.unpersist()
     return spark.createDataFrame(rows, out.schema)
