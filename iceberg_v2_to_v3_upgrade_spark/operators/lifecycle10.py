@@ -293,10 +293,15 @@ def i47_deletion_vector_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     warehouse = tempfile.mkdtemp(prefix="dv_wh_")
     catalog = LocalCatalog(spark, warehouse)
+    # identity-partitioned (round-9): the V3 export must carry real
+    # partition tuples ALONGSIDE the DV manifests — the blind consumer
+    # below prunes by partition value from metadata alone before
+    # applying the deletion vectors
     t = catalog.create_table(
         "dv_db",
         "cust_dv",
         "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING",
+        partition_by=["c_mktsegment"],
     )
     t.insert(
         load_table(spark, sf_dir, "customer").select(
@@ -320,6 +325,7 @@ def i47_deletion_vector_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, _, manifests = read_avro(current["manifest-list"])
     files: list[str] = []
+    pruned: list[str] = []  # metadata-only prune: segment = 'MACHINERY'
     pairs = []
     total_card = 0
     for m in manifests:
@@ -328,6 +334,8 @@ def i47_deletion_vector_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             df = e["data_file"]
             if m["content"] == 0:
                 files.append(df["file_path"])
+                if df["partition"]["c_mktsegment"] == "MACHINERY":
+                    pruned.append(df["file_path"])
             elif df["file_format"] == "PUFFIN":
                 with open(df["file_path"], "rb") as fh:
                     fh.seek(df["content_offset"])
@@ -339,6 +347,7 @@ def i47_deletion_vector_export(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (df["referenced_data_file"], p) for p in positions
                 )
     assert total_card > 0, "fixture produced no deletes"
+    assert pruned and len(set(pruned)) < len(set(files))
     files = sorted(set(files))
     con = duckdb.connect()
     try:
@@ -346,17 +355,39 @@ def i47_deletion_vector_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dv", pd.DataFrame(pairs, columns=["fname", "pos"])
         )
         flist = ", ".join(f"'{f}'" for f in files)
+        not_deleted = (
+            "NOT EXISTS (SELECT 1 FROM dv WHERE dv.fname = r.filename "
+            "AND dv.pos = r.file_row_number)"
+        )
+        # identity hive layout: c_mktsegment lives in the path segments
         pdf = con.execute(
             f"""
             SELECT c_custkey, c_acctbal, c_mktsegment
-            FROM read_parquet([{flist}], filename=1, file_row_number=1) r
-            WHERE NOT EXISTS (
-                SELECT 1 FROM dv
-                WHERE dv.fname = r.filename AND dv.pos = r.file_row_number
-            )
+            FROM read_parquet([{flist}], filename=1, file_row_number=1,
+                              hive_partitioning=1) r
+            WHERE {not_deleted}
             ORDER BY c_custkey
             """
         ).df()
+        # pruning proof: DVs applied to ONLY the files the manifest
+        # partition tuples select for MACHINERY reconstruct exactly the
+        # full state filtered to that segment
+        plist = ", ".join(f"'{f}'" for f in sorted(set(pruned)))
+        n_pruned = con.execute(
+            f"SELECT count(*), coalesce(sum(c_custkey), 0) "
+            f"FROM read_parquet([{plist}], filename=1, file_row_number=1, "
+            f"hive_partitioning=1) r WHERE {not_deleted}"
+        ).fetchone()
+        n_full_seg = con.execute(
+            f"SELECT count(*), coalesce(sum(c_custkey), 0) "
+            f"FROM read_parquet([{flist}], filename=1, file_row_number=1, "
+            f"hive_partitioning=1) r WHERE {not_deleted} "
+            f"AND c_mktsegment = 'MACHINERY'"
+        ).fetchone()
+        assert n_pruned == n_full_seg and n_pruned[0] > 0, (
+            n_pruned,
+            n_full_seg,
+        )
     finally:
         con.close()
     return spark.createDataFrame(
