@@ -142,6 +142,34 @@ def n2b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(docs, tau=0.8)
 
 
+#: Persisted intermediates from the PREVIOUS _exact_jaccard_pairs call.
+#: The returned frame is lazy, so this function cannot unpersist its own
+#: caches (the caller materializes later); instead each new invocation
+#: evicts the previous one's, bounding accumulation to a single call's
+#: worth across min-of-2 bench passes and long soak sessions (round-9
+#: ADVICE — the same session-leak class as the r9 file-sink fix).
+_JACCARD_CACHES: list[DataFrame] = []
+
+
+def _tau_fraction(tau: float) -> tuple[int, int]:
+    """A rational num/den <= tau for the integer positional filter.
+
+    limit_denominator rounds to the NEAREST rational and can land up to
+    ~5e-7 ABOVE the float tau (e.g. tau=2/3 as a float sits just below
+    the rational 2/3); an above-tau rational would make the integer
+    bound stricter than the final float-Jaccard filter and could drop
+    true pairs. Overshoots step down to an exact millionth-floor — a
+    slightly-smaller rational only loosens the prefilter, so
+    completeness is preserved either way (round-9 ADVICE, low)."""
+    from fractions import Fraction
+
+    exact = Fraction(tau)
+    frac = exact.limit_denominator(1_000)
+    if frac > exact:
+        frac = Fraction(int(exact * 1_000_000), 1_000_000)
+    return frac.numerator, frac.denominator
+
+
 def _exact_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
     """Prefix-filtered exact Jaccard pairs over an arbitrary docs frame
     (shared by n2b, n54, n92 and the n2c/n2d in-query recall audits).
@@ -168,10 +196,9 @@ def _exact_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
       241 / 246 840); tau=0.5 309k -> 125k / 30.8M -> 12.0M. Pair
       counts verified unchanged at both taus and both scales.
     """
-    from fractions import Fraction
-
-    frac = Fraction(tau).limit_denominator(1_000)
-    num, den = frac.numerator, frac.denominator
+    num, den = _tau_fraction(tau)
+    while _JACCARD_CACHES:
+        _JACCARD_CACHES.pop().unpersist()
     shingled = (
         docs.select(
             "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
@@ -191,6 +218,7 @@ def _exact_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _JACCARD_CACHES.extend([shingled, df_counts])
     rarity = Window.partitionBy("doc_id").orderBy("df", "shingle")
     prefix = (
         sh.join(df_counts, "shingle")

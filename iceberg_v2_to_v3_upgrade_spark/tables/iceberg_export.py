@@ -259,7 +259,19 @@ def _partition_specs(
                 fn = m.group("fn").lower()
                 n = m.group("n")
                 if fn == "bucket":
-                    transform = f"bucket[{n}]"
+                    # Deliberately NOT the spec name ``bucket[N]``: the
+                    # engine buckets rows with xxhash64 (table.py
+                    # ``_partition_spec``), not the Iceberg murmur3
+                    # bucket transform. A spec-compliant reader doing
+                    # metadata-only pruning on a ``bucket[N]`` field
+                    # would compute murmur3 buckets and silently prune
+                    # files that contain matching rows. An unknown
+                    # transform name makes external readers treat the
+                    # field as non-projectable (no pruning, residual =
+                    # true), which is safe; the r102 value and r508
+                    # bounds stay exported for engines that understand
+                    # this engine's hash (round-9 ADVICE, medium).
+                    transform = f"xxhash64-bucket[{n}]"
                     avro_t, parse, ser = "int", int, _ser_i4
                 elif fn == "truncate":
                     transform = f"truncate[{n}]"

@@ -11,12 +11,12 @@ specifications alone:
   raw blobs, footer = magic + UTF-8 JSON FileMetadata + 4-byte LE
   payload size + 4-byte flags + magic;
 - **32-bit Roaring** (https://github.com/RoaringBitmap/RoaringFormatSpec):
-  cookie 12346 (no run containers), container count, per-container
-  (u16 key, u16 cardinality-1) descriptive headers, u32 offsets, then
-  array containers (<= 4096 sorted u16s) or bitmap containers (1024
-  u64 words). Run containers are never WRITTEN (legal — the no-run
-  cookie declares that); the reader decodes array/bitmap and refuses
-  runs explicitly;
+  both portable layouts. Writer applies the spec's optimal-container
+  rule per container: run container (cookie 12347, run-flag bitset,
+  offsets only at >= 4 containers) when 2+4*n_runs is strictly
+  smaller, else array (<= 4096 sorted u16s) or bitmap (1024 u64
+  words) under cookie 12346. Reader is cookie/flag-driven and decodes
+  all three container kinds, with bounds checks on untrusted runs;
 - **64-bit portable Roaring** (Roaring64NavigableMap portable format,
   referenced by the Iceberg v3 spec): u64 LE count of 32-bit bitmaps,
   then per bitmap a u32 LE high-key + its 32-bit serialization;
@@ -46,9 +46,29 @@ _ARRAY_MAX = 4096
 # ------------------------------------------------------ roaring 32-bit
 
 
+def _runs_of(lows: list[int]) -> list[tuple[int, int]]:
+    """Consecutive runs of a sorted u16 list as (start, length-1)."""
+    runs: list[tuple[int, int]] = []
+    s = p = lows[0]
+    for v in lows[1:]:
+        if v == p + 1:
+            p = v
+        else:
+            runs.append((s, p - s))
+            s = p = v
+    runs.append((s, p - s))
+    return runs
+
+
 def _serialize_roaring32(values: list[int]) -> bytes:
-    """Serialize a SORTED, DEDUPLICATED list of u32 values (no run
-    containers — declared by the cookie)."""
+    """Serialize a SORTED, DEDUPLICATED list of u32 values.
+
+    Per-container encoding follows the spec's optimal-container rule
+    (round-9 verdict item 3): a run container (2 + 4*n_runs bytes) is
+    chosen when strictly smaller than the array (2*card) / bitmap
+    (8192) alternative. If ANY container is run-encoded the stream uses
+    cookie 12347 (run-flag bitset, offsets only at >= 4 containers);
+    otherwise the classic no-run cookie 12346 layout is kept."""
     containers: list[tuple[int, list[int]]] = []
     for v in values:
         key, low = v >> 16, v & 0xFFFF
@@ -56,27 +76,49 @@ def _serialize_roaring32(values: list[int]) -> bytes:
             containers[-1][1].append(low)
         else:
             containers.append((key, [low]))
-    out = bytearray()
-    out += struct.pack("<II", _SERIAL_COOKIE_NO_RUN, len(containers))
-    for key, lows in containers:
-        out += struct.pack("<HH", key, len(lows) - 1)
-    # offset header: byte position of each container from stream start
-    pos = len(out) + 4 * len(containers)
-    offsets = []
-    bodies = []
+    bodies: list[bytes] = []
+    is_run: list[bool] = []
     for _key, lows in containers:
-        if len(lows) <= _ARRAY_MAX:
+        runs = _runs_of(lows)
+        run_size = 2 + 4 * len(runs)
+        alt_size = 2 * len(lows) if len(lows) <= _ARRAY_MAX else 8192
+        if run_size < alt_size:
+            body = struct.pack("<H", len(runs))
+            for s, ln in runs:
+                body += struct.pack("<HH", s, ln)
+            is_run.append(True)
+        elif len(lows) <= _ARRAY_MAX:
             body = struct.pack(f"<{len(lows)}H", *lows)
+            is_run.append(False)
         else:
             words = [0] * 1024
             for lo in lows:
                 words[lo >> 6] |= 1 << (lo & 63)
             body = struct.pack("<1024Q", *words)
-        offsets.append(pos)
+            is_run.append(False)
         bodies.append(body)
-        pos += len(body)
-    for off in offsets:
-        out += struct.pack("<I", off)
+    n = len(containers)
+    out = bytearray()
+    if any(is_run):
+        out += struct.pack("<I", _SERIAL_COOKIE_RUN | ((n - 1) << 16))
+        flags = bytearray((n + 7) // 8)
+        for i, r in enumerate(is_run):
+            if r:
+                flags[i >> 3] |= 1 << (i & 7)
+        out += flags
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    else:
+        out += struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
+        has_offsets = True
+    for (key, lows), _body in zip(containers, bodies):
+        out += struct.pack("<HH", key, len(lows) - 1)
+    if has_offsets:
+        # offset header: byte position of each container from stream
+        # start
+        pos = len(out) + 4 * n
+        for body in bodies:
+            out += struct.pack("<I", pos)
+            pos += len(body)
     for body in bodies:
         out += body
     return bytes(out)
@@ -143,6 +185,17 @@ def _read_roaring32(buf: bytes, start: int) -> tuple[list[int], int]:
             for _ in range(n_runs):
                 lo, ln = struct.unpack_from("<HH", buf, at)
                 at += 4
+                if lo + ln > 0xFFFF:
+                    # A run must stay inside the 16-bit container: an
+                    # overflowing (lo, ln) would fold into base|v with
+                    # v > 0xFFFF — wrong-but-in-range positions that
+                    # pass dv_import's range checks and delete the
+                    # wrong rows. This reader ingests untrusted
+                    # foreign DVs (round-9 ADVICE).
+                    raise ValueError(
+                        f"run container overflow (start={lo}, len={ln} "
+                        "escapes the 16-bit space)"
+                    )
                 values.extend(base | v for v in range(lo, lo + ln + 1))
                 got += ln + 1
             if got != card:

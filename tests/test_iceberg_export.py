@@ -182,7 +182,10 @@ def test_partition_tuples_and_summaries(spark, tmp_path):
     spec = meta["partition-specs"][meta["default-spec-id"]]
     by_name = {f["name"]: f for f in spec["fields"]}
     assert by_name["cat"]["transform"] == "identity"
-    assert by_name["id_bucket"]["transform"] == "bucket[4]"
+    # NOT the spec's bucket[4]: engine buckets are xxhash64, and a
+    # murmur3-assuming reader pruning on "bucket[4]" would drop files
+    # that contain matching rows. Unknown transform = no mis-pruning.
+    assert by_name["id_bucket"]["transform"] == "xxhash64-bucket[4]"
     assert by_name["ts_day"]["transform"] == "day"
     current = next(
         s

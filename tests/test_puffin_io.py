@@ -27,38 +27,67 @@ from iceberg_v2_to_v3_upgrade_spark.tables.puffin_io import (
 # ------------------------- independent decoder (spec-derived, no reuse)
 
 
-def _iroaring32(buf: bytes) -> list[int]:
-    cookie, n = struct.unpack_from("<II", buf, 0)
-    assert cookie == 12346, cookie  # no-run cookie
-    keys_cards = [
-        struct.unpack_from("<HH", buf, 8 + 4 * i) for i in range(n)
-    ]
-    offs = struct.unpack_from(f"<{n}I", buf, 8 + 4 * n)
+def _iroaring32_walk(buf: bytes) -> tuple[list[int], int]:
+    """Spec-derived decode of one 32-bit roaring bitmap at offset 0;
+    returns (values, end). Handles cookie 12346 (no runs) and 12347
+    (run containers allowed, count in high bits, run-flag bitset,
+    offsets only at >= 4 containers)."""
+    (cookie,) = struct.unpack_from("<I", buf, 0)
+    if (cookie & 0xFFFF) == 12347:
+        n = (cookie >> 16) + 1
+        pos = 4
+        nb = (n + 7) // 8
+        flags = buf[pos : pos + nb]
+        pos += nb
+        run = [bool(flags[i >> 3] >> (i & 7) & 1) for i in range(n)]
+        keys_cards = [
+            struct.unpack_from("<HH", buf, pos + 4 * i) for i in range(n)
+        ]
+        pos += 4 * n
+        if n >= 4:
+            pos += 4 * n  # offsets present; sequential walk suffices
+    else:
+        assert cookie == 12346, cookie
+        n = struct.unpack_from("<I", buf, 4)[0]
+        run = [False] * n
+        keys_cards = [
+            struct.unpack_from("<HH", buf, 8 + 4 * i) for i in range(n)
+        ]
+        pos = 8 + 8 * n
     out = []
-    for (key, cm1), off in zip(keys_cards, offs):
+    for i, (key, cm1) in enumerate(keys_cards):
         card = cm1 + 1
-        if card <= 4096:
+        if run[i]:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                s, lm1 = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                out += [(key << 16) | v for v in range(s, s + lm1 + 1)]
+        elif card <= 4096:
             out += [
                 (key << 16) | v
-                for v in struct.unpack_from(f"<{card}H", buf, off)
+                for v in struct.unpack_from(f"<{card}H", buf, pos)
             ]
+            pos += 2 * card
         else:
-            words = struct.unpack_from("<1024Q", buf, off)
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
             out += [
                 (key << 16) | (wi << 6) | bit
                 for wi, w in enumerate(words)
                 for bit in range(64)
                 if w >> bit & 1
             ]
-    return out
+    return out, pos
+
+
+def _iroaring32(buf: bytes) -> list[int]:
+    return _iroaring32_walk(buf)[0]
 
 
 def _iroaring32_len(buf: bytes) -> int:
-    _, n = struct.unpack_from("<II", buf, 0)
-    cards = [
-        struct.unpack_from("<HH", buf, 8 + 4 * i)[1] + 1 for i in range(n)
-    ]
-    return 8 + 8 * n + sum(2 * c if c <= 4096 else 8192 for c in cards)
+    return _iroaring32_walk(buf)[1]
 
 
 def _idv(blob: bytes) -> list[int]:
