@@ -216,6 +216,8 @@ def main() -> None:
     # ALWAYS emitted.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}  # EVERY timing, in pass order —
+    # regressions adjudicate from the file, not a re-run (r9 verdict #7)
     errors: dict[str, str] = {}
     for name in HEADLINE + tail_queries:
         fn = registry[name].fn
@@ -227,11 +229,13 @@ def main() -> None:
                 elapsed = time.perf_counter() - start
                 if it == 0:
                     cold[name] = elapsed
+                passes.setdefault(name, []).append(round(elapsed, 3))
                 best = min(best, elapsed)
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — bench must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             cold.pop(name, None)
+            passes.pop(name, None)
 
     total = round(sum(timings.values()), 3)
     # The driver stores only the last ~2000 chars of stdout and parses the
@@ -249,6 +253,7 @@ def main() -> None:
         "sf": sf,
         "cold_run_total_sec": round(sum(cold.values()), 3),
         "cold_queries": {k: round(v, 3) for k, v in cold.items()},
+        "pass_timings": passes,
         "n_queries": len(timings),
         "errors": errors,
     }

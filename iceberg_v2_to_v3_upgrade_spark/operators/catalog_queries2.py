@@ -332,3 +332,138 @@ def i46_cherrypick_seq_scoping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert survivors_below > 0, "fixture never exercised the seq override"
     return out
+
+
+_J9_ORACLE = """
+    WITH final AS (
+        SELECT s_suppkey, s_acctbal FROM supplier
+        WHERE s_suppkey % 3 <> 0 AND s_suppkey % 5 <> 0
+    ),
+    head5 AS (
+        SELECT CAST(sum(s_suppkey) AS BIGINT) AS v FROM (
+            SELECT s_suppkey FROM final ORDER BY s_suppkey LIMIT 5)
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS v FROM final),
+    report(step, fact, value) AS (
+        VALUES
+            (1, 'warehouses_listed',       CAST(4 AS BIGINT)),
+            (2, 'running_warehouses',      CAST(2 AS BIGINT)),
+            (3, 'first_running_selected',  CAST(1 AS BIGINT)),
+            (4, 'stopped_refuses_connect', CAST(1 AS BIGINT)),
+            (5, 'empty_listing_refused',   CAST(1 AS BIGINT)),
+            (6, 'probe_describe_cols',     CAST(2 AS BIGINT)),
+            (7, 'probe_head5_keysum',      (SELECT v FROM head5)),
+            (8, 'probe_count',             (SELECT v FROM total))
+    )
+    SELECT step, fact, value FROM report ORDER BY step
+"""
+
+
+@declare(
+    "j9_warehouse_discovery_arc",
+    oracle=_J9_ORACLE,
+    tags=("catalog", "cross-engine", "discovery"),
+)
+def j9_warehouse_discovery_arc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Warehouse discovery + verification through the DISCOVERED engine
+    (SURVEY §2 J9 — the last row without driver evidence; round-10
+    verdict item 2). The reference lists SQL warehouses, filters to
+    state == RUNNING, errors when none exist, and runs every
+    verification statement on the FIRST running one
+    (``internal/verify_in_databricks.py:23-34``). The local analog is a
+    listing of DuckDB-backed warehouses in mixed lifecycle states:
+
+    steps 1-3: the listing holds 4 warehouses (STOPPED, STARTING,
+    RUNNING, RUNNING); discovery must select the FIRST running one by
+    listing order — asserted by warehouse id, not just by count;
+    step 4: a non-RUNNING warehouse refuses statements at the
+    connection boundary (the reference never reaches one — the filter
+    guarantees it; the analog enforces it);
+    step 5: discovery over an all-stopped listing raises the
+    reference's "No running SQL warehouse found" error;
+    steps 6-8: the reference's fixed probe suite — DESCRIBE / ordered
+    head / COUNT(*) — runs ON the discovered warehouse's connection
+    against a MoR table (insert + row-level delete), so the verified
+    read merges deletes with no Spark in the read path.
+    """
+    import os
+
+    from iceberg_v2_to_v3_upgrade_spark.io import load_table
+    from iceberg_v2_to_v3_upgrade_spark.tables.catalog import LocalCatalog
+    from iceberg_v2_to_v3_upgrade_spark.tables.duckdb_reader import (
+        duckdb_table_sql,
+    )
+    from iceberg_v2_to_v3_upgrade_spark.tables.verify import (
+        Warehouse,
+        discover_warehouse,
+    )
+
+    # the table under verification: MoR insert + delete, second-engine
+    # read must merge the delete ledger
+    warehouse_root = tempfile.mkdtemp(prefix="j9_wh_")
+    catalog = LocalCatalog(spark, warehouse_root)
+    t = catalog.create_table(
+        "disc_db", "supplier_j9", "s_suppkey BIGINT, s_acctbal DOUBLE"
+    )
+    t.insert(
+        load_table(spark, sf_dir, "supplier")
+        .filter("s_suppkey % 3 <> 0")
+        .select("s_suppkey", "s_acctbal")
+    )
+    t.delete_where("s_suppkey % 5 = 0")
+
+    # the warehouse listing, in API order (analog of GET /warehouses)
+    wh_dir = tempfile.mkdtemp(prefix="j9_duck_")
+    listing = [
+        Warehouse("wh-stopped", "wh1", "STOPPED",
+                  os.path.join(wh_dir, "wh1.db")),
+        Warehouse("wh-starting", "wh2", "STARTING",
+                  os.path.join(wh_dir, "wh2.db")),
+        Warehouse("wh-serverless", "wh3", "RUNNING",
+                  os.path.join(wh_dir, "wh3.db")),
+        Warehouse("wh-classic", "wh4", "RUNNING",
+                  os.path.join(wh_dir, "wh4.db")),
+    ]
+    rows: list[tuple[int, str, int]] = [
+        (1, "warehouses_listed", len(listing)),
+        (2, "running_warehouses",
+         sum(1 for w in listing if w.state == "RUNNING")),
+    ]
+    picked = discover_warehouse(listing)
+    assert picked.id == "wh3", picked  # FIRST running, listing order
+    rows.append((3, "first_running_selected", 1))
+    try:
+        listing[0].connect()
+        refused = 0
+    except RuntimeError:
+        refused = 1
+    rows.append((4, "stopped_refuses_connect", refused))
+    try:
+        discover_warehouse([w for w in listing if w.state != "RUNNING"])
+        empty_refused = 0
+    except RuntimeError as exc:
+        assert "No running SQL warehouse found" in str(exc)
+        empty_refused = 1
+    rows.append((5, "empty_listing_refused", empty_refused))
+
+    # the 3-probe suite ON the discovered warehouse
+    sql = duckdb_table_sql(t)
+    con = picked.connect()
+    try:
+        cols = con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+        rows.append((6, "probe_describe_cols", len(cols)))
+        head5 = con.execute(
+            f"SELECT CAST(sum(s_suppkey) AS BIGINT) FROM "
+            f"(SELECT s_suppkey FROM ({sql}) "
+            f"ORDER BY s_suppkey LIMIT 5)"
+        ).fetchone()[0]
+        rows.append((7, "probe_head5_keysum", int(head5)))
+        n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+        rows.append((8, "probe_count", int(n)))
+    finally:
+        con.close()
+    return spark.createDataFrame(
+        rows, "step int, fact string, value bigint"
+    ).orderBy("step")

@@ -263,7 +263,29 @@ def i43_iceberg_metadata_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the Avro chain: manifest-list.avro -> manifest-*.avro -> data_file
     # records (spec manifest_file / manifest_entry layouts)
-    _, _, manifests = read_avro(current["manifest-list"])
+    ml_schema, _, manifests = read_avro(current["manifest-list"])
+    # evolved-consumer probe (round-10 verdict item 4): a stock consumer
+    # compiles its OWN reader schema — here with the fields reordered,
+    # one writer field projected away, and an added defaulted field —
+    # and the spec's Schema Resolution rules must still land every
+    # manifest path (what the reference's stock-Iceberg read at
+    # internal/upgrade_table.py:66-71 relies on)
+    consumer = dict(ml_schema)
+    consumer["fields"] = [
+        f
+        for f in reversed(ml_schema["fields"])
+        if f["name"] != "partitions"
+    ] + [{"name": "consumer_tag", "type": "string", "default": "ext"}]
+    _, _, evolved = read_avro(
+        current["manifest-list"], reader_schema=consumer
+    )
+    assert [e["manifest_path"] for e in evolved] == [
+        m["manifest_path"] for m in manifests
+    ]
+    assert all(
+        e["consumer_tag"] == "ext" and "partitions" not in e
+        for e in evolved
+    )
     data_files: list[str] = []
     delete_files: list[str] = []
     pruned_files: list[str] = []  # metadata-only prune: status = 'F'

@@ -98,6 +98,43 @@ def verify_table_in_duckdb(
     return results
 
 
+@dataclass
+class Warehouse:
+    """A discoverable second-engine warehouse (J9): the local analog of
+    one entry in the reference's ``GET /api/2.0/sql/warehouses`` listing
+    (``internal/verify_in_databricks.py:23-34``) — a name, an id, a
+    lifecycle state, and (when RUNNING) a DuckDB database path that
+    accepts statements."""
+
+    name: str
+    id: str
+    state: str  # RUNNING | STOPPED | STARTING | DELETED
+    db_path: str = ":memory:"
+
+    def connect(self) -> "duckdb.DuckDBPyConnection":
+        """Statements are only served by a RUNNING warehouse — the
+        reference never talks to a non-RUNNING one (it filters first),
+        and this analog enforces that at the connection boundary."""
+        if self.state != "RUNNING":
+            raise RuntimeError(
+                f"warehouse {self.name} ({self.id}) is {self.state}, "
+                "not RUNNING"
+            )
+        return duckdb.connect(self.db_path)
+
+
+def discover_warehouse(warehouses: list[Warehouse]) -> Warehouse:
+    """Warehouse discovery (SURVEY §2 J9): filter the listing to
+    state == RUNNING and pick the FIRST, in listing order — exactly
+    ``internal/verify_in_databricks.py:28-34`` (``running = [w for w in
+    warehouses if w.get('state') == 'RUNNING']``, error when empty,
+    ``running[0]`` otherwise)."""
+    running = [w for w in warehouses if w.state == "RUNNING"]
+    if not running:
+        raise RuntimeError("No running SQL warehouse found")
+    return running[0]
+
+
 def verification_passed(results: list[ProbeResult]) -> bool:
     """Pass rule mirrors the reference: describe + select are critical,
     count is advisory (verify_in_databricks.py:109)."""

@@ -254,3 +254,145 @@ def test_export_manifest_chain_reads_independently(spark, tmp_path):
                            recursive=True)
     )
     assert sorted(seen_files) == want
+
+
+# ----------------- reader-schema resolution (round-10 verdict item 4)
+
+
+def test_reader_schema_reorder_drop_default(tmp_path):
+    """The standard consumer shape: fields reordered, a writer field
+    projected away, an added field filled from its default."""
+    p = str(tmp_path / "evolve.avro")
+    write_avro(p, _EDGE_SCHEMA, _EDGE_ROWS)
+    reader = {
+        "type": "record",
+        "name": "edge",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "u", "type": ["null", "long"], "default": None},
+            {"name": "i", "type": "long"},
+            {"name": "added", "type": "string", "default": "dflt"},
+        ],
+    }
+    schema, _, got = read_avro(p, reader_schema=reader)
+    assert schema == reader
+    assert got == [
+        {"s": r["s"], "u": r["u"], "i": r["i"], "added": "dflt"}
+        for r in _EDGE_ROWS
+    ]
+    # reader field order governs result layout
+    assert [list(r) for r in got] == [["s", "u", "i", "added"]] * len(got)
+
+
+def test_reader_schema_promotions(tmp_path):
+    p = str(tmp_path / "promo.avro")
+    writer = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "n", "type": "int"},
+            {"name": "f", "type": "float"},
+            {"name": "s", "type": "string"},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+        ],
+    }
+    write_avro(p, writer, [{"n": 7, "f": 1.5, "s": "hé", "arr": [1, 2]}])
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "n", "type": "long"},
+            {"name": "f", "type": "double"},
+            {"name": "s", "type": "bytes"},
+            {"name": "arr", "type": {"type": "array", "items": "double"}},
+        ],
+    }
+    _, _, got = read_avro(p, reader_schema=reader)
+    assert got == [
+        {"n": 7, "f": 1.5, "s": "hé".encode(), "arr": [1.0, 2.0]}
+    ]
+    assert all(isinstance(v, float) for v in got[0]["arr"])
+
+
+def test_reader_schema_union_resolution(tmp_path):
+    """Writer union branch resolves against the reader union's first
+    COMPATIBLE branch (incl. promotion inside the union)."""
+    p = str(tmp_path / "uni.avro")
+    writer = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "u", "type": ["null", "int"]}],
+    }
+    write_avro(p, writer, [{"u": None}, {"u": 41}])
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "u", "type": ["null", "long"],
+                    "default": None}],
+    }
+    _, _, got = read_avro(p, reader_schema=reader)
+    assert got == [{"u": None}, {"u": 41}]
+
+
+def test_reader_schema_missing_default_errors(tmp_path):
+    p = str(tmp_path / "nodefault.avro")
+    write_avro(
+        p,
+        {"type": "record", "name": "r",
+         "fields": [{"name": "a", "type": "long"}]},
+        [{"a": 1}],
+    )
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "long"},  # no default -> must raise
+        ],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        read_avro(p, reader_schema=reader)
+
+
+def test_reader_schema_incompatible_primitive_errors(tmp_path):
+    p = str(tmp_path / "incompat.avro")
+    write_avro(
+        p,
+        {"type": "record", "name": "r",
+         "fields": [{"name": "a", "type": "double"}]},
+        [{"a": 1.0}],
+    )
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "long"}],  # double -/-> long
+    }
+    with pytest.raises(ValueError, match="resolve|matches"):
+        read_avro(p, reader_schema=reader)
+
+
+def test_reader_schema_on_real_manifest_list(spark, tmp_path):
+    """The verdict's literal consumer: an export's manifest-list read
+    under a reordered reader schema with a defaulted extra field —
+    every manifest path must still come out, in file order."""
+    t = LocalTable.create(spark, str(tmp_path / "t"), "id BIGINT")
+    t.insert(spark.createDataFrame([(i,) for i in range(10)], "id BIGINT"))
+    t.delete_where("id = 3")
+    meta = json.load(
+        open(export_iceberg_metadata(t, str(tmp_path / "export")))
+    )
+    current = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    wschema, _, manifests = read_avro(current["manifest-list"])
+    reader = dict(wschema)
+    reader["fields"] = list(reversed(wschema["fields"])) + [
+        {"name": "note", "type": "string", "default": "x"}
+    ]
+    _, _, evolved = read_avro(current["manifest-list"], reader_schema=reader)
+    assert [e["manifest_path"] for e in evolved] == [
+        m["manifest_path"] for m in manifests
+    ]
+    assert all(e["note"] == "x" for e in evolved)
