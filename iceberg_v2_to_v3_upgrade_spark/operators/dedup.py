@@ -696,68 +696,142 @@ def n2f_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns pairwise matches into dedup DECISIONS (cluster id = min doc_id
     of the component; everything else in the cluster is droppable).
 
-    Iterative min-label propagation: each round every vertex takes the
-    min of its own label and its neighbors' labels; converged when no
-    label changes (checked with a 1-row count, the only driver-side
-    data). Rounds needed = graph diameter — near-dup components are
-    tiny chains, so this is 2-4 rounds in practice; each round is one
-    shuffle keyed by vertex, never materializing the transitive closure
-    (which the DuckDB recursive-CTE oracle happily does at test scale —
-    exactly the formulation that cannot scale, which is why the engine
-    side iterates instead).
+    Alternating large-star / small-star contraction (round 10 — was
+    diameter-bounded min-label propagation): O(log² n) rounds on ANY
+    component shape, so an adversarial million-link chain costs ~a
+    dozen keyed shuffles instead of a million. Convergence is a
+    (count, hash-sum) checksum of the canonical edge set — no
+    driver-side edge data. The DuckDB recursive-CTE oracle happily
+    materializes the transitive closure at test scale — exactly the
+    formulation that cannot scale, which is why the engine side
+    contracts instead.
     """
     pairs = n2b_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return _min_label_components(pairs).select(
+    return _star_components(pairs).select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
 
 
-def _min_label_components(pairs: DataFrame) -> DataFrame:
-    """Connected components by iterative min-label propagation over an
-    undirected pair list (cols = (a, b) in any names). Returns (id, label).
-    One keyed shuffle per round, rounds = component diameter, convergence
-    checked with a 1-row count — the only driver-side data."""
+def _star_components(
+    pairs: DataFrame, stats: dict | None = None
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) over an undirected pair list (cols = (a, b) in any
+    names). Returns (id, label) with label = the component's min id.
+
+    Round complexity is O(log² n) on ANY graph — the bound min-label
+    propagation lacks (its rounds = component diameter, so one
+    adversarial 10⁶-link chain in a 100 TB pair graph means 10⁶
+    shuffles; here it is ~a dozen alternations). Round-10 verdict
+    item 6.
+
+    - large-star(u): m = min(Γ(u) ∪ {u}); every neighbor v > u re-hangs
+      onto m. Shrinks tall trees geometrically.
+    - small-star(hi): over edges oriented (hi > lo), m = min(lo);
+      every lo plus hi itself hangs onto m. Flattens local stars.
+    - Convergence: the canonical (lo, hi) edge set is stable. Checked
+      with a (count, bit_xor(xxhash64)) checksum — one aggregate scan
+      per round, no join and no driver-side edge data; a false positive
+      needs a 64-bit hash-xor collision between consecutive edge sets.
+
+    At convergence each component is a star centered at its min node,
+    so labels read directly off the edge list; nodes that never appear
+    as a satellite are their own root (singleton or center).
+    """
     a, b = pairs.columns[:2]
-    edges = (
-        pairs.select(a, b)
-        .union(pairs.select(b, a))
-        .toDF("src", "dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    labels = (
-        edges.select(F.col("src").alias("id"))
+    nodes = (
+        pairs.select(F.col(a).alias("id"))
+        .union(pairs.select(F.col(b).alias("id")))
         .distinct()
-        .withColumn("label", F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    for _ in range(20):  # cap >> any real diameter; loop exits on converge
-        nbr = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
+    edges = (
+        pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi")
         )
-        new_labels = (
-            labels.join(nbr, labels.id == nbr.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _checksum(e: DataFrame) -> tuple:
+        # bit_xor is order-independent and cannot overflow (vs sum,
+        # which trips ANSI arithmetic on 64-bit hash sums); edge rows
+        # are distinct, so xor cancellation cannot occur
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(lo, hi))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = _checksum(edges)
+    rounds = 0
+    if prev[0] > 0:
+        for _ in range(64):  # >> the O(log² n) bound at any real scale
+            rounds += 1
+            sym = edges.union(
+                edges.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+            ).toDF("u", "v")
+            lmin = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m"))
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        changed = (
-            labels.withColumnRenamed("label", "old")
-            .join(new_labels, "id")
-            .filter(F.col("old") != F.col("label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+            # m ≤ u < v, so (m, v) is already canonical and loop-free
+            ls = (
+                sym.join(lmin, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+                .distinct()
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            smin = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+            # localCheckpoint (not bare persist): the symmetric-union +
+            # two joins would otherwise double the logical plan every
+            # round — exponential analysis cost by round ~15. Truncating
+            # lineage per round keeps the plan O(1) and the data
+            # distributed; this is the standard iterative-graph pattern
+            # (GraphFrames does the same).
+            new_edges = (
+                ls.join(smin, "hi")
+                .select("m", F.col("lo").alias("v"))
+                .filter(F.col("v") != F.col("m"))
+                .union(smin.select("m", F.col("hi").alias("v")))
+                .select(
+                    F.least("m", "v").alias("lo"),
+                    F.greatest("m", "v").alias("hi"),
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            cur = _checksum(new_edges)
+            ls.unpersist()
+            edges.unpersist()
+            edges = new_edges
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                "star contraction did not converge in 64 rounds"
+            )
+    if stats is not None:
+        stats["rounds"] = rounds
+    sat = edges.groupBy(F.col("hi").alias("id")).agg(
+        F.min("lo").alias("label")
+    )
+    out = nodes.join(sat, "id", "left").select(
+        "id", F.coalesce("label", F.col("id")).alias("label")
+    )
+    # truncate lineage (stays distributed — no driver collect) so the
+    # per-round caches can be dropped NOW instead of leaking per
+    # invocation (the round-9 advice leak class)
+    out = out.localCheckpoint(eager=True)
     edges.unpersist()
-    return labels
+    nodes.unpersist()
+    return out
 
 
 # --- md5-based SimHash: the engine-portable (oracle-checked) variant ------
@@ -1128,14 +1202,14 @@ _SEMANTIC_DEDUP_ORACLE = f"""
 )
 def n25_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup decisions: cosine>=threshold pair graph (exact, via
-    n2e's size-guarded GEMM) -> connected components (iterative min-label,
-    one keyed shuffle per round) -> keep the min-vec_id representative per
+    n2e's size-guarded GEMM) -> connected components (large-star/small-star
+    contraction, O(log² n) rounds) -> keep the min-vec_id representative per
     cluster; singletons keep themselves. The DuckDB recursive-CTE oracle
     materializes the transitive closure — fine at test scale, exactly the
     formulation the engine side avoids.
     """
     pairs = n2e_embedding_cosine_neardup(spark, sf_dir).select("vec_a", "vec_b")
-    comp = _min_label_components(pairs)
+    comp = _star_components(pairs)
     universe = load_table(spark, sf_dir, "embeddings").select("vec_id")
     return (
         universe.join(comp, universe.vec_id == comp.id, "left")

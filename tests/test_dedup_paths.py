@@ -131,3 +131,82 @@ def test_positional_filter_never_drops_true_pairs(spark):
             for r in _exact_jaccard_pairs(docs, tau=tau).collect()
         }
         assert got == want, (tau, got ^ want)
+
+
+def test_star_components_match_union_find_on_random_graphs(spark):
+    """_star_components (round-10 large-star/small-star) must agree with
+    an exact driver-side union-find on arbitrary graphs. (The old
+    min-label propagation is NOT usable as the oracle here: on
+    diameter-10+ random graphs its per-round plan doubling blows the
+    analyzer heap — the exact weakness star contraction removes.)"""
+    import random
+
+    from iceberg_v2_to_v3_upgrade_spark.operators.dedup import (
+        _star_components,
+    )
+
+    def union_find(pairs):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(101)
+    for trial in range(4):
+        n = rng.choice([12, 40, 80])
+        m = rng.randint(n // 2, 2 * n)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+        df = spark.createDataFrame(pairs, "a BIGINT, b BIGINT")
+        star = {
+            (r["id"], r["label"]) for r in _star_components(df).collect()
+        }
+        want = set(union_find(pairs).items())
+        assert star == want, (trial, star ^ want)
+
+
+def test_star_components_round_bound_on_chain(spark):
+    """The iteration pin (round-10 verdict item 6): a 256-link chain has
+    diameter 256 — min-label propagation needs ~256 rounds; star
+    contraction must converge in O(log² n), pinned here at <= 12
+    alternations, labeling every node with the chain min."""
+    from iceberg_v2_to_v3_upgrade_spark.operators.dedup import (
+        _star_components,
+    )
+
+    n = 257  # nodes 0..256 in one chain
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a BIGINT, b BIGINT"
+    )
+    stats: dict = {}
+    out = _star_components(df, stats=stats).collect()
+    assert {(r["id"], r["label"]) for r in out} == {
+        (i, 0) for i in range(n)
+    }
+    assert 0 < stats["rounds"] <= 12, stats
+
+
+def test_star_components_singleton_and_empty(spark):
+    from iceberg_v2_to_v3_upgrade_spark.operators.dedup import (
+        _star_components,
+    )
+
+    empty = spark.createDataFrame([], "a BIGINT, b BIGINT")
+    assert _star_components(empty).collect() == []
+    loops = spark.createDataFrame([(7, 7), (7, 9)], "a BIGINT, b BIGINT")
+    got = {
+        (r["id"], r["label"]) for r in _star_components(loops).collect()
+    }
+    assert got == {(7, 7), (9, 7)}
