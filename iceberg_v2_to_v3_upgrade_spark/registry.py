@@ -302,6 +302,8 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         security2,
         lifecycle11,
         retrieval2,
+        layout,
+        analytics18,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
