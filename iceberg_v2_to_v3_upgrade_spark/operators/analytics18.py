@@ -166,8 +166,10 @@ def n117_margin_bitext_mining(
         .select("src_id", "tgt_id", "margin")
         .orderBy("src_id")
     )
-    rows = out.collect()
-    pairs.unpersist()
+    try:
+        rows = out.collect()
+    finally:
+        pairs.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -189,7 +191,11 @@ _N118_ORACLE = """
         SELECT event_type, rn, x::DOUBLE AS s, 0 AS anom
         FROM idx WHERE rn = 1
         UNION ALL
-        SELECT i.event_type, i.rn, 0.3 * i.x + 0.7 * r.s,
+        -- 0.3 must be DOUBLE-typed: DuckDB would otherwise evaluate
+        -- DECIMAL(2,1) * BIGINT exactly (0.3*3 = 0.9) while the engine
+        -- computes double 0.3*3 = 0.8999999999999999 (review finding);
+        -- the 0.7/2.0 terms already promote through the double r.s
+        SELECT i.event_type, i.rn, 0.3::DOUBLE * i.x + 0.7 * r.s,
                r.anom + CASE WHEN i.x > 2.0 * r.s THEN 1 ELSE 0 END
         FROM rec r
         JOIN idx i
@@ -388,14 +394,15 @@ def n119_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # brand×brand matrix: bounded by #entities² — driver-safe by design
     rows = duel.collect()
     sym: dict[tuple[str, str], tuple[int, int]] = {}
+    wins: dict[str, int] = {}
+    # wins are integer sums — order-independent, unlike the float
+    # folds below, so plain accumulation is exact
     for r in rows:
         sym[(r["bi"], r["bj"])] = (r["wins_i"], r["n"])
         sym[(r["bj"], r["bi"])] = (r["n"] - r["wins_i"], r["n"])
-    brands = sorted({b for b, _ in sym})
-    wins = {
-        b: sum(w for (bi, _), (w, _n) in sorted(sym.items()) if bi == b)
-        for b in brands
-    }
+        wins[r["bi"]] = wins.get(r["bi"], 0) + r["wins_i"]
+        wins[r["bj"]] = wins.get(r["bj"], 0) + r["n"] - r["wins_i"]
+    brands = sorted(wins)
     p = {b: 1.0 for b in brands}
     for _ in range(_BT_ITERS):
         den = {
@@ -543,6 +550,8 @@ def n120_kneser_ney_bigram(
         .orderBy(F.desc("c"), "w1", "w2")
         .limit(25)
     )
-    rows = out.collect()
-    c12.unpersist()
+    try:
+        rows = out.collect()
+    finally:
+        c12.unpersist()
     return spark.createDataFrame(rows, out.schema)

@@ -740,15 +740,21 @@ def _star_components(
     as a satellite are their own root (singleton or center).
     """
     a, b = pairs.columns[:2]
+    # one persisted evaluation of the (possibly expensive) upstream
+    # pair computation feeds BOTH derived frames — without this, nodes
+    # and edges would each re-run e.g. n2b's prefix-filtered Jaccard
+    # join (review finding)
+    pairs = pairs.select(
+        F.col(a).alias("x"), F.col(b).alias("y")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
-        pairs.select(F.col(a).alias("id"))
-        .union(pairs.select(F.col(b).alias("id")))
+        pairs.select(F.col("x").alias("id"))
+        .union(pairs.select(F.col("y").alias("id")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     edges = (
-        pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
-        .filter(F.col("x") != F.col("y"))
+        pairs.filter(F.col("x") != F.col("y"))
         .select(
             F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi")
         )
@@ -766,71 +772,86 @@ def _star_components(
         ).first()
         return (row["n"], row["h"])
 
-    prev = _checksum(edges)
-    rounds = 0
-    if prev[0] > 0:
-        for _ in range(64):  # >> the O(log² n) bound at any real scale
-            rounds += 1
-            sym = edges.union(
-                edges.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
-            ).toDF("u", "v")
-            lmin = (
-                sym.groupBy("u")
-                .agg(F.min("v").alias("mn"))
-                .select("u", F.least("mn", F.col("u")).alias("m"))
-            )
-            # m ≤ u < v, so (m, v) is already canonical and loop-free
-            ls = (
-                sym.join(lmin, "u")
-                .filter(F.col("v") > F.col("u"))
-                .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
-                .distinct()
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
-            smin = ls.groupBy("hi").agg(F.min("lo").alias("m"))
-            # localCheckpoint (not bare persist): the symmetric-union +
-            # two joins would otherwise double the logical plan every
-            # round — exponential analysis cost by round ~15. Truncating
-            # lineage per round keeps the plan O(1) and the data
-            # distributed; this is the standard iterative-graph pattern
-            # (GraphFrames does the same).
-            new_edges = (
-                ls.join(smin, "hi")
-                .select("m", F.col("lo").alias("v"))
-                .filter(F.col("v") != F.col("m"))
-                .union(smin.select("m", F.col("hi").alias("v")))
-                .select(
-                    F.least("m", "v").alias("lo"),
-                    F.greatest("m", "v").alias("hi"),
+    first_edges = edges
+    ls = None
+    try:
+        prev = _checksum(edges)
+        rounds = 0
+        if prev[0] > 0:
+            for _ in range(64):  # >> the O(log² n) bound at any real scale
+                rounds += 1
+                sym = edges.union(
+                    edges.select(
+                        F.col("hi").alias("lo"), F.col("lo").alias("hi")
+                    )
+                ).toDF("u", "v")
+                lmin = (
+                    sym.groupBy("u")
+                    .agg(F.min("v").alias("mn"))
+                    .select("u", F.least("mn", F.col("u")).alias("m"))
                 )
-                .distinct()
-                .localCheckpoint(eager=True)
-            )
-            cur = _checksum(new_edges)
+                # m ≤ u < v, so (m, v) is already canonical and loop-free
+                ls = (
+                    sym.join(lmin, "u")
+                    .filter(F.col("v") > F.col("u"))
+                    .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+                    .distinct()
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                smin = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+                # localCheckpoint (not bare persist): the symmetric-union
+                # + two joins would otherwise double the logical plan
+                # every round — exponential analysis cost by round ~15.
+                # Truncating lineage per round keeps the plan O(1) and
+                # the data distributed; this is the standard
+                # iterative-graph pattern (GraphFrames does the same).
+                new_edges = (
+                    ls.join(smin, "hi")
+                    .select("m", F.col("lo").alias("v"))
+                    .filter(F.col("v") != F.col("m"))
+                    .union(smin.select("m", F.col("hi").alias("v")))
+                    .select(
+                        F.least("m", "v").alias("lo"),
+                        F.greatest("m", "v").alias("hi"),
+                    )
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                cur = _checksum(new_edges)
+                ls.unpersist()
+                edges = new_edges
+                if cur == prev:
+                    break
+                prev = cur
+            else:
+                raise RuntimeError(
+                    "star contraction did not converge in 64 rounds"
+                )
+        if stats is not None:
+            stats["rounds"] = rounds
+        sat = edges.groupBy(F.col("hi").alias("id")).agg(
+            F.min("lo").alias("label")
+        )
+        out = nodes.join(sat, "id", "left").select(
+            "id", F.coalesce("label", F.col("id")).alias("label")
+        )
+        # truncate lineage (stays distributed — no driver collect) so
+        # the CacheManager entries below can be dropped before return
+        # without forcing a recompute (the round-9 advice leak class)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        # explicit unpersist covers the CacheManager-backed frames
+        # (pairs / nodes / the round-1 edge set / any ls left by a
+        # failure); per-round localCheckpoint snapshots live as
+        # RDD-level blocks OUTSIDE the CacheManager — those are
+        # reclaimed by the ContextCleaner once this frame's references
+        # drop, which is why each round re-binds `edges` instead of
+        # keeping a history
+        pairs.unpersist()
+        nodes.unpersist()
+        first_edges.unpersist()
+        if ls is not None:
             ls.unpersist()
-            edges.unpersist()
-            edges = new_edges
-            if cur == prev:
-                break
-            prev = cur
-        else:
-            raise RuntimeError(
-                "star contraction did not converge in 64 rounds"
-            )
-    if stats is not None:
-        stats["rounds"] = rounds
-    sat = edges.groupBy(F.col("hi").alias("id")).agg(
-        F.min("lo").alias("label")
-    )
-    out = nodes.join(sat, "id", "left").select(
-        "id", F.coalesce("label", F.col("id")).alias("label")
-    )
-    # truncate lineage (stays distributed — no driver collect) so the
-    # per-round caches can be dropped NOW instead of leaking per
-    # invocation (the round-9 advice leak class)
-    out = out.localCheckpoint(eager=True)
-    edges.unpersist()
-    nodes.unpersist()
     return out
 
 

@@ -117,6 +117,9 @@ def i53_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _avg_spread(bounds: list[dict], col: str) -> float:
         los = [b[col][0] for b in bounds if b[col][0] is not None]
         his = [b[col][1] for b in bounds if b[col][1] is not None]
+        # informative asserts, not ZeroDivision/ValueError — the driver
+        # adjudicates failures from a short stdout tail (review finding)
+        assert los and his, f"no footer stats for {col} in {bounds}"
         full = max(his) - min(los)
         if full == 0:
             return 0.0
@@ -125,6 +128,7 @@ def i53_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in bounds
             if b[col][0] is not None and b["rows"] > 1
         ]
+        assert per, f"every file is single-row/statless for {col}"
         return sum(per) / len(per)
 
     pre_ck = _avg_spread(pre, "o_custkey")

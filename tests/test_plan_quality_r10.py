@@ -36,8 +36,45 @@ def test_n118_ewma_stays_jvm_single_event_shuffle(spark, registry):
 
 
 def test_n120_kneser_ney_stays_jvm(spark, registry):
-    p = plan(spark, registry, "n120_kneser_ney_bigram")
+    # n120 collects and returns a driver-local frame, so explaining the
+    # registry callable's result would pin nothing but a
+    # LocalTableScan — rebuild the pre-collect pipeline instead (the
+    # same workaround the n117 pin uses)
+    from pyspark.sql import functions as F
+
+    from iceberg_v2_to_v3_upgrade_spark.io import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    toks = docs.select(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), "[^a-z ]", "")), " "
+        ).alias("ts")
+    ).filter(F.size("ts") >= 2)
+    bg = (
+        toks.select(
+            F.explode(F.sequence(F.lit(1), F.size("ts") - 1)).alias("i"),
+            "ts",
+        )
+        .select(
+            F.element_at("ts", F.col("i")).alias("w1"),
+            F.element_at("ts", F.col("i") + 1).alias("w2"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("ctx"),
+        F.count(F.lit(1)).cast("bigint").alias("types_fw"),
+    )
+    pipe = c12.join(c1, "w1")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pipe.explain("formatted")
+    p = buf.getvalue()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Scan parquet" in p or "BatchScan" in p or "FileScan" in p
 
 
 def test_n117_margin_mining_broadcasts_target_pool(spark, registry):
