@@ -304,6 +304,7 @@ def load_all_operators() -> dict[str, DeclaredQuery]:
         retrieval2,
         layout,
         analytics18,
+        sketches2,
     )
     from iceberg_v2_to_v3_upgrade_spark import multimodal  # noqa: F401
     from iceberg_v2_to_v3_upgrade_spark.multimodal import binary  # noqa: F401
