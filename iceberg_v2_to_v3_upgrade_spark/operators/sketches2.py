@@ -112,26 +112,40 @@ def n121_quantile_sketch_audit(
                 "value", list(_Q_PCTS), _Q_ACC
             ).alias("est")
         )
-        # audit: the estimate's true rank (count of values <= est) must
-        # sit within n/accuracy (+1 discrete slack) of ceil(p*n)
+        # audit: a duplicated value occupies a rank RUN [count(value <
+        # est)+1, count(value <= est)]; the sketch is within bound if
+        # that interval comes within n/accuracy (+1 discrete slack) of
+        # the target rank. Comparing only the run-max rank would fail a
+        # CORRECT estimate that lands on a tie run straddling the
+        # target (review finding — the exact sf0.1 click median does
+        # exactly that)
         audit = (
             ranked.join(approx, "event_type")
             .groupBy("event_type", "n")
             .agg(
                 *[
-                    F.sum(
-                        F.when(
-                            F.col("value") <= F.col("est")[i], 1
-                        ).otherwise(0)
-                    ).alias(f"rank{i}")
+                    agg
                     for i in range(len(_Q_PCTS))
+                    for agg in (
+                        F.sum(
+                            F.when(
+                                F.col("value") < F.col("est")[i], 1
+                            ).otherwise(0)
+                        ).alias(f"lo{i}"),
+                        F.sum(
+                            F.when(
+                                F.col("value") <= F.col("est")[i], 1
+                            ).otherwise(0)
+                        ).alias(f"hi{i}"),
+                    )
                 ]
             )
         )
         targets = list(rank_expr.values())
         bad = audit.filter(
             " OR ".join(
-                f"abs(rank{i} - ({targets[i]})) > n / {_Q_ACC} + 1"
+                f"greatest(lo{i} + 1 - ({targets[i]}), "
+                f"({targets[i]}) - hi{i}, 0) > n / {_Q_ACC} + 1"
                 for i in range(len(_Q_PCTS))
             )
         ).count()
@@ -187,26 +201,37 @@ def n122_heavy_hitters_cms(
     the raw event stream in ONE pass (each event lands in 4 counters;
     the counter table is 4·2048 rows regardless of stream size — the
     mergeable O(1)-memory structure), then the exact top-20 users by
-    event count are probed against it. The CMS guarantees
-    estimate ≥ true always; the audit asserts that and an overcount
-    within 4·N/w for every probed user, and the returned rows are the
-    EXACT top-20 with the verdict column the oracle states as TRUE.
+    event count are probed against it.
+
+    Two audit tiers (review finding): estimate ≥ true is a DETERMINISTIC
+    CMS invariant — a violation is a code bug, so it hard-asserts. The
+    overcount ≤ 4·N/w bound is only probabilistic (holds w.h.p. per
+    probe, not always), so it is EMITTED as the ``cms_ok`` verdict
+    column the oracle states as TRUE — unlucky collisions surface as a
+    graded hash mismatch (the n8b pattern), not a query crash. Returned
+    rows are the EXACT top-20.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    buckets = ev.select(
-        F.posexplode(
-            F.array(
-                *[
-                    F.pmod(
-                        F.xxhash64(F.col("user_id"), F.lit(s)),
-                        F.lit(_CMS_W),
-                    )
-                    for s in _CMS_SEEDS
-                ]
-            )
-        ).alias("d", "bucket")
-    )
-    counters = buckets.groupBy("d", "bucket").agg(
+
+    def _cms_pos_buckets(frame: DataFrame, *carry: str) -> DataFrame:
+        """(d, bucket) per row per depth — the ONE hashing definition
+        shared by sketch build and probe, so they cannot drift."""
+        return frame.select(
+            *carry,
+            F.posexplode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("user_id"), F.lit(s)),
+                            F.lit(_CMS_W),
+                        )
+                        for s in _CMS_SEEDS
+                    ]
+                )
+            ).alias("d", "bucket"),
+        )
+
+    counters = _cms_pos_buckets(ev).groupBy("d", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     counts = ev.groupBy("user_id").agg(
@@ -222,38 +247,24 @@ def n122_heavy_hitters_cms(
         .filter(F.col("r") <= _CMS_TOPK)
         .drop("r")
     )
-    probes = top.select(
-        "user_id",
-        "n_events",
-        F.posexplode(
-            F.array(
-                *[
-                    F.pmod(
-                        F.xxhash64(F.col("user_id"), F.lit(s)),
-                        F.lit(_CMS_W),
-                    )
-                    for s in _CMS_SEEDS
-                ]
-            )
-        ).alias("d", "bucket"),
-    )
     est = (
-        probes.join(F.broadcast(counters), ["d", "bucket"])
+        _cms_pos_buckets(top, "user_id", "n_events")
+        .join(F.broadcast(counters), ["d", "bucket"])
         .groupBy("user_id", "n_events")
         .agg(F.min("c").alias("cms_est"))
     )
-    n_total = ev.count()
+    # N from the already-aggregated per-user counts — no third raw scan
+    n_total = counts.agg(F.sum("n_events")).first()[0]
     bound = 4 * n_total / _CMS_W
-    bad = est.filter(
-        (F.col("cms_est") < F.col("n_events"))
-        | (F.col("cms_est") - F.col("n_events") > F.lit(bound))
-    ).count()
-    assert bad == 0, f"{bad} probes violate the CMS bound ({bound})"
+    under = est.filter(F.col("cms_est") < F.col("n_events")).count()
+    assert under == 0, f"{under} probes under-counted (CMS invariant)"
     return (
         est.select(
             "user_id",
             "n_events",
-            F.lit(True).alias("cms_ok"),
+            (F.col("cms_est") - F.col("n_events") <= F.lit(bound)).alias(
+                "cms_ok"
+            ),
         )
         .orderBy(F.desc("n_events"), "user_id")
     )
