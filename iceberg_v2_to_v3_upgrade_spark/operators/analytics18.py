@@ -555,3 +555,163 @@ def n120_kneser_ney_bigram(
     finally:
         c12.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+# ------------------------------------------- n123 DoReMi-lite mixture
+
+_DM_VOCAB = 1000  # reference vocabulary size (top tokens by count)
+_DM_ETA = 0.5  # multiplicative-weights step size
+_DM_ITERS = 3
+
+# one multiplicative-weights step: w_i <- w_i * exp(eta * loss_i),
+# renormalized; exp() is rounded to 6dp on both sides because libm
+# bit-parity across engines is not guaranteed, and the normalizing sum
+# folds over the domain-ORDERED list
+_DM_STEP = """
+    u{k} AS (
+        SELECT lang, round(w * round(exp({eta} * loss), 6), 6) AS wr,
+               loss
+        FROM w{j}),
+    z{k} AS (SELECT list_sum(array_agg(wr ORDER BY lang)) AS z FROM u{k}),
+    w{k} AS (SELECT lang, round(wr / (SELECT z FROM z{k}), 6) AS w, loss
+             FROM u{k})
+"""
+
+_N123_ORACLE = (
+    f"""
+    WITH tok AS (
+        SELECT lang,
+               unnest(string_split(
+                   lower(regexp_replace(text, '[^a-z ]', '', 'g')), ' '))
+               AS t
+        FROM documents),
+    tok2 AS (SELECT lang, t FROM tok WHERE t <> ''),
+    vocab AS (
+        SELECT t FROM (
+            SELECT t, row_number() OVER (
+                ORDER BY count(*) DESC, t) AS r
+            FROM tok2 GROUP BY t)
+        WHERE r <= {_DM_VOCAB}),
+    dom AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (
+                   WHERE t IN (SELECT t FROM vocab)) AS BIGINT)
+                   AS in_vocab
+        FROM tok2 GROUP BY lang),
+    w0 AS (
+        SELECT lang, 1.0 / (SELECT count(*) FROM dom) AS w,
+               1.0 - in_vocab / CAST(n_tokens AS DOUBLE) AS loss
+        FROM dom),
+"""
+    + ",".join(
+        _DM_STEP.format(k=k, j=k - 1, eta=_DM_ETA)
+        for k in range(1, _DM_ITERS + 1)
+    )
+    + f"""
+    SELECT d.lang, d.n_tokens, round(w.loss, 6) AS oov_loss,
+           w.w AS mixture_weight
+    FROM dom d JOIN w{_DM_ITERS} w ON w.lang = d.lang
+    ORDER BY d.lang
+"""
+)
+
+
+@declare(
+    "n123_doremi_mixture",
+    oracle=_N123_ORACLE,
+    tags=("ext", "text", "mixture", "curation"),
+)
+def n123_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (lite): each language
+    domain gets an excess-loss proxy — its out-of-vocabulary rate
+    against the corpus top-1000 vocabulary — and three multiplicative-
+    weights updates w_i ← w_i·exp(η·loss_i) (η=0.5, renormalized each
+    step) shift the sampling mixture toward the domains the reference
+    model covers worst, exactly the DoReMi update rule with a fixed
+    proxy loss instead of a retrained one. The n15/n94 mixture
+    SAMPLERS consume weights like these; this operator PRODUCES them.
+
+    Scale split: the corpus-sized work is one tokenize pass + one
+    vocabulary top-k + one per-domain coverage aggregate (all keyed
+    shuffles); the iteration runs on the #domains-sized frame
+    driver-side with the same ordered folds and 6dp-rounded exp()
+    steps as the oracle's unrolled CTEs (libm bit-parity across
+    engines is not assumed — every exp() is rounded before use).
+    """
+    import math as _math
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.split(
+                    F.lower(
+                        F.regexp_replace(F.col("text"), "[^a-z ]", "")
+                    ),
+                    " ",
+                )
+            ).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    tok = tok.persist()
+    try:
+        vocab = (
+            tok.groupBy("t")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "r",
+                F.row_number().over(
+                    Window.orderBy(F.desc("c"), F.col("t"))
+                ),
+            )
+            .filter(F.col("r") <= _DM_VOCAB)
+            .select("t")
+        )
+        dom = (
+            tok.join(
+                F.broadcast(vocab.withColumn("iv", F.lit(1))), "t", "left"
+            )
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                F.sum(F.coalesce("iv", F.lit(0)))
+                .cast("bigint")
+                .alias("in_vocab"),
+            )
+        )
+        rows = dom.collect()  # #domains rows — bounded, not data-sized
+    finally:
+        tok.unpersist()
+    langs = sorted(r["lang"] for r in rows)
+    by = {r["lang"]: r for r in rows}
+    loss = {
+        lang: 1.0 - by[lang]["in_vocab"] / float(by[lang]["n_tokens"])
+        for lang in langs
+    }
+    w = {lang: 1.0 / len(langs) for lang in langs}
+    for _ in range(_DM_ITERS):
+        wr = {
+            lang: _round6(
+                w[lang] * _round6(_math.exp(_DM_ETA * loss[lang]))
+            )
+            for lang in langs
+        }
+        z = _ordered_sum([wr[lang] for lang in langs])
+        w = {lang: _round6(wr[lang] / z) for lang in langs}
+    out = [
+        (
+            lang,
+            by[lang]["n_tokens"],
+            _round6(loss[lang]),
+            w[lang],
+        )
+        for lang in langs
+    ]
+    return spark.createDataFrame(
+        out,
+        "lang string, n_tokens bigint, oov_loss double, "
+        "mixture_weight double",
+    )
