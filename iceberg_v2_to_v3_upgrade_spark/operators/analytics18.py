@@ -641,33 +641,31 @@ def n123_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math as _math
 
+    from iceberg_v2_to_v3_upgrade_spark.operators.pipeline3 import (
+        _letters_only,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(
             "lang",
-            F.explode(
-                F.split(
-                    F.lower(
-                        F.regexp_replace(F.col("text"), "[^a-z ]", "")
-                    ),
-                    " ",
-                )
-            ).alias("t"),
+            F.explode(F.split(_letters_only(F.col("text")), " ")).alias(
+                "t"
+            ),
         )
         .filter(F.col("t") != "")
     )
     tok = tok.persist()
     try:
+        # orderBy+limit compiles to a distributed TakeOrdered — a
+        # partitionless window row_number would sort ALL distinct
+        # tokens in one task (review finding); same (count desc, t)
+        # total order, same rows
         vocab = (
             tok.groupBy("t")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn(
-                "r",
-                F.row_number().over(
-                    Window.orderBy(F.desc("c"), F.col("t"))
-                ),
-            )
-            .filter(F.col("r") <= _DM_VOCAB)
+            .orderBy(F.desc("c"), F.col("t"))
+            .limit(_DM_VOCAB)
             .select("t")
         )
         dom = (
