@@ -1209,25 +1209,133 @@ class LocalTable:
 
     def _record_dir_stats(self, path: str) -> None:
         """Iceberg manifest-stats analog: per-data-dir min/max for numeric
-        columns, persisted in table metadata at write time (O(changed
-        rows) — one aggregate over the just-written dir). Scans consult
+        columns, persisted in table metadata at write time. Scans consult
         these to skip whole dirs whose range excludes a predicate, before
         any file is listed. Stored under the CURRENT column names; after a
         rename, old stats simply stop matching and pruning degrades to
-        conservative (read everything), never to wrong answers."""
+        conservative (read everything), never to wrong answers.
+
+        Read from the parquet FOOTER row-group statistics (the same
+        numbers real Iceberg lifts into its manifests), at O(files)
+        driver-side metadata cost — the previous full Spark read+agg job
+        per write charged every table commit one extra job (round-10
+        optimization; same move as ``_bump_row_id_watermark``). Identity
+        partition values are parsed from the ``name=value`` dir layout
+        (they are not stored in the files). Any footer gap — missing
+        stats, exotic types (decimal bytes), unparsable partition dirs —
+        falls back to the exact read+agg job, never to wrong stats."""
         declared = self.spark.createDataFrame([], self.schema_ddl).schema
-        numeric = [
-            f.name
+        numeric = {
+            f.name: f.dataType.typeName()
             for f in declared
             if f.dataType.typeName()
             in ("integer", "long", "short", "double", "float", "decimal")
-        ]
+        }
         if not numeric:
             return
         try:
+            stats = self._dir_stats_from_footers(path, numeric)
+        except Exception:
+            stats = None  # unreadable footer: the exact job decides
+        if stats is None:
+            stats = self._dir_stats_from_read(path, list(numeric))
+            if stats is None:
+                return
+        self._meta.setdefault("dir_stats", {})[path] = stats
+
+    def _dir_stats_from_footers(
+        self, path: str, numeric: dict[str, str]
+    ) -> dict | None:
+        """Per-column [lo, hi] from parquet footers + partition dir names;
+        None when any footer lacks usable stats (caller falls back)."""
+        import glob as _glob
+        import math as _math
+
+        import pyarrow.parquet as _pq
+
+        integral = {"integer", "long", "short"}
+        lo: dict[str, object] = {}
+        hi: dict[str, object] = {}
+
+        def _update(col: str, mn: object, mx: object) -> bool:
+            if isinstance(mn, bool) or not isinstance(mn, (int, float)):
+                return False  # decimal-as-bytes or exotic: use the exact job
+            if isinstance(mn, float) and (
+                _math.isnan(mn) or _math.isnan(mx)  # type: ignore[arg-type]
+            ):
+                return False  # NaN stats: Spark max() semantics differ
+            if col not in lo:
+                lo[col], hi[col] = mn, mx
+            else:
+                lo[col] = min(lo[col], mn)  # type: ignore[type-var]
+                hi[col] = max(hi[col], mx)  # type: ignore[type-var]
+            return True
+
+        for f in _glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        ):
+            # identity-partition values live in the dir layout, not the file
+            for piece in os.path.relpath(f, path).split(os.sep)[:-1]:
+                name, eq, raw = piece.partition("=")
+                if not eq or name not in numeric:
+                    continue
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    continue  # null partition value: min/max ignore nulls
+                try:
+                    v = (
+                        int(raw)
+                        if numeric[name] in integral
+                        else float(raw)
+                    )
+                except ValueError:
+                    return None
+                if not _update(name, v, v):
+                    return None
+            md = _pq.ParquetFile(f).metadata
+            names = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            for col in numeric:
+                idx = names.get(col)
+                if idx is None:
+                    continue  # partition col (above) or evolved-away col
+                for rg in range(md.num_row_groups):
+                    chunk = md.row_group(rg).column(idx)
+                    st = chunk.statistics
+                    if st is not None and st.num_values == 0:
+                        continue  # all-null row group: nothing to record
+                    if st is None or not st.has_min_max:
+                        return None
+                    if not _update(col, st.min, st.max):
+                        return None
+        stats: dict[str, list] = {}
+        for col in numeric:
+            if col not in lo:
+                continue
+            l, h = lo[col], hi[col]
+            # Keep integral stats EXACT (json ints are arbitrary
+            # precision): float coercion rounds values >2^53 and a
+            # rounded-down hi could wrongly satisfy `hi <= val`,
+            # skipping a dir that contains matching rows. Non-integral
+            # values are widened OUTWARD so pruning stays conservative
+            # under any representation error.
+            if isinstance(l, int) and isinstance(h, int):
+                stats[col] = [l, h]
+            else:
+                stats[col] = [
+                    _math.nextafter(float(l), -_math.inf),
+                    _math.nextafter(float(h), _math.inf),
+                ]
+        return stats
+
+    def _dir_stats_from_read(
+        self, path: str, numeric: list[str]
+    ) -> dict | None:
+        """Exact fallback: one Spark read+agg over the just-written dir."""
+        try:
             df = self._read_one_dir(path, self.schema_ddl + f", {_ROW_ID} long")
         except Exception:
-            return
+            return None
         row = df.agg(
             *[F.min(c).alias(f"lo_{c}") for c in numeric],
             *[F.max(c).alias(f"hi_{c}") for c in numeric],
@@ -1236,12 +1344,6 @@ class LocalTable:
         for c in numeric:
             lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
             if lo is not None:
-                # Keep integral stats EXACT (json ints are arbitrary
-                # precision): float coercion rounds values >2^53 and a
-                # rounded-down hi could wrongly satisfy `hi <= val`,
-                # skipping a dir that contains matching rows. Non-integral
-                # values (incl. Decimal) are widened OUTWARD so pruning
-                # stays conservative under any representation error.
                 if isinstance(lo, int) and isinstance(hi, int):
                     stats[c] = [lo, hi]
                 else:
@@ -1251,7 +1353,7 @@ class LocalTable:
                         _math.nextafter(float(lo), -_math.inf),
                         _math.nextafter(float(hi), _math.inf),
                     ]
-        self._meta.setdefault("dir_stats", {})[path] = stats
+        return stats
 
     _SIMPLE_PRED = None  # compiled lazily below
 
