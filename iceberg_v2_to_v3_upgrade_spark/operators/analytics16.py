@@ -188,23 +188,43 @@ def _assign_to_centroids(df: DataFrame, cents) -> DataFrame:
     cluster emptied by the previous assignment simply has no entry,
     and labels must NOT collapse to list positions or they diverge
     from the oracle's (review finding: a seed cluster can empty when
-    two seeds are near-duplicates)."""
-    dots = F.array(
-        *[
-            _dot(F.col("v"), F.array(*[F.lit(x) for x in vec]))
-            for _c, vec in cents
-        ]
+    two seeds are near-duplicates).
+
+    Vectorized via mapInPandas against the broadcast centroid matrix
+    (round-10 optimization; previously k interpreted HOF folds per
+    row). Each vector x centroid dot accumulates PER DIMENSION —
+    the exact IEEE op sequence of the sequential ``_dot`` fold — and
+    ``np.argmax`` takes the FIRST max, the same lowest-label tie-break
+    as ``array_position(dots, array_max(dots))`` over label-sorted
+    cents, so assignments are bit-for-bit the oracle's
+    ``ORDER BY dot DESC, c``."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    labels = np.array([c for c, _vec in cents], dtype=np.int32)
+    cmat = np.array([vec for _c, vec in cents], dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast((labels, cmat))
+
+    def assign_blocks(batches):
+        import numpy as np
+        import pandas as pd  # noqa: F401 — worker-side
+
+        lab, cm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            acc = np.zeros((len(V), len(lab)), dtype=np.float64)
+            for i in range(cm.shape[1]):
+                acc = acc + V[:, i, None] * cm[None, :, i]
+            out = pdf.copy()
+            out["c"] = lab[np.argmax(acc, axis=1)]
+            yield out
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("c", IntegerType())]
     )
-    labels = F.array(*[F.lit(c) for c, _vec in cents])
-    # first index of the max dot = lowest-label tie-break (cents is
-    # label-sorted), matching the oracle's ORDER BY dot DESC, c
-    return df.withColumn(
-        "c",
-        F.element_at(
-            labels,
-            F.array_position(dots, F.array_max(dots)).cast("int"),
-        ).cast("int"),
-    )
+    return df.mapInPandas(assign_blocks, out_schema)
 
 
 def _fit_centroids(normed: DataFrame) -> list[tuple[int, list[float]]] | None:
@@ -258,15 +278,93 @@ def _cluster_assignments(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
-    normed = _normalize_embeddings(emb)
-    cents = _fit_centroids(normed)
-    if cents is None:
-        return None
-    return (
-        _assign_to_centroids(normed, cents)
-        .select("vec_id", "v", "c")
-        .persist()
-    )
+    # persisted for the fit's ~4 jobs (count, seed collect, Lloyd
+    # aggregate, final assignment): without the cache each job re-runs
+    # the HOF normalization over the corpus (round-10 optimization —
+    # the same n2b lesson one level earlier in the lineage)
+    normed = _normalize_embeddings(emb).persist()
+    try:
+        cents = _fit_centroids(normed)
+        if cents is None:
+            return None
+        a1 = (
+            _assign_to_centroids(normed, cents)
+            .select("vec_id", "v", "c")
+            .persist()
+        )
+        a1.count()  # materialize off the normed cache before release
+        return a1
+    finally:
+        normed.unpersist()
+
+
+def _fold_gram(M) -> "object":
+    """Pairwise dot matrix of the rows of ``M`` (n x d float64),
+    accumulated PER DIMENSION: ``acc += M[:,i,None] * M[None,:,i]``.
+    Every (a, b) entry sees exactly the IEEE op sequence
+    ``((0.0 + a0*b0) + a1*b1) + ...`` — separate multiply and add, no
+    FMA, no reassociation — so each entry is BIT-IDENTICAL to the
+    sequential ``_dot`` fold and DuckDB's ``list_dot_product`` (pinned
+    by tests/test_plan_quality_r10opt.py). NOT a BLAS gemm on purpose:
+    dgemm reorders the summation.
+
+    NOTE for UDF authors: worker-side functions must INLINE this logic
+    (nested def) — a module-global reference in a UDF closure makes
+    cloudpickle import this package on the executor, which the driver
+    harness's vanilla session cannot do. This module-level twin exists
+    for driver-side use and as the documented/tested reference."""
+    import numpy as np
+
+    n = M.shape[0]
+    acc = np.zeros((n, n), dtype=np.float64)
+    for i in range(M.shape[1]):
+        col = M[:, i]
+        acc = acc + col[:, None] * col[None, :]
+    return acc
+
+
+def _semdedup_dup_members(a1: DataFrame) -> DataFrame:
+    """DISTINCT (dc, dvb): within-cluster pairs with sequential-fold
+    cos >= tau flag the HIGHER vec_id. Per-cluster pairwise step via
+    applyInPandas (n2e's machinery — the swap n113's scale note always
+    promised; round-10 optimization): each vector ships ONCE to its
+    cluster's task instead of once per candidate pair, and the
+    O(c_i^2 * d) multiply-adds run vectorized instead of through the
+    Catalyst lambda interpreter (measured 4.4 s -> 0.6 s on the n113
+    accounting at sf0.1). Cluster size is bounded at ~250 by the
+    adaptive k, so per-task memory is O(250^2)."""
+
+    tau = _TAU  # closure constant: workers cannot import this module
+
+    def cluster_dups(key: tuple, pdf) -> object:
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "dc": pd.Series(dtype="int32"),
+                    "dvb": pd.Series(dtype="int64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        M = np.array(list(pdf["v"]), dtype=np.float64)
+        # inlined _fold_gram (see its NOTE): per-dimension accumulation,
+        # bit-identical to the sequential fold
+        acc = np.zeros((len(ids), len(ids)), dtype=np.float64)
+        for i in range(M.shape[1]):
+            col = M[:, i]
+            acc = acc + col[:, None] * col[None, :]
+        dup = ((acc >= tau) & (ids[:, None] < ids[None, :])).any(axis=0)
+        vb = ids[dup]
+        return pd.DataFrame(
+            {
+                "dc": np.full(len(vb), int(key[0]), dtype="int32"),
+                "dvb": vb,
+            }
+        )
+
+    return a1.groupBy("c").applyInPandas(cluster_dups, "dc int, dvb long")
 
 
 def _semdedup_accounting(a1: DataFrame) -> DataFrame:
@@ -276,21 +374,7 @@ def _semdedup_accounting(a1: DataFrame) -> DataFrame:
     and the incremental i41 (which calls it once per TOUCHED cluster
     subset). Output: (cluster, n_docs, n_dups, n_survivors,
     min_survivor) — unordered; callers order."""
-    left = a1.select(
-        F.col("c"), F.col("vec_id").alias("va"), F.col("v").alias("xa")
-    )
-    right = a1.select(
-        F.col("c"), F.col("vec_id").alias("vb"), F.col("v").alias("xb")
-    )
-    dups = (
-        left.join(right, "c")
-        .filter(F.col("va") < F.col("vb"))
-        .filter(_dot(F.col("xa"), F.col("xb")) >= F.lit(_TAU))
-        # fresh column names break the self-join lineage so the final
-        # join below is unambiguous
-        .select(F.col("c").alias("dc"), F.col("vb").alias("dvb"))
-        .distinct()
-    )
+    dups = _semdedup_dup_members(a1)
     return (
         a1.join(
             dups,
@@ -454,32 +538,58 @@ def n114_cluster_leakage_safe_split(
         )
         .persist()
     )
-    left = marked.select(
-        "c",
-        F.col("vec_id").alias("va"),
-        F.col("v").alias("xa"),
-        F.col("t_id").alias("ta_id"),
-        F.col("t_cl").alias("ta_cl"),
-    )
-    right = marked.select(
-        "c",
-        F.col("vec_id").alias("vb"),
-        F.col("v").alias("xb"),
-        F.col("t_id").alias("tb_id"),
-        F.col("t_cl").alias("tb_cl"),
-    )
+    # within-cluster near-dup pairs + split-crossing counts, one
+    # per-cluster GEMM task each (same bit-identical per-dimension fold
+    # as _semdedup_dup_members — see _fold_gram; round-10 optimization:
+    # the HOF pair join shipped every vector once per candidate pair)
+    tau = _TAU  # closure constant: workers cannot import this module
+
+    def cluster_stats(key: tuple, pdf) -> object:
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "n_pairs": pd.Series([0], dtype="int64"),
+                    "x_id": pd.Series([0], dtype="int64"),
+                    "x_cl": pd.Series([0], dtype="int64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        M = np.array(list(pdf["v"]), dtype=np.float64)
+        # inlined _fold_gram (see its NOTE): per-dimension accumulation,
+        # bit-identical to the sequential fold
+        acc = np.zeros((len(ids), len(ids)), dtype=np.float64)
+        for i in range(M.shape[1]):
+            col = M[:, i]
+            acc = acc + col[:, None] * col[None, :]
+        ai, bj = np.nonzero(
+            (acc >= tau) & (ids[:, None] < ids[None, :])
+        )
+        t_id = pdf["t_id"].to_numpy(dtype=bool)
+        t_cl = pdf["t_cl"].to_numpy(dtype=bool)
+        return pd.DataFrame(
+            {
+                "n_pairs": pd.Series([len(ai)], dtype="int64"),
+                "x_id": pd.Series(
+                    [int((t_id[ai] != t_id[bj]).sum())], dtype="int64"
+                ),
+                "x_cl": pd.Series(
+                    [int((t_cl[ai] != t_cl[bj]).sum())], dtype="int64"
+                ),
+            }
+        )
+
     pair_stats = (
-        left.join(right, "c")
-        .filter(F.col("va") < F.col("vb"))
-        .filter(_dot(F.col("xa"), F.col("xb")) >= F.lit(_TAU))
+        marked.groupBy("c")
+        .applyInPandas(
+            cluster_stats, "n_pairs long, x_id long, x_cl long"
+        )
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(
-                (F.col("ta_id") != F.col("tb_id")).cast("long")
-            ).alias("x_id"),
-            F.sum(
-                (F.col("ta_cl") != F.col("tb_cl")).cast("long")
-            ).alias("x_cl"),
+            F.sum("n_pairs").alias("n_pairs"),
+            F.sum("x_id").alias("x_id"),
+            F.sum("x_cl").alias("x_cl"),
         )
         .select(
             F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),

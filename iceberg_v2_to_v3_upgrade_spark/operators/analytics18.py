@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from iceberg_v2_to_v3_upgrade_spark.io import load_table
-from iceberg_v2_to_v3_upgrade_spark.operators.analytics16 import _dot
 from iceberg_v2_to_v3_upgrade_spark.registry import declare
 
 # --------------------------------------------------- n117 bitext mining
@@ -97,30 +96,75 @@ def n117_margin_bitext_mining(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    src = emb.filter("vec_id % 2 = 0").select(
-        F.col("vec_id").alias("src_id"),
-        F.col("v").alias("sv"),
-        F.col("nrm").alias("snrm"),
-    )
-    tgt = emb.filter("vec_id % 2 = 1").select(
-        F.col("vec_id").alias("tgt_id"),
-        F.col("v").alias("tv"),
-        F.col("nrm").alias("tnrm"),
-    )
-    pairs = (
-        src.crossJoin(F.broadcast(tgt))
-        .select(
-            "src_id",
-            "tgt_id",
-            F.round(
-                _dot(F.col("sv"), F.col("tv"))
-                / (F.col("snrm") * F.col("tnrm")),
-                6,
-            ).alias("cos"),
+    src = emb.filter("vec_id % 2 = 0")
+    tgt = emb.filter("vec_id % 2 = 1")
+    # Candidate cosines via broadcast target pool x streamed source
+    # blocks (n2e's broadcast-GEMM machinery; round-10 optimization —
+    # the previous crossJoin form evaluated one interpreted HOF fold
+    # per PAIR and dominated the query at 8+ s). Each dot accumulates
+    # PER DIMENSION (acc += S[:,i] outer T[:,i]), the exact IEEE op
+    # sequence of the sequential _dot fold / DuckDB list_dot_product,
+    # so every cos is bit-identical to the oracle's; rounding stays
+    # JVM-side F.round as before. The collect is bounded by the target
+    # POOL (half the fixture corpus; at 100 TB the pool pre-prunes via
+    # the LSH/IVF candidate path exactly as the scale note says).
+    tgt_rows = tgt.collect()
+    if not tgt_rows:
+        pairs = spark.createDataFrame(
+            [], "src_id long, tgt_id long, cos double"
+        ).persist()
+    else:
+        import numpy as np
+
+        t_ids = np.array([r["vec_id"] for r in tgt_rows], dtype=np.int64)
+        t_mat = np.array([r["v"] for r in tgt_rows], dtype=np.float64)
+
+        def _fold_norms(mat: "np.ndarray") -> "np.ndarray":
+            acc = np.zeros(mat.shape[0], dtype=np.float64)
+            for i in range(mat.shape[1]):
+                acc = acc + mat[:, i] * mat[:, i]
+            return np.sqrt(acc)
+
+        t_nrm = _fold_norms(t_mat)
+        bc = spark.sparkContext.broadcast((t_ids, t_mat, t_nrm))
+
+        def cos_blocks(batches):
+            import pandas as pd
+
+            ids_t, mat_t, nrm_t = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                s_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                s_mat = np.array(list(pdf["v"]), dtype=np.float64)
+                s_nrm = _fold_norms(s_mat)
+                acc = np.zeros(
+                    (len(s_ids), len(ids_t)), dtype=np.float64
+                )
+                for i in range(s_mat.shape[1]):
+                    acc = acc + s_mat[:, i, None] * mat_t[None, :, i]
+                cos_raw = acc / (s_nrm[:, None] * nrm_t[None, :])
+                yield pd.DataFrame(
+                    {
+                        "src_id": np.repeat(s_ids, len(ids_t)),
+                        "tgt_id": np.tile(ids_t, len(s_ids)),
+                        "cos_raw": cos_raw.ravel(),
+                    }
+                )
+
+        par = spark.sparkContext.defaultParallelism
+        pairs = (
+            src.repartition(par)
+            .mapInPandas(
+                cos_blocks, "src_id long, tgt_id long, cos_raw double"
+            )
+            .select(
+                "src_id",
+                "tgt_id",
+                F.round(F.col("cos_raw"), 6).alias("cos"),
+            )
+            .persist()
         )
-        .persist()
-    )
 
     def _knn_mean(key: str, other: str, alias: str) -> DataFrame:
         r = F.row_number().over(

@@ -346,14 +346,20 @@ def n16_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     # n_grams rides inside the exploded payload so only the train split
-    # pays for it; the eval split explodes the bare hash array. (An A/B
-    # at sf0.1 shows the old size()+explode double reference costs only
-    # ~4% — codegen absorbs most of the recompute — so this is a
-    # structural cleanup, not the n16 hot path: the shingling itself is.)
+    # pays for it; the eval split explodes the bare hash array.
+    # CRITICAL (round-10 measurement): the payload transform must close
+    # over a MATERIALIZED grams column, not the grams expression —
+    # ``F.size(grams_arr)`` inside the lambda re-evaluates the ENTIRE
+    # shingling per array element (Catalyst does no CSE across HOF
+    # lambdas, the same O(d^2) trap as analytics16._norm_round), which
+    # measured 16.2 s for the train explode alone at sf0.1 vs 0.64 s
+    # with the two-step projection below (the earlier "~4%" note
+    # compared the wrong pair of variants). CollapseProject keeps the
+    # extra Project because grams is non-cheap and referenced twice.
     payload = F.transform(
-        grams_arr,
+        F.col("grams"),
         lambda g: F.struct(
-            g.alias("gram"), F.size(grams_arr).alias("n_grams")
+            g.alias("gram"), F.size("grams").alias("n_grams")
         ),
     )
     # eval side never needs n_grams — explode the bare hash array
@@ -364,6 +370,7 @@ def n16_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = (
         docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .select("doc_id", grams_arr.alias("grams"))
         .select("doc_id", F.explode(payload).alias("x"))
         .select("doc_id", "x.gram", "x.n_grams")
     )

@@ -13,7 +13,6 @@ from pyspark.sql.window import Window
 
 from iceberg_v2_to_v3_upgrade_spark.functions.arrays import (
     as_double_array,
-    cosine_similarity,
 )
 from iceberg_v2_to_v3_upgrade_spark.io import load_table
 from iceberg_v2_to_v3_upgrade_spark.registry import declare
@@ -138,18 +137,70 @@ def n45_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_array("embedding").alias("v")
     )
-    q = e.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("label").alias("true_label"),
-        F.col("v").alias("qv"),
-    )
-    sims = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
-        "q_id",
-        "true_label",
-        "label",
-        "vec_id",
-        cosine_similarity(F.col("qv"), F.col("v")).alias("sim"),
-    )
+    # Query sample x streamed corpus via broadcast-GEMM (n2e's
+    # machinery; round-10 optimization — the broadcast-join form paid
+    # three interpreted HOF folds per PAIR). Dots and norms accumulate
+    # PER DIMENSION, the exact IEEE op sequence of the sequential fold,
+    # so every sim (and therefore the neighbor ranking) is bit-identical
+    # to the oracle's DOUBLE[] math. The collect is the 1-in-25 query
+    # SAMPLE — k-bounded, not corpus-shaped.
+    q_rows = e.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
+    if not q_rows:
+        sims = spark.createDataFrame(
+            [],
+            "q_id long, true_label int, label int, vec_id long, sim double",
+        )
+    else:
+        import numpy as np
+
+        q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+        q_lab = np.array([r["label"] for r in q_rows], dtype=np.int64)
+        q_mat = np.array([r["v"] for r in q_rows], dtype=np.float64)
+
+        def _fold_norms(mat: "np.ndarray") -> "np.ndarray":
+            acc = np.zeros(mat.shape[0], dtype=np.float64)
+            for i in range(mat.shape[1]):
+                acc = acc + mat[:, i] * mat[:, i]
+            return np.sqrt(acc)
+
+        q_nrm = _fold_norms(q_mat)
+        bc = spark.sparkContext.broadcast((q_ids, q_lab, q_mat, q_nrm))
+
+        def sim_blocks(batches):
+            import pandas as pd
+
+            ids_q, lab_q, mat_q, nrm_q = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                c_lab = pdf["label"].to_numpy(dtype=np.int64)
+                c_mat = np.array(list(pdf["v"]), dtype=np.float64)
+                c_nrm = _fold_norms(c_mat)
+                nq = len(ids_q)
+                acc = np.zeros((nq, len(c_ids)), dtype=np.float64)
+                for i in range(mat_q.shape[1]):
+                    acc = acc + mat_q[:, i, None] * c_mat[None, :, i]
+                # cosine_similarity(qv, v) = dot / (l2(qv) * l2(v));
+                # IEEE multiply is commutative, so the product order
+                # below is bit-identical to the column form
+                sim = acc / (nrm_q[:, None] * c_nrm[None, :])
+                qi, cj = np.nonzero(c_ids[None, :] != ids_q[:, None])
+                yield pd.DataFrame(
+                    {
+                        "q_id": ids_q[qi],
+                        "true_label": lab_q[qi],
+                        "label": c_lab[cj],
+                        "vec_id": c_ids[cj],
+                        "sim": sim[qi, cj],
+                    }
+                )
+
+        par = spark.sparkContext.defaultParallelism
+        sims = e.repartition(par).mapInPandas(
+            sim_blocks,
+            "q_id long, true_label int, label int, vec_id long, sim double",
+        )
     w_rank = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     top = (
         sims.withColumn("r", F.row_number().over(w_rank))

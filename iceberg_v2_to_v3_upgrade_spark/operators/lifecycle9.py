@@ -489,9 +489,13 @@ def i41_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.select("vec_id", F.col("embedding").alias("x"))
         )
 
-    base_normed = _normed(t.scan())
+    # persisted across the fit's ~4 jobs + the assignment below; without
+    # the cache every job re-runs the HOF normalization over the base
+    # corpus (round-10 optimization, same as _cluster_assignments)
+    base_normed = _normed(t.scan()).persist()
     cents = _fit_centroids(base_normed)
     if cents is None:
+        base_normed.unpersist()
         return spark.createDataFrame(
             [],
             "cluster int, n_docs bigint, n_dups bigint, n_survivors "
@@ -501,6 +505,8 @@ def i41_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_assign = _assign_to_centroids(base_normed, cents).select(
         "vec_id", "v", "c"
     ).persist()
+    base_assign.count()  # materialize off the normed cache, then release
+    base_normed.unpersist()
     yesterday = _semdedup_accounting(base_assign).persist()
     yesterday.count()  # pin before the delta commit mutates the table
 

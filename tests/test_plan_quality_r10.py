@@ -77,25 +77,21 @@ def test_n120_kneser_ney_stays_jvm(spark, registry):
     assert "Scan parquet" in p or "BatchScan" in p or "FileScan" in p
 
 
-def test_n117_margin_mining_broadcasts_target_pool(spark, registry):
-    # the materialized result frame is driver-built (the pairs cache is
-    # released before return), so pin the plan of the PAIRS stage via
-    # the module internals instead
-    from pyspark.sql import functions as F
+def test_n117_margin_mining_pairs_stay_vectorized(spark, registry):
+    # round-10 optimization: the pairs stage is a broadcast-matrix
+    # mapInPandas (n2e's machinery) instead of crossJoin + interpreted
+    # HOF dot per pair. The operator's own frame is driver-built (it
+    # collects), so pin the SOURCE structure: no crossJoin remains in
+    # n117, and the candidate cosines come from mapInPandas.
+    import inspect
 
-    from iceberg_v2_to_v3_upgrade_spark.io import load_table
-    from iceberg_v2_to_v3_upgrade_spark.operators.analytics16 import _dot
-
-    emb = load_table(spark, SF_SMALL, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    from iceberg_v2_to_v3_upgrade_spark.operators.analytics18 import (
+        n117_margin_bitext_mining,
     )
-    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    src = emb.filter("vec_id % 2 = 0")
-    tgt = emb.filter("vec_id % 2 = 1")
-    pairs = src.crossJoin(F.broadcast(tgt.toDF("tid", "tv", "tnrm")))
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        pairs.explain("formatted")
-    p = buf.getvalue()
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
-    assert "CartesianProduct" not in p
+
+    src = inspect.getsource(n117_margin_bitext_mining)
+    code = "\n".join(
+        ln for ln in src.splitlines() if not ln.lstrip().startswith("#")
+    )
+    assert "crossJoin" not in code, "n117 pairs went back to per-pair HOF"
+    assert "mapInPandas" in code
