@@ -199,8 +199,14 @@ def _exact_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
     num, den = _tau_fraction(tau)
     while _JACCARD_CACHES:
         _JACCARD_CACHES.pop().unpersist()
+    # repartition first: the single-file fixture scan is ONE partition,
+    # which would single-thread the shingling AND pin the persisted
+    # frame (hence every downstream map pass) to one core (round-10
+    # finding; at scale the scan is already wide and this is noise)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     shingled = (
-        docs.select(
+        docs.repartition(par)
+        .select(
             "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
         )
         .withColumn("n", F.size("shingles"))
@@ -1032,34 +1038,85 @@ def md5_minhash_sig(shingles) -> "F.Column":
 def md5_minhash_sig_grouped(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Corpus-scale signature build: explode shingles -> 32 grouped mins
-    (one id-keyed shuffle; each shingle hashed exactly once per seed).
-    Returns (id_col, sig array<bigint>). Same hash family as
-    `md5_minhash_sig`; measured at sf0.1: 7.8 s vs 52 s for the naive
-    per-row HOF form and 9.6 s for per-row with a pre-projected shingle
-    column — use THIS for batch/index builds, per-row only on streams."""
-    exploded = docs.select(
+    """Corpus-scale signature build: explode shingles -> per-batch
+    partial mins in Arrow Python -> one id-keyed final min shuffle.
+    Returns (id_col, sig array<bigint>). Same hash family (and
+    bit-identical values) as `md5_minhash_sig`.
+
+    Round-10 shape: the previous all-JVM form (32 grouped
+    min(conv(substring(md5(concat))...)) aggregates) measured 8.5 s at
+    sf0.1 — profiled per component, ~40% is Spark's Md5 expression
+    (one MessageDigest per call) and ~35% the conv() hex parse
+    (NumberConverter string round trip). The mapInPandas kernel
+    dedupes shingles WITHIN each Arrow batch (a doc's shingles are
+    contiguous after explode, and the fixture vocabulary is ~10x
+    smaller than the (doc, shingle) stream), hashes each unique
+    shingle once per seed with hashlib, and reduces per-doc partial
+    mins vectorized (np.minimum.reduceat). Partial mins are exact
+    under the final per-id min (min is associative), so the signatures
+    are unchanged — pinned bit-for-bit by
+    tests/test_plan_quality_r10opt.py. Measured 8.5 s -> ~1.3 s.
+    """
+    # the fixture lands as one single-row-group parquet file, so the
+    # scan is ONE partition and the shingle+hash map work would run on
+    # one core (round-10 finding — this, not the hash chain, was the
+    # 8 s); spread the doc rows first (tiny shuffle, same n2e pattern).
+    # At scale the scan is already wide and this rebalance is noise.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    exploded = docs.repartition(par).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), 3)).alias("_sh")
     )
-    mins = exploded.groupBy(id_col).agg(
-        *[
-            F.min(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(":", F.lit(str(s)), F.col("_sh"))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-            ).alias(f"_h{s}")
-            for s in range(_MH_SEEDS)
-        ]
+    n_seeds = _MH_SEEDS
+
+    def partial_sigs(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        seed_prefixes = [f"{s}:".encode() for s in range(n_seeds)]
+        md5 = hashlib.md5
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            # vocab within the batch: hash each unique shingle once/seed
+            uniq, inv = np.unique(
+                pdf["_sh"].to_numpy(dtype=object), return_inverse=True
+            )
+            H = np.empty((len(uniq), n_seeds), dtype=np.int64)
+            for u, sh in enumerate(uniq):
+                b = sh.encode()
+                H[u] = [
+                    int.from_bytes(md5(p + b).digest()[:4], "big")
+                    for p in seed_prefixes
+                ]
+            rows = H[inv]  # (n_rows, n_seeds) hash matrix in row order
+            # per-doc partial min, vectorized: group contiguous id runs
+            order = np.argsort(ids, kind="stable")
+            sids = ids[order]
+            starts = np.flatnonzero(
+                np.r_[True, sids[1:] != sids[:-1]]
+            )
+            mins = np.minimum.reduceat(rows[order], starts, axis=0)
+            out = pd.DataFrame(
+                mins, columns=[f"_h{s}" for s in range(n_seeds)]
+            )
+            out.insert(0, "_mid", sids[starts])
+            yield out
+
+    schema = "_mid long, " + ", ".join(
+        f"_h{s} long" for s in range(n_seeds)
+    )
+    mins = (
+        exploded.mapInPandas(partial_sigs, schema)
+        .groupBy(F.col("_mid").alias(id_col))
+        .agg(*[F.min(f"_h{s}").alias(f"_h{s}") for s in range(n_seeds)])
     )
     return mins.select(
         F.col(id_col),
-        F.array(*[F.col(f"_h{s}") for s in range(_MH_SEEDS)]).alias("sig"),
+        F.array(*[F.col(f"_h{s}") for s in range(n_seeds)]).alias("sig"),
     )
 
 

@@ -258,11 +258,25 @@ def h18_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     every ingest expression uses the try_/NULLIF forms. Both engines
     agree NULL-for-failure semantics, so the battery hash-checks."""
     li = load_table(spark, sf_dir, "lineitem")
-    castable = F.expr(
-        "try_cast(concat(cast(l_linenumber as string), '0') as int)"
-    )
-    uncastable = F.expr(
-        "try_cast(concat(l_returnflag, cast(l_linenumber as string)) as int)"
+
+    # try_cast keeps the NULL-for-failure contract, but under ANSI its
+    # failure path raises and catches a JVM exception PER ROW — on a
+    # column where every value is malformed that was 5.9 s of the 600k
+    # rows' 6.3 s at sf0.1 (round-10 measurement). The integer-shape
+    # RLIKE gate short-circuits rows that cannot parse (cast trims
+    # whitespace, hence the \s*) so the exception path only runs for
+    # genuinely ambiguous values (e.g. int overflow); results are
+    # identical to the bare try_cast (asserted: 0 disagreements over
+    # the corpus, and the oracle hash pins it).
+    def guarded_try_int(expr: str) -> F.Column:
+        return F.expr(
+            f"CASE WHEN ({expr}) RLIKE '^\\\\s*[+-]?[0-9]+\\\\s*$' "
+            f"THEN try_cast(({expr}) as int) END"
+        )
+
+    castable = guarded_try_int("concat(cast(l_linenumber as string), '0')")
+    uncastable = guarded_try_int(
+        "concat(l_returnflag, cast(l_linenumber as string))"
     )
     safe_div = F.coalesce(
         F.col("l_extendedprice") / F.nullif(F.col("l_discount"), F.lit(0)),
