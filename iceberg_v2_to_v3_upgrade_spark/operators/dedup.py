@@ -1120,6 +1120,62 @@ def md5_minhash_sig_grouped(
     )
 
 
+def md5_minhash_sig_rows(
+    df: DataFrame, id_col: str = "doc_id", shingle_col: str = "sh"
+) -> DataFrame:
+    """Per-ROW MinHash signatures via Arrow batches — stateless, so it
+    runs on a STREAMING DataFrame exactly like the per-row HOF form
+    (`md5_minhash_sig`), with bit-identical signatures (same
+    md5('<seed>:<shingle>') first-4-bytes family, min over int64s).
+
+    Round-10: the HOF form pays Spark's per-call Md5 + conv() hex
+    parse per (shingle, seed) inside the interpreter; this kernel
+    dedupes shingles within each Arrow batch, hashes each unique one
+    once per seed with hashlib, and takes per-row mins vectorized
+    (np.minimum.reduceat over the flattened shingle stream). Rows with
+    EMPTY shingle arrays must be filtered out first (the HOF form
+    would emit an all-null signature; this one has no min to take) —
+    l9 already filters size(sh) > 0 for index symmetry."""
+    n_seeds = _MH_SEEDS
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        prefixes = [f"{s}:".encode() for s in range(n_seeds)]
+        md5 = hashlib.md5
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            lists = pdf.iloc[:, 1].tolist()
+            lens = np.array([len(x) for x in lists], dtype=np.int64)
+            flat = np.array(
+                [s for lst in lists for s in lst], dtype=object
+            )
+            uniq, inv = np.unique(flat, return_inverse=True)
+            H = np.empty((len(uniq), n_seeds), dtype=np.int64)
+            for u, sh in enumerate(uniq):
+                b = sh.encode()
+                H[u] = [
+                    int.from_bytes(md5(p + b).digest()[:4], "big")
+                    for p in prefixes
+                ]
+            starts = np.r_[0, np.cumsum(lens)[:-1]]
+            sigs = np.minimum.reduceat(H[inv], starts, axis=0)
+            yield pd.DataFrame(
+                {"_mid": ids, "sig": list(sigs)}
+            )
+
+    return (
+        df.select(F.col(id_col), F.col(shingle_col))
+        .mapInPandas(kernel, "_mid long, sig array<bigint>")
+        .withColumnRenamed("_mid", id_col)
+    )
+
+
 def md5_band_keys(sig) -> "F.Column":
     """Banded LSH keys over an md5-family signature:
     array<struct<band:int, bkey:string>> with bkey = md5 of the band's

@@ -585,8 +585,8 @@ def l9_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_v2_to_v3_upgrade_spark.functions.hashing import word_shingles
     from iceberg_v2_to_v3_upgrade_spark.operators.dedup import (
         md5_band_keys,
-        md5_minhash_sig,
         md5_minhash_sig_grouped,
+        md5_minhash_sig_rows,
     )
 
     stage = _stage_table(spark, sf_dir, "documents", "doc_id")
@@ -621,14 +621,20 @@ def l9_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 2)
         .parquet(stage)
     )
-    stream_sigs = (
-        stream.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    # round-10: per-row signatures via the Arrow kernel (bit-identical
+    # to the HOF form, still stateless/streaming-safe) and a per-batch
+    # repartition first — a micro-batch reads <=2 staged files, so the
+    # signature work otherwise runs on <=2 cores regardless of the
+    # machine (the stream-side twin of the single-file-scan finding)
+    stream_sigs = md5_minhash_sig_rows(
+        stream.repartition(
+            spark.sparkContext.defaultParallelism
+        ).select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
         # a <3-word doc has NO shingles: the grouped static index omits it
         # entirely, while the per-row path would emit an all-null signature
         # whose band keys degenerate to md5('') — filter to keep the stream
-        # side symmetric with the index
+        # side symmetric with the index (and the kernel needs >=1 shingle)
         .filter(F.size("sh") > 0)
-        .select("doc_id", md5_minhash_sig(F.col("sh")).alias("sig"))
     )
     flagged = (
         band_explode(stream_sigs)
