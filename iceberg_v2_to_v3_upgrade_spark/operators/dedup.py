@@ -453,6 +453,8 @@ _COSINE_NEARDUP_ORACLE = """
 #: runs instead — no driver collect on any path for a large corpus.
 _NEARDUP_BROADCAST_MAX_ROWS = 500_000
 _NEARDUP_THRESHOLD = 0.45
+#: connected-components driver fast-path guard (see _star_components)
+_CC_DRIVER_MAX_EDGES = 500_000
 
 
 @declare(
@@ -753,6 +755,56 @@ def _star_components(
     pairs = pairs.select(
         F.col(a).alias("x"), F.col(b).alias("y")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Size-gated driver fast path (round-10; the n2e broadcast-GEMM
+    # pattern): a near-dup pair graph is OUTPUT-bounded, and when the
+    # canonical edge set fits the same 500k-row guard n2e uses, a
+    # driver union-find replaces ~6-12 contraction rounds x several
+    # keyed shuffles each with one collect + one createDataFrame.
+    # Labels are identical (min id per component, exact integer math).
+    # ``stats`` is the instrumentation hook and forces the distributed
+    # path (the round-bound tests measure contraction rounds).
+    if stats is None:
+        small = (
+            pairs.filter(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("lo"),
+                F.greatest("x", "y").alias("hi"),
+            )
+            .distinct()
+        )
+        edge_rows = small.limit(_CC_DRIVER_MAX_EDGES + 1).collect()
+        if len(edge_rows) <= _CC_DRIVER_MAX_EDGES:
+            parent: dict[int, int] = {}
+
+            def find(u: int) -> int:
+                r = u
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(u, u) != u:  # path compression
+                    parent[u], u = r, parent[u]
+                return r
+
+            for e in edge_rows:
+                ra, rb = find(e["lo"]), find(e["hi"])
+                if ra != rb:  # min id becomes the root
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            node_rows = sorted(
+                {e["lo"] for e in edge_rows}
+                | {e["hi"] for e in edge_rows}
+                | {
+                    r["x"]
+                    for r in pairs.filter(
+                        F.col("x") == F.col("y")
+                    ).collect()
+                }
+            )
+            out = pairs.sparkSession.createDataFrame(
+                [(n, find(n)) for n in node_rows], "id long, label long"
+            )
+            pairs.unpersist()
+            return out
     nodes = (
         pairs.select(F.col("x").alias("id"))
         .union(pairs.select(F.col("y").alias("id")))

@@ -139,10 +139,21 @@ def i53_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_file_partitions=16,
     )
     after_scan = t.scan()
-    # (1) semantically invisible
+    # (1) semantically invisible — multiset equality as ONE job:
+    # +1/-1-weighted union grouped on the row value has every group sum
+    # to zero iff the two sides are equal as multisets (round-10: the
+    # previous two exceptAll jobs each re-ran both scans)
     cols = ["o_orderkey", "o_custkey", "o_totalprice"]
-    assert before.select(cols).exceptAll(after_scan.select(cols)).count() == 0
-    assert after_scan.select(cols).exceptAll(before.select(cols)).count() == 0
+    unequal = (
+        before.select(*cols)
+        .withColumn("_w", F.lit(1))
+        .unionByName(after_scan.select(*cols).withColumn("_w", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("_w").alias("_d"))
+        .filter(F.col("_d") != 0)
+        .count()
+    )
+    assert unequal == 0, f"{unequal} row groups differ pre/post rewrite"
 
     post = _file_bounds(_dirs_files(), dims)
     assert len(post) >= 8, len(post)

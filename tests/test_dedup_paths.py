@@ -170,10 +170,17 @@ def test_star_components_match_union_find_on_random_graphs(spark):
         ]
         pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
         df = spark.createDataFrame(pairs, "a BIGINT, b BIGINT")
-        star = {
+        # no stats -> size-gated DRIVER union-find path (round-10)
+        fast = {
             (r["id"], r["label"]) for r in _star_components(df).collect()
         }
+        # stats forces the DISTRIBUTED contraction path
+        star = {
+            (r["id"], r["label"])
+            for r in _star_components(df, stats={}).collect()
+        }
         want = set(union_find(pairs).items())
+        assert fast == want, (trial, fast ^ want)
         assert star == want, (trial, star ^ want)
 
 
