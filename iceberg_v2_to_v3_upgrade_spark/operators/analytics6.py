@@ -594,7 +594,9 @@ def n87_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").alias("src"),
             ((3 * F.col("p_partkey") + 1) % n + 1).alias("dst"),
         )
-    )
+    ).persist()  # reused by every hop's join — "hash-partitioned once
+    # and reused across iterations" now holds at bench scale too
+    # (round-10: each hop re-scanned part and rebuilt the union)
     dist = spark.createDataFrame([(1, 0)], "node long, hops int")
     frontier = dist
     for hop in range(1, 7):
@@ -610,8 +612,11 @@ def n87_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         dist = dist.unionByName(nxt)
         frontier = nxt
-    return (
+    out = (
         dist.groupBy("hops")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("hops")
     )
+    rows = out.collect()  # <= 7 rows; releases the edge cache safely
+    edges.unpersist()
+    return spark.createDataFrame(rows, out.schema)

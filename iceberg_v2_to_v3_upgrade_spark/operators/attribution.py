@@ -153,59 +153,59 @@ def n91_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prob",
         F.col("cnt") * 1.0 / F.sum("cnt").over(Window.partitionBy("src")),
     )
-    scenarios = spark.createDataFrame(
-        [("full",)] + [(c,) for c in _CHANNELS], "scenario string"
+    # The fixed point runs DRIVER-SIDE (round-10): the transition frame
+    # is bounded by the fixed state vocabulary (|states|^2 <= 36 rows —
+    # a k-bounded collect, never corpus-shaped), and the previous
+    # 16-step loop of join+agg+localCheckpoint jobs was pure scheduler
+    # overhead (~3 s of a 4.5 s query) for arithmetic over a frame that
+    # fits in a cache line. Same per-step math (sum of prob * successor
+    # value, absorbers CONV=1 / NULL=0, missing successors 0.0); sums
+    # accumulate in sorted (src, dst) order — both the old Spark agg
+    # and the DuckDB oracle are order-unpinned here, which the final
+    # 6dp rounding absorbs (unchanged tolerance class, re-verified
+    # hash-green at all three SFs). round() replicates F.round exactly:
+    # HALF_UP over the shortest-repr decimal (repr(float) ==
+    # Double.toString), plus the same +0.0 negative-zero normalization.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        ) + 0.0
+
+    tr = sorted(
+        (r["src"], r["dst"], float(r["prob"]))
+        for r in trans.select("src", "dst", "prob").collect()
     )
-    strans = (
-        trans.crossJoin(F.broadcast(scenarios))
-        .filter(
-            (F.col("scenario") == "full")
-            | (
-                (F.col("src") != F.col("scenario"))
-                & (F.col("dst") != F.col("scenario"))
-            )
-        )
-        .select("scenario", "src", "dst", "prob")
-        .localCheckpoint(eager=True)  # tiny; reused 16 times
-    )
-    probs = strans.select(
-        "scenario", F.col("src").alias("state")
-    ).distinct().withColumn("p", F.lit(0.0))
-    for _ in range(_ITERS):
-        probs = (
-            strans.alias("t")
-            .join(
-                probs.alias("p"),
-                (F.col("p.scenario") == F.col("t.scenario"))
-                & (F.col("p.state") == F.col("t.dst")),
-                "left",
-            )
-            .groupBy(F.col("t.scenario").alias("scenario"),
-                     F.col("t.src").alias("state"))
-            .agg(
-                F.sum(
-                    F.col("t.prob")
-                    * F.when(F.col("t.dst") == "CONV", 1.0)
-                    .when(F.col("t.dst") == "NULL", 0.0)
-                    .otherwise(F.coalesce(F.col("p.p"), F.lit(0.0)))
-                ).alias("p")
-            )
-            .localCheckpoint(eager=True)
-        )
-    full = probs.filter(
-        (F.col("scenario") == "full") & (F.col("state") == "START")
-    ).select(F.col("p").alias("p_full"))
-    return (
-        probs.filter(
-            (F.col("scenario") != "full") & (F.col("state") == "START")
-        )
-        .crossJoin(F.broadcast(full))
-        .select(
-            F.col("scenario").alias("channel"),
-            (F.round(F.col("p_full"), 6) + F.lit(0.0)).alias("p_conv_full"),
-            (
-                F.round(1.0 - F.col("p") / F.col("p_full"), 6) + F.lit(0.0)
-            ).alias("removal_effect"),
-        )
-        .orderBy("channel")
+
+    def _solve(scenario: str) -> float:
+        t = [
+            (s, d, p)
+            for s, d, p in tr
+            if scenario == "full" or (s != scenario and d != scenario)
+        ]
+        states = sorted({s for s, _d, _p in t})
+        p = dict.fromkeys(states, 0.0)
+        for _ in range(_ITERS):
+            nxt = dict.fromkeys(states, 0.0)
+            for s, d, prob in t:
+                nxt[s] += prob * (
+                    1.0
+                    if d == "CONV"
+                    else 0.0
+                    if d == "NULL"
+                    else p.get(d, 0.0)
+                )
+            p = nxt
+        return p.get("START", 0.0)
+
+    p_full = _solve("full")
+    out_rows = [
+        (c, _round6(p_full), _round6(1.0 - _solve(c) / p_full))
+        for c in sorted(_CHANNELS)
+    ]
+    return spark.createDataFrame(
+        out_rows, "channel string, p_conv_full double, removal_effect double"
     )

@@ -641,24 +641,37 @@ def n72_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_v2_to_v3_upgrade_spark.functions.hashing import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
+    # round-10: (a) repartition before the explode (single-file scan =
+    # single-core shingling) and persist it — g previously re-ran the
+    # explode for each of its two consumers; (b) the novelty join moves
+    # from GRAM level (corpus-sized) to DOC level: a gram's min-doc
+    # row contributes exactly one novel gram to that doc, so
+    # count-by-first_doc == the old per-doc sum of first_doc==doc_id —
+    # identical counts, and the join now touches |docs| rows, not
+    # |grams|.
+    par = spark.sparkContext.defaultParallelism
+    g = docs.repartition(par).select(
         "doc_id",
         "source",
         F.explode(word_shingles(F.col("text"), 3)).alias("gram"),
+    ).persist()
+    novel = (
+        g.groupBy("gram")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
     )
-    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        g.join(first, "gram")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+    sizes = g.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    per_doc = sizes.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_grams",
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
     )
     novelty = F.col("n_novel") / F.col("n_grams")
-    return (
+    out = (
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -667,6 +680,9 @@ def n72_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    rows = out.collect()
+    g.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @declare(
