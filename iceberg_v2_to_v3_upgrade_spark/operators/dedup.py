@@ -287,6 +287,7 @@ def _exact_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
     vocab = df_counts.agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.countDistinct(F.xxhash64("shingle")).alias("n_hashes"),
+        F.sum("df").alias("n_entries"),
     ).collect()[0]
     if vocab["n_shingles"] != vocab["n_hashes"]:
         raise ValueError(
@@ -299,6 +300,52 @@ def _exact_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
         "n",
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"),
     )
+    # Round-10: when the hashed corpus fits the n2e-style broadcast
+    # guard (8 bytes x total (doc, shingle) entries), verify against a
+    # BROADCAST dict instead of attaching both sets to every candidate
+    # row — the set-attach join shuffles ~2 x |set| x 8 B per pair
+    # (~400 MB at tau=0.5, sf0.1) where the broadcast ships the corpus
+    # once per executor. |A ∩ B| is an exact integer either way and the
+    # division is the same IEEE op; rounding stays JVM-side F.round.
+    if int(vocab["n_entries"] or 0) * 8 <= _NEARDUP_BROADCAST_MAX_ROWS * 64:
+        sets = {
+            int(r["doc_id"]): (frozenset(r["hs"]), int(r["n"]))
+            for r in hashed.collect()
+        }
+        bc = docs.sparkSession.sparkContext.broadcast(sets)
+
+        def verify(batches):
+            import pandas as pd
+
+            m = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                jac_raw = []
+                for da, db in zip(pdf["doc_a"], pdf["doc_b"]):
+                    sa, na = m[int(da)]
+                    sb, nb = m[int(db)]
+                    c = len(sa & sb)
+                    jac_raw.append(c / (na + nb - c))
+                out = pd.DataFrame(
+                    {
+                        "doc_a": pdf["doc_a"],
+                        "doc_b": pdf["doc_b"],
+                        "jaccard_raw": jac_raw,
+                    }
+                )
+                yield out
+
+        return (
+            candidates.mapInPandas(
+                verify, "doc_a long, doc_b long, jaccard_raw double"
+            )
+            .filter(F.col("jaccard_raw") >= tau)
+            .select(
+                "doc_a", "doc_b", F.round("jaccard_raw", 3).alias("jaccard")
+            )
+            .orderBy("doc_a", "doc_b")
+        )
     sx = hashed.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hs").alias("set_a"),
