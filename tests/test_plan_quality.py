@@ -374,12 +374,14 @@ def test_centroid_cohesion_broadcasts_centroids(spark, registry):
 
 
 def test_knn_broadcasts_query_sample(spark, registry):
-    """n45: the leave-one-out query sample is broadcast; the corpus
-    streams past it exactly once (one parquet scan pair, no corpus
-    self-shuffle before the rank window)."""
+    """n45: the leave-one-out query sample ships once per executor and
+    the corpus streams past it exactly once — since round 10 via the
+    broadcast-matrix MapInPandas kernel (the old broadcast-JOIN form
+    paid three interpreted HOF folds per pair); there must be no
+    corpus self-join of any kind before the rank window."""
     p = plan(spark, registry, "n45_knn_label_accuracy")
-    assert "Broadcast" in p
-    assert "SortMergeJoin" not in p
+    assert "MapInPandas" in p
+    assert "SortMergeJoin" not in p and "Join" not in p
 
 
 def test_anomaly_zscore_two_level_aggregation(spark, registry):
