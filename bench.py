@@ -156,6 +156,26 @@ HEADLINE = [
 ]
 
 
+#: Compact keys visible in the ROUND-10 bench line (BENCH_r10.json
+#: "parsed.queries") — the driver compares its parsed per-query dicts
+#: round-over-round, so the emitted set must stay a SUPERSET of the
+#: previous round's visible set or the difference is reported as
+#: "dropped_from_bench" (round-10 postmortem: the old fastest-first
+#: truncation loop manufactured 14 phantom drops). Frozen, not computed:
+#: bench must not read result files at runtime.
+_PREV_VISIBLE = frozenset(
+    """a11 a6 a9 d10 d11 d13 d17 d18 d21 d3 d7 g8 h17 h20 h24 h26 h4 i10
+    i11 i12 i13 i14 i16 i17 i18 i22 i23 i24 i25 i26 i27 i28 i29 i3 i30
+    i31 i32 i33 i34 i35 i36 i37 i38 i39 i4 i40 i41 i42 i43 i44 i45 i46
+    i47 i48 i49 i5 i50 i51 i52 i53 i6 i7 i8 j1 j2 j8 j9 k12 k14 k3 k4
+    k5 k6 l1 l10 l11 l12 l13 l2 l3 l4 l5 l6 l7 l8 l9 m2 m5 m7 m8 m9
+    n100 n105 n109 n113 n114 n115 n116 n117 n119 n120 n121 n123 n16 n22
+    n25 n2b n2c n2d n2e n2f n2g n2h n3 n31 n3b n3c n3f n3g n45 n46 n47
+    n4g n52 n54 n56 n66 n72 n75 n76 n77 n79 n8 n87 n89 n8b n90 n91 n92
+    q1 q2 q21 q3 q5 q7 q8 q9""".split()
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -267,27 +287,48 @@ def main() -> None:
         pass
     short = {n.split("_")[0]: t for n, t in timings.items()}
     assert len(short) == len(timings), "headline id prefixes must be unique"
+    # Round-11 reporting fix (VERDICT r10 item 1 — a measurement-REPORTING
+    # bug, not a timing change; the timed protocol above is untouched and
+    # every per-query number still lands in BENCH_DETAIL.json): the old
+    # last-resort loop dropped the FASTEST queries until the line fit the
+    # driver's ~2000-char stdout tail, which at 337 queries silently hid
+    # 190 entries and made 14 queries look "dropped" round-over-round.
+    # Deterministic rule instead: the line always carries (a) every query
+    # >= 1.0 s — where regressions matter — and (b) every compact key that
+    # was visible in the round-10 line (_PREV_VISIBLE), so the driver's
+    # prev-vs-now comparison never sees a spuriously missing query; the
+    # remaining sub-second queries are summarized as tail_n /
+    # tail_total_sec (they still count in "value" and n_queries).
+    vis = {
+        k: round(v, 2)
+        for k, v in sorted(short.items())
+        if v >= 1.0 or k in _PREV_VISIBLE
+    }
+    tail_secs = [v for k, v in short.items() if k not in vis]
     line_obj = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "protocol": "min_of_2",
-        "queries": short,
+        "queries": vis,
         "sf": sf,
         "cold_run_total_sec": round(sum(cold.values()), 3),
         "n_queries": len(timings),
         "errors": {k.split("_")[0]: v[:60] for k, v in errors.items()},
+        "tail_n": len(tail_secs),
+        "tail_total_sec": round(sum(tail_secs), 3),
     }
     line = json.dumps(line_obj, separators=(",", ":"))
-    if len(line) > 1800:  # guard: drop error text first
+    if len(line) > 1900:  # guard: drop error text first
         line_obj["errors"] = {"n_errors": len(errors)}
         line = json.dumps(line_obj, separators=(",", ":"))
-    if len(line) > 1800:  # then 2-decimal timings
-        line_obj["queries"] = {k: round(v, 2) for k, v in short.items()}
+    if len(line) > 1900:  # then the redundant protocol tag (BENCH_DETAIL
+        # records it; the timed protocol itself is unchanged)
+        line_obj.pop("protocol", None)
         line = json.dumps(line_obj, separators=(",", ":"))
-    while len(line) > 1800 and line_obj["queries"]:
-        # last resort: keep only the slowest queries (the informative
-        # ones) — full detail is always in BENCH_DETAIL.json
+    while len(line) > 1900 and line_obj["queries"]:
+        # last resort (should not trigger at <=160 visible entries): keep
+        # only the slowest queries — full detail is in BENCH_DETAIL.json
         keep = sorted(line_obj["queries"], key=line_obj["queries"].get)[10:]
         line_obj["queries"] = {
             k: line_obj["queries"][k] for k in sorted(keep)

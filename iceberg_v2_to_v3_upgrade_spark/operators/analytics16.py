@@ -331,8 +331,10 @@ def _semdedup_dup_members(a1: DataFrame) -> DataFrame:
     cluster's task instead of once per candidate pair, and the
     O(c_i^2 * d) multiply-adds run vectorized instead of through the
     Catalyst lambda interpreter (measured 4.4 s -> 0.6 s on the n113
-    accounting at sf0.1). Cluster size is bounded at ~250 by the
-    adaptive k, so per-task memory is O(250^2)."""
+    accounting at sf0.1). The adaptive k makes ~250 the EXPECTED
+    cluster size, not a bound — a skewed Lloyd iteration can leave a
+    megacluster, so the gram is row-slabbed to ~64 MB of live memory
+    per task (round-10 ADVICE)."""
 
     tau = _TAU  # closure constant: workers cannot import this module
 
@@ -350,12 +352,22 @@ def _semdedup_dup_members(a1: DataFrame) -> DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         M = np.array(list(pdf["v"]), dtype=np.float64)
         # inlined _fold_gram (see its NOTE): per-dimension accumulation,
-        # bit-identical to the sequential fold
-        acc = np.zeros((len(ids), len(ids)), dtype=np.float64)
-        for i in range(M.shape[1]):
-            col = M[:, i]
-            acc = acc + col[:, None] * col[None, :]
-        dup = ((acc >= tau) & (ids[:, None] < ids[None, :])).any(axis=0)
+        # bit-identical to the sequential fold. Row-SLABBED (round-10
+        # ADVICE): the dense gram of a skewed megacluster would be an
+        # O(c^2) single allocation; each slab bounds live memory at
+        # ~64 MB while every (a, b) entry keeps the exact op sequence.
+        n = len(ids)
+        dup = np.zeros(n, dtype=bool)
+        slab = max(1, (64 << 20) // (n * 8))
+        for s0 in range(0, n, slab):
+            rs = slice(s0, min(s0 + slab, n))
+            acc = np.zeros((rs.stop - s0, n), dtype=np.float64)
+            for i in range(M.shape[1]):
+                col = M[:, i]
+                acc = acc + col[rs, None] * col[None, :]
+            dup |= (
+                (acc >= tau) & (ids[rs, None] < ids[None, :])
+            ).any(axis=0)
         vb = ids[dup]
         return pd.DataFrame(
             {
@@ -558,26 +570,33 @@ def n114_cluster_leakage_safe_split(
             )
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         M = np.array(list(pdf["v"]), dtype=np.float64)
-        # inlined _fold_gram (see its NOTE): per-dimension accumulation,
-        # bit-identical to the sequential fold
-        acc = np.zeros((len(ids), len(ids)), dtype=np.float64)
-        for i in range(M.shape[1]):
-            col = M[:, i]
-            acc = acc + col[:, None] * col[None, :]
-        ai, bj = np.nonzero(
-            (acc >= tau) & (ids[:, None] < ids[None, :])
-        )
         t_id = pdf["t_id"].to_numpy(dtype=bool)
         t_cl = pdf["t_cl"].to_numpy(dtype=bool)
+        # inlined _fold_gram (see its NOTE): per-dimension accumulation,
+        # bit-identical to the sequential fold. Row-SLABBED (round-10
+        # ADVICE): bounds a megacluster's gram at ~64 MB of live memory
+        # per slab with the per-entry op sequence unchanged.
+        n = len(ids)
+        n_pairs = xi = xc = 0
+        slab = max(1, (64 << 20) // (n * 8))
+        for s0 in range(0, n, slab):
+            rs = slice(s0, min(s0 + slab, n))
+            acc = np.zeros((rs.stop - s0, n), dtype=np.float64)
+            for i in range(M.shape[1]):
+                col = M[:, i]
+                acc = acc + col[rs, None] * col[None, :]
+            ai, bj = np.nonzero(
+                (acc >= tau) & (ids[rs, None] < ids[None, :])
+            )
+            ai = ai + s0
+            n_pairs += len(ai)
+            xi += int((t_id[ai] != t_id[bj]).sum())
+            xc += int((t_cl[ai] != t_cl[bj]).sum())
         return pd.DataFrame(
             {
-                "n_pairs": pd.Series([len(ai)], dtype="int64"),
-                "x_id": pd.Series(
-                    [int((t_id[ai] != t_id[bj]).sum())], dtype="int64"
-                ),
-                "x_cl": pd.Series(
-                    [int((t_cl[ai] != t_cl[bj]).sum())], dtype="int64"
-                ),
+                "n_pairs": pd.Series([n_pairs], dtype="int64"),
+                "x_id": pd.Series([xi], dtype="int64"),
+                "x_cl": pd.Series([xc], dtype="int64"),
             }
         )
 

@@ -571,19 +571,95 @@ _BFS_ORACLE = """
 """
 
 
+#: size guard for the driver BFS fast path (the n2f/_star_components
+#: convention: a bounded collect, never corpus-shaped)
+_BFS_DRIVER_MAX_EDGES = 500_000
+
+
+def _bfs_hop_counts(
+    edges: DataFrame,
+    source: int = 1,
+    max_hops: int = 6,
+    stats: dict | None = None,
+) -> list[tuple[int, int]]:
+    """(hops, n_nodes) pairs for a capped BFS from ``source`` over an
+    (src, dst) edge frame — exact min-hop layers, sorted by hops.
+
+    Round-11 (VERDICT r10 item 4, the n2f pattern): when the edge set
+    fits the 500k-row guard, a DRIVER BFS over a collected adjacency
+    dict replaces the 6-hop distributed loop — each hop of which was a
+    join + distinct + anti-join + localCheckpoint round-trip of pure
+    job machinery over a frontier bounded by the part dimension
+    (~3 s of scheduler overhead at sf0.1). Layer sets are identical
+    (exact integer BFS either way). ``stats`` is the instrumentation
+    hook and forces the distributed path (tests measure both)."""
+    if stats is None:
+        edge_rows = edges.limit(_BFS_DRIVER_MAX_EDGES + 1).collect()
+        if len(edge_rows) <= _BFS_DRIVER_MAX_EDGES:
+            adj: dict[int, list[int]] = {}
+            for e in edge_rows:
+                adj.setdefault(e["src"], []).append(e["dst"])
+            dist = {source: 0}
+            frontier = [source]
+            for hop in range(1, max_hops + 1):
+                nxt: list[int] = []
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v not in dist:
+                            dist[v] = hop
+                            nxt.append(v)
+                if not nxt:
+                    break
+                frontier = nxt
+            from collections import Counter
+
+            c = Counter(dist.values())
+            return sorted(c.items())
+    spark = edges.sparkSession
+    edges = edges.persist()  # reused by every hop's join
+    dist_df = spark.createDataFrame(
+        [(source, 0)], "node long, hops int"
+    )
+    frontier_df = dist_df
+    rounds = 0
+    for hop in range(1, max_hops + 1):
+        nxt_df = (
+            frontier_df.join(edges, frontier_df.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist_df.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+        )
+        nxt_df = nxt_df.localCheckpoint(eager=True)  # cut deep lineage
+        rounds += 1
+        if nxt_df.isEmpty():
+            break
+        dist_df = dist_df.unionByName(nxt_df)
+        frontier_df = nxt_df
+    if stats is not None:
+        stats["rounds"] = rounds
+    rows = (
+        dist_df.groupBy("hops")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("hops")
+        .collect()
+    )
+    edges.unpersist()
+    return [(int(r["hops"]), int(r["n_nodes"])) for r in rows]
+
+
 @declare(
     "n87_bfs_shortest_path", oracle=_BFS_ORACLE, tags=("ext", "graph")
 )
 def n87_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS shortest-path distances on a deterministic functional graph
     over part keys (k -> 2k mod N + 1 and k -> 3k+1 mod N + 1), from
-    source node 1, capped at 6 hops. Spark has no recursive CTE, so this
-    is the canonical iterative frontier loop: each hop is one keyed join
-    frontier x edges plus an anti-join against the visited set — the
-    same plan shape as n2f's connected components, with work bounded by
-    the frontier (never the full graph re-scanned). The DuckDB oracle is
-    a genuine WITH RECURSIVE walk. At 100 TB the edges side is
-    hash-partitioned once and reused across iterations."""
+    source node 1, capped at 6 hops. Spark has no recursive CTE; the
+    engine side is ``_bfs_hop_counts``: a size-gated driver BFS over
+    the (output-bounded) edge list, with the canonical distributed
+    frontier loop — keyed join + anti-join per hop, work bounded by
+    the frontier — behind the gate for graphs that exceed it. The
+    DuckDB oracle is a genuine WITH RECURSIVE walk."""
     part = load_table(spark, sf_dir, "part").select("p_partkey")
     n = part.count()  # scalar aggregate, not a data collect
     edges = part.select(
@@ -594,29 +670,7 @@ def n87_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").alias("src"),
             ((3 * F.col("p_partkey") + 1) % n + 1).alias("dst"),
         )
-    ).persist()  # reused by every hop's join — "hash-partitioned once
-    # and reused across iterations" now holds at bench scale too
-    # (round-10: each hop re-scanned part and rebuilt the union)
-    dist = spark.createDataFrame([(1, 0)], "node long, hops int")
-    frontier = dist
-    for hop in range(1, 7):
-        nxt = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(dist.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(hop))
-        )
-        nxt = nxt.localCheckpoint(eager=True)  # cut 6-deep lineage
-        if nxt.isEmpty():
-            break
-        dist = dist.unionByName(nxt)
-        frontier = nxt
-    out = (
-        dist.groupBy("hops")
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
-        .orderBy("hops")
     )
-    rows = out.collect()  # <= 7 rows; releases the edge cache safely
-    edges.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return spark.createDataFrame(
+        _bfs_hop_counts(edges), "hops int, n_nodes bigint"
+    )

@@ -180,13 +180,20 @@ def n91_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in trans.select("src", "dst", "prob").collect()
     )
 
-    def _solve(scenario: str) -> float:
+    def _solve(scenario: str) -> float | None:
+        """P(conv from START) under the scenario, or None when no
+        surviving transition leaves START — the oracle's p16 then has no
+        START row for the scenario and its final join emits NO row
+        (round-10 ADVICE: the old code emitted removal_effect 1.0 for
+        that channel, a row-count parity change)."""
         t = [
             (s, d, p)
             for s, d, p in tr
             if scenario == "full" or (s != scenario and d != scenario)
         ]
         states = sorted({s for s, _d, _p in t})
+        if "START" not in states:
+            return None
         p = dict.fromkeys(states, 0.0)
         for _ in range(_ITERS):
             nxt = dict.fromkeys(states, 0.0)
@@ -199,13 +206,23 @@ def n91_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else p.get(d, 0.0)
                 )
             p = nxt
-        return p.get("START", 0.0)
+        return p["START"]
 
     p_full = _solve("full")
-    out_rows = [
-        (c, _round6(p_full), _round6(1.0 - _solve(c) / p_full))
-        for c in sorted(_CHANNELS)
-    ]
+    out_rows = []
+    if p_full is not None:  # else: oracle's f-join matches nothing
+        for c in sorted(_CHANNELS):
+            pc = _solve(c)
+            if pc is None:
+                continue
+            # DuckDB (and the pre-round-10 Spark plan) yield NULL for
+            # double division by zero — measured, not IEEE Inf/NaN —
+            # so a zero-conversion corpus gets a NULL removal_effect,
+            # not a ZeroDivisionError (round-10 ADVICE)
+            re_val = (
+                None if p_full == 0.0 else _round6(1.0 - pc / p_full)
+            )
+            out_rows.append((c, _round6(p_full), re_val))
     return spark.createDataFrame(
         out_rows, "channel string, p_conv_full double, removal_effect double"
     )

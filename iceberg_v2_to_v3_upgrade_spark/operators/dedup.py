@@ -134,12 +134,11 @@ def n2b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster scale: MEMORY_AND_DISK recomputes on executor loss) and
     halves the query's runtime.
     """
-    # single-row-group landing file == one task; spread the CPU-heavy
-    # shingling (and everything downstream) across all cores
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # _exact_jaccard_pairs widens the narrow fixture scan itself
+    # (gated) — repartitioning here too stacked a second exchange
+    return _exact_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), tau=0.8
     )
-    return _exact_jaccard_pairs(docs, tau=0.8)
 
 
 #: Persisted intermediates from the PREVIOUS _exact_jaccard_pairs call.
@@ -149,6 +148,35 @@ def n2b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: worth across min-of-2 bench passes and long soak sessions (round-9
 #: ADVICE — the same session-leak class as the r9 file-sink fix).
 _JACCARD_CACHES: list[DataFrame] = []
+
+#: Broadcast variables from the PREVIOUS broadcast-verify call — same
+#: eviction convention as _JACCARD_CACHES (the returned frame is lazy, so
+#: a call cannot reclaim its own broadcast; the next call evicts it).
+#: Bounds executor/driver block accumulation across min-of-2 bench passes
+#: and soak sessions (round-10 VERDICT item 6). unpersist(False), NOT
+#: destroy(): an in-session A/B measured destroy() stalling the next
+#: query by 2-4 s (blocking cleanup churn), while async unpersist is
+#: free and still drops the blocks; a destroyed broadcast also could
+#: never be lazily re-read if a stale frame were re-executed, whereas
+#: an unpersisted one is transparently re-broadcast.
+_JACCARD_BROADCASTS: list = []
+
+
+def _ensure_wide(df: DataFrame) -> DataFrame:
+    """Round-robin rebalance ONLY when the scan is narrower than the
+    session parallelism. The single-row-group fixture files scan as ONE
+    partition (``minPartitionNum`` cannot split one row group), which
+    single-threads every downstream map stage — that narrow case, and
+    only that case, warrants the exchange. An unconditional
+    ``repartition()`` would insert a full shuffle of the corpus even when
+    the scan is already wide (at 100 TB: always) — round-10's real
+    regression on n2b/n2c/n2d and a scale bug (VERDICT r10 item 2).
+    ``df.rdd.getNumPartitions()`` costs one physical planning pass, no
+    job."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 def _tau_fraction(tau: float) -> tuple[int, int]:
@@ -199,13 +227,13 @@ def _exact_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
     num, den = _tau_fraction(tau)
     while _JACCARD_CACHES:
         _JACCARD_CACHES.pop().unpersist()
-    # repartition first: the single-file fixture scan is ONE partition,
-    # which would single-thread the shingling AND pin the persisted
-    # frame (hence every downstream map pass) to one core (round-10
-    # finding; at scale the scan is already wide and this is noise)
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    while _JACCARD_BROADCASTS:
+        _JACCARD_BROADCASTS.pop().unpersist(False)
+    # widen the narrow fixture scan (gated — see _ensure_wide) so the
+    # shingling and the persisted frame's downstream map passes use
+    # every core; already-wide inputs pass through with no exchange
     shingled = (
-        docs.repartition(par)
+        _ensure_wide(docs)
         .select(
             "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
         )
@@ -313,6 +341,7 @@ def _exact_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
             for r in hashed.collect()
         }
         bc = docs.sparkSession.sparkContext.broadcast(sets)
+        _JACCARD_BROADCASTS.append(bc)
 
         def verify(batches):
             import pandas as pd
@@ -402,9 +431,7 @@ def _audit_neardup_recall(
         sampled_ids = None  # full corpus
     exact = {
         (r.doc_a, r.doc_b)
-        for r in _exact_jaccard_pairs(
-            docs.repartition(spark.sparkContext.defaultParallelism)
-        ).collect()
+        for r in _exact_jaccard_pairs(docs).collect()
     }
     if not exact:
         _NEARDUP_AUDITS[key] = 1.0
@@ -436,9 +463,7 @@ def n2c_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the band join is the only shuffle and its key space is
     |docs| * bands — linear, never quadratic.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _ensure_wide(load_table(spark, sf_dir, "documents"))
     sig = minhash_signatures(
         docs, "doc_id", word_shingles(F.col("text"), 3), num_hashes=64
     )
@@ -547,8 +572,11 @@ def _cosine_neardup_broadcast_gemm(
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array([r.embedding for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    while _JACCARD_BROADCASTS:  # evict the previous call's broadcasts
+        _JACCARD_BROADCASTS.pop().unpersist(False)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
+    _JACCARD_BROADCASTS.extend([b_ids, b_mat])
 
     def block_gemm(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -571,9 +599,8 @@ def _cosine_neardup_broadcast_gemm(
                 }
             )
 
-    par = spark.sparkContext.defaultParallelism
     return (
-        emb.repartition(par)
+        _ensure_wide(emb)
         .mapInPandas(block_gemm, "vec_a long, vec_b long, cos_sim double")
         .orderBy("vec_a", "vec_b")
     )
@@ -811,9 +838,12 @@ def _star_components(
     # ``stats`` is the instrumentation hook and forces the distributed
     # path (the round-bound tests measure contraction rounds).
     if stats is None:
+        # canonical edges WITH self-loops kept (lo == hi rows): the size
+        # guard then bounds the whole collect — the previous separate
+        # self-loop collect ran outside the guard (round-10 ADVICE) and
+        # cost an extra job
         small = (
-            pairs.filter(F.col("x") != F.col("y"))
-            .select(
+            pairs.select(
                 F.least("x", "y").alias("lo"),
                 F.greatest("x", "y").alias("hi"),
             )
@@ -832,6 +862,8 @@ def _star_components(
                 return r
 
             for e in edge_rows:
+                if e["lo"] == e["hi"]:
+                    continue  # self-loop: node only
                 ra, rb = find(e["lo"]), find(e["hi"])
                 if ra != rb:  # min id becomes the root
                     if rb < ra:
@@ -840,12 +872,6 @@ def _star_components(
             node_rows = sorted(
                 {e["lo"] for e in edge_rows}
                 | {e["hi"] for e in edge_rows}
-                | {
-                    r["x"]
-                    for r in pairs.filter(
-                        F.col("x") == F.col("y")
-                    ).collect()
-                }
             )
             out = pairs.sparkSession.createDataFrame(
                 [(n, find(n)) for n in node_rows], "id long, label long"
@@ -1159,10 +1185,9 @@ def md5_minhash_sig_grouped(
     # the fixture lands as one single-row-group parquet file, so the
     # scan is ONE partition and the shingle+hash map work would run on
     # one core (round-10 finding — this, not the hash chain, was the
-    # 8 s); spread the doc rows first (tiny shuffle, same n2e pattern).
-    # At scale the scan is already wide and this rebalance is noise.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    exploded = docs.repartition(par).select(
+    # 8 s); spread the doc rows first. Gated: already-wide inputs (any
+    # real scale) pass through with no exchange (round-11).
+    exploded = _ensure_wide(docs).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), 3)).alias("_sh")
     )
     n_seeds = _MH_SEEDS
@@ -1353,9 +1378,9 @@ def n2h_minhash_md5_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation re-evaluates the shingle array 32x, measured 15x slower),
     band join keyed on (band, 128-bit key) so the candidate space stays
     linear in corpus size."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # md5_minhash_sig_grouped widens the narrow fixture scan itself
+    # (gated); no second exchange here
+    docs = load_table(spark, sf_dir, "documents")
     sig = md5_minhash_sig_grouped(docs)
     banded = sig.select(
         "doc_id", "sig", F.explode(md5_band_keys(F.col("sig"))).alias("bk")

@@ -263,14 +263,17 @@ def h18_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # failure path raises and catches a JVM exception PER ROW — on a
     # column where every value is malformed that was 5.9 s of the 600k
     # rows' 6.3 s at sf0.1 (round-10 measurement). The integer-shape
-    # RLIKE gate short-circuits rows that cannot parse (cast trims
-    # whitespace, hence the \s*) so the exception path only runs for
-    # genuinely ambiguous values (e.g. int overflow); results are
-    # identical to the bare try_cast (asserted: 0 disagreements over
-    # the corpus, and the oracle hash pins it).
+    # RLIKE gate short-circuits rows that cannot parse, so the
+    # exception path only runs for genuinely ambiguous values (e.g.
+    # int overflow). Cast's trim is UTF8String.trimAll — it strips ALL
+    # control chars <= 0x20, wider than Java's \s — so the gate uses
+    # [\x00-\x20]* to stay identical to bare try_cast for ANY input
+    # (round-10 ADVICE; results asserted: 0 disagreements over the
+    # corpus, and the oracle hash pins it).
     def guarded_try_int(expr: str) -> F.Column:
         return F.expr(
-            f"CASE WHEN ({expr}) RLIKE '^\\\\s*[+-]?[0-9]+\\\\s*$' "
+            f"CASE WHEN ({expr}) RLIKE "
+            f"'^[\\\\x00-\\\\x20]*[+-]?[0-9]+[\\\\x00-\\\\x20]*$' "
             f"THEN try_cast(({expr}) as int) END"
         )
 

@@ -72,50 +72,79 @@ def n75_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-10: per-edge |N+(a) ∩ N+(b)| via a broadcast BITSET
     # adjacency + vectorized popcount in mapInPandas — the previous
     # per-edge array_intersect allocated a hash set per edge row and
-    # was the query's hot loop (~4 s of 7 at sf0.1). Same memory
-    # envelope class as before (the adjacency was already broadcast as
-    # arrays — the bitset is 1/64th of that); the count is exact
+    # was the query's hot loop (~4 s of 7 at sf0.1). The count is exact
     # integer math, so the result is unchanged by construction. The
     # out-neighbor sets come off the SAME persisted edge frame.
-    adj_rows = edges.groupBy("sa").agg(
-        F.collect_set("sb").alias("nbrs")
-    ).collect()  # bounded by the supplier dimension, not lineitem
+    #
+    # Round-11 gate (ADVICE r10): the bitset is DENSE —
+    # (max_id+1) x ceil((max_id+1)/64) words ~= max_id²/8 bytes
+    # regardless of edge count — so it only broadcasts for id spaces up
+    # to ~50k (the 256 MB budget below). Bigger graphs fall back to the
+    # O(edges) array-adjacency join form: still edge-linear, never
+    # wedge-materializing, and nothing corpus-shaped on the driver.
     import numpy as np
 
-    max_id = 0
-    for r in adj_rows:
-        max_id = max(max_id, int(r["sa"]), max(r["nbrs"]))
-    words = (max_id >> 6) + 1
-    bits = np.zeros((max_id + 1, words), dtype=np.uint64)
-    for r in adj_rows:
-        nb = np.asarray(r["nbrs"], dtype=np.int64)
-        np.bitwise_or.at(
-            bits[int(r["sa"])],
-            nb >> 6,
-            np.uint64(1) << (nb & 63).astype(np.uint64),
-        )
-    bc = spark.sparkContext.broadcast(bits)
-    popcnt = np.array(
-        [bin(i).count("1") for i in range(256)], dtype=np.int64
+    bc = bc_pop = None
+    max_id = int(
+        edges.agg(
+            F.max(F.greatest("sa", "sb")).alias("m")
+        ).collect()[0]["m"]
+        or 0
     )
-    bc_pop = spark.sparkContext.broadcast(popcnt)
-
-    def edge_tris(batches):
-        import pandas as pd
-
-        B = bc.value
-        pop = bc_pop.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a = pdf["sa"].to_numpy(dtype=np.int64)
-            b = pdf["sb"].to_numpy(dtype=np.int64)
-            common = (B[a] & B[b]).view(np.uint8)
-            yield pd.DataFrame(
-                {"tri": [int(pop[common].sum())]}
+    words = (max_id >> 6) + 1
+    if (max_id + 1) * words * 8 <= 256 * 1024 * 1024:
+        adj_rows = edges.groupBy("sa").agg(
+            F.collect_set("sb").alias("nbrs")
+        ).collect()  # bounded by the (gated) supplier id space
+        bits = np.zeros((max_id + 1, words), dtype=np.uint64)
+        for r in adj_rows:
+            nb = np.asarray(r["nbrs"], dtype=np.int64)
+            np.bitwise_or.at(
+                bits[int(r["sa"])],
+                nb >> 6,
+                np.uint64(1) << (nb & 63).astype(np.uint64),
             )
+        bc = spark.sparkContext.broadcast(bits)
+        popcnt = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.int64
+        )
+        bc_pop = spark.sparkContext.broadcast(popcnt)
 
-    per_edge = edges.mapInPandas(edge_tris, "tri long")
+        def edge_tris(batches):
+            import pandas as pd
+
+            B = bc.value
+            pop = bc_pop.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                a = pdf["sa"].to_numpy(dtype=np.int64)
+                b = pdf["sb"].to_numpy(dtype=np.int64)
+                common = (B[a] & B[b]).view(np.uint8)
+                yield pd.DataFrame(
+                    {"tri": [int(pop[common].sum())]}
+                )
+
+        per_edge = edges.mapInPandas(edge_tris, "tri long")
+    else:
+        adj = edges.groupBy("sa").agg(F.collect_set("sb").alias("nbrs"))
+        per_edge = (
+            edges.join(
+                adj.select(
+                    F.col("sa").alias("_a"), F.col("nbrs").alias("na")
+                ),
+                F.col("sa") == F.col("_a"),
+            )
+            .join(
+                adj.select(
+                    F.col("sa").alias("_b"), F.col("nbrs").alias("nb")
+                ),
+                F.col("sb") == F.col("_b"),
+            )
+            .select(
+                F.size(F.array_intersect("na", "nb")).alias("tri")
+            )
+        )
     n_nodes = li.select("l_suppkey").distinct().count()
     out = (
         edges.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -134,6 +163,10 @@ def n75_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     edges.unpersist()
+    if bc is not None:  # materialized above: reclaim the block copies
+        # (async unpersist — destroy() measurably stalls the session)
+        bc.unpersist(False)
+        bc_pop.unpersist(False)
     return spark.createDataFrame(rows, out.schema)
 
 
